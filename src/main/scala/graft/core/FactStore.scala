@@ -1,0 +1,165 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Append-only EAV fact log, the Spark-native equivalent of unifyDB's
+  * fact store (reference: /root/reference/src/unifydb/facts.clj — a fact
+  * is `[entity attribute value tx-id added?]`).
+  *
+  * Values live in typed columns (`vstr`/`vlong`/`vdbl`/`vts`/`vref`)
+  * instead of the reference's dynamically-typed EDN values, so every
+  * downstream pattern scan stays inside whole-stage codegen and parquet
+  * predicate pushdown. `vref` holds entity-id references (the graph
+  * edges). At cluster scale the log is written
+  * `partitionBy("a")` + bucketed by `e`, so an attribute-constant
+  * pattern prunes to one partition and entity-joins co-locate.
+  *
+  * Version resolution (reference `process-facts`,
+  * /root/reference/src/unifydb/query.clj:179-204): a fact (e,a,v) is
+  * live as of tx T iff the newest op on (e,a,v) with tx <= T is an
+  * assertion (retraction wins a same-tx tie, mirroring
+  * `cmp-fact-versions` sorting retractions first). For cardinality-one
+  * attributes the newest live value wins. NOTE the reference's take-1
+  * orders by (value, tx) — a quirk of sorting whole fact tuples — we
+  * deliberately use (tx) alone, the intended "latest wins" semantics
+  * (identical whenever updates retract the old value first, as the
+  * reference's own transactor idiom does).
+  */
+object FactStore {
+  /** Canonical fact-log schema. */
+  val factSchema: StructType = StructType(Seq(
+    StructField("e", LongType, nullable = false),
+    StructField("a", StringType, nullable = false),
+    StructField("vtype", StringType, nullable = false), // s|l|d|t|r
+    StructField("vstr", StringType, nullable = true),
+    StructField("vlong", LongType, nullable = true),
+    StructField("vdbl", DoubleType, nullable = true),
+    StructField("vts", TimestampType, nullable = true),
+    StructField("vref", LongType, nullable = true),
+    StructField("tx", LongType, nullable = false),
+    StructField("added", BooleanType, nullable = false)
+  ))
+
+  /** Value slot an attribute's values live in, by ingested Spark type. */
+  def slotFor(dt: DataType): (String, String) = dt match {
+    case StringType => ("vstr", "s")
+    case LongType | IntegerType | ShortType | ByteType => ("vlong", "l")
+    case DoubleType | FloatType | _: DecimalType => ("vdbl", "d")
+    case TimestampType | TimestampNTZType | DateType => ("vts", "t")
+    case BooleanType => ("vlong", "l")
+    case other => throw new IllegalArgumentException(s"unsupported fact value type $other")
+  }
+
+  private def nullCols(except: String): Seq[Column] =
+    Seq("vstr", "vlong", "vdbl", "vts", "vref").filterNot(_ == except).map { c =>
+      val dt = factSchema(c).dataType
+      lit(null).cast(dt).as(c)
+    }
+
+  /** Melt a relational table into facts: one entity per row (id =
+    * `idExpr` + `base`), one fact per non-null column value. Every
+    * column becomes a value attribute; additionally each entry of
+    * `refCols` (column -> referenced table's base) emits a `<col>_ref`
+    * attribute whose `vref` is the referenced ENTITY id — the graph
+    * edges. This is the bulk-ingest path the reference lacks (its
+    * transactor is one-message-at-a-time; ours is one distributed scan).
+    */
+  def melt(df: DataFrame, idExpr: Column, base: Long, tx: Long,
+           refCols: Map[String, Long] = Map.empty): DataFrame = {
+    val eCol = (idExpr.cast(LongType) + lit(base)).as("e")
+    // Columns named "__*" are ingest plumbing (e.g. a synthetic row id),
+    // not attributes.
+    val valuePieces = df.schema.fields.toSeq.filterNot(_.name.startsWith("__")).map { f =>
+      val (slot, tag) = slotFor(f.dataType)
+      val v = slot match {
+        case "vstr" => col(f.name).cast(StringType)
+        case "vlong" => col(f.name).cast(LongType)
+        case "vdbl" => col(f.name).cast(DoubleType)
+        case "vts" => col(f.name).cast(TimestampType)
+      }
+      df.select(Seq(eCol, lit(f.name).as("a"), lit(tag).as("vtype")) ++
+        nullCols(slot) :+ v.as(slot): _*)
+    }
+    val refPieces = refCols.toSeq.map { case (c, refBase) =>
+      df.select(Seq(eCol, lit(c + "_ref").as("a"), lit("r").as("vtype")) ++
+        nullCols("vref") :+ (col(c).cast(LongType) + lit(refBase)).as("vref"): _*)
+    }
+    val ordered = (valuePieces ++ refPieces).map { p =>
+      p.select(col("e"), col("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
+        lit(tx).as("tx"), lit(true).as("added"))
+        .filter(col("vstr").isNotNull || col("vlong").isNotNull ||
+          col("vdbl").isNotNull || col("vts").isNotNull || col("vref").isNotNull)
+    }
+    ordered.reduce(_.unionAll(_))
+  }
+
+  /** Attribute -> value-slot map for a melted table. */
+  def attrTypes(df: DataFrame, refCols: Set[String] = Set.empty): Map[String, String] =
+    df.schema.fields.filterNot(_.name.startsWith("__"))
+      .map(f => f.name -> slotFor(f.dataType)._1).toMap ++
+      refCols.map(c => (c + "_ref") -> "vref").toMap
+}
+
+/** A fact database: the raw log plus attribute metadata.
+  *
+  * @param log        the append-only fact DataFrame (FactStore.factSchema)
+  * @param attrTypes  attribute -> value slot ("vstr"|"vlong"|"vdbl"|"vts"|"vref")
+  * @param cardMany   attributes with :cardinality/many semantics
+  *                   (reference schema facts, /root/reference/src/unifydb/schema.clj)
+  */
+case class FactDb(log: DataFrame, attrTypes: Map[String, String],
+                  cardMany: Set[String] = Set.empty,
+                  versioned: Boolean = true) {
+
+  def union(other: FactDb): FactDb =
+    FactDb(log.unionAll(other.log), attrTypes ++ other.attrTypes,
+      cardMany ++ other.cardMany, versioned || other.versioned)
+
+  /** All fact versions visible as of `asOfTx` (no resolution) — the
+    * reference's `:historical true` mode (query_test.clj:284). */
+  def historical(asOfTx: Long = Long.MaxValue): DataFrame =
+    if (asOfTx == Long.MaxValue) log else log.filter(col("tx") <= asOfTx)
+
+  /** Resolved live facts as of `asOfTx`. One shuffle on (e,a): both the
+    * per-value liveness window and the cardinality-one pick share the
+    * same (e,a)-hash partitioning, so Spark plans a single exchange. */
+  def snapshot(asOfTx: Long = Long.MaxValue): DataFrame = {
+    val bounded = historical(asOfTx)
+    // Single-tx append-only ingests (the bulk-loaded base tables) need no
+    // version resolution — skip both windows so pattern scans stay a pure
+    // scan+filter (this is the 100 TB fast path: immutable fact
+    // partitions resolve to themselves).
+    if (!versioned) return bounded
+    val perValue = Window.partitionBy(col("e"), col("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"))
+      .orderBy(col("tx").desc, col("added").asc) // retraction wins same-tx tie
+    val live = bounded
+      .withColumn("__rn", row_number().over(perValue))
+      .filter(col("__rn") === 1 && col("added"))
+      .drop("__rn")
+    val manyAttrs = cardMany
+    if (manyAttrs.isEmpty) resolveCardOne(live, col("a").isNotNull)
+    else {
+      val isOne = !col("a").isin(manyAttrs.toSeq: _*)
+      resolveCardOne(live, isOne)
+    }
+  }
+
+  /** Among live facts, keep only the newest value per (e,a) for
+    * cardinality-one attributes. */
+  private def resolveCardOne(live: DataFrame, isOne: Column): DataFrame = {
+    val perAttr = Window.partitionBy(col("e"), col("a")).orderBy(col("tx").desc)
+    live.withColumn("__rn", row_number().over(perAttr))
+      .filter(!isOne || col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Value column name for a known attribute. */
+  def slot(attr: String): String =
+    attrTypes.getOrElse(attr,
+      throw new IllegalArgumentException(s"unknown attribute $attr"))
+}

@@ -1,0 +1,101 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion of the driver's TPC-H-ish parquet tables into the EAV fact
+  * log (SURVEY.md §5). Entity-id spaces are disjoint per table (base
+  * offsets); foreign keys double as `_ref` edge attributes so the same
+  * facts serve relational joins AND graph traversal. Base tables load
+  * at tx=1; the `events` table replays as a temporal fact stream
+  * (tx = TxBase + event_id) to exercise as-of / historical / retraction
+  * semantics the way the reference's transactor would have produced them.
+  */
+object TestData {
+  val RegionBase = 1000000000L
+  val NationBase = 2000000000L
+  val CustomerBase = 3000000000L
+  val SupplierBase = 4000000000L
+  val PartBase = 5000000000L
+  val OrdersBase = 6000000000L
+  val LineitemBase = 7000000000L
+  val UserBase = 8000000000L
+  val DocBase = 9000000000L
+  val TxBase = 100L
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private case class T(name: String, id: String, base: Long, refs: Map[String, Long])
+
+  private val tables = Seq(
+    T("region", "r_regionkey", RegionBase, Map.empty),
+    T("nation", "n_nationkey", NationBase, Map("n_regionkey" -> RegionBase)),
+    T("customer", "c_custkey", CustomerBase, Map("c_nationkey" -> NationBase)),
+    T("supplier", "s_suppkey", SupplierBase, Map("s_nationkey" -> NationBase)),
+    T("part", "p_partkey", PartBase, Map.empty),
+    T("orders", "o_orderkey", OrdersBase, Map("o_custkey" -> CustomerBase)),
+    T("documents", "doc_id", DocBase, Map.empty)
+  )
+
+  /** Facts for the static star-schema tables (tx=1). */
+  def staticDb(spark: SparkSession, dir: String): FactDb = {
+    val parts = tables.map { t =>
+      val df = read(spark, dir, t.name)
+      (FactStore.melt(df, col(t.id), t.base, 1L, t.refs),
+        FactStore.attrTypes(df, t.refs.keySet))
+    }
+    // lineitem has NO unique key in the driver's synthetic data (dup
+    // (orderkey, linenumber) pairs) — use the parquet row position as a
+    // deterministic scan-local entity id. At multi-file scale this
+    // becomes hash(file_path)<<32 | row_index: still deterministic, no
+    // global coordination.
+    val li = read(spark, dir, "lineitem")
+      .select(col("*"), col("_metadata.row_index").as("__rowid"))
+    val liId = col("__rowid")
+    val liRefs = Map("l_orderkey" -> OrdersBase, "l_partkey" -> PartBase,
+      "l_suppkey" -> SupplierBase)
+    val all = parts.map(_._1) :+ FactStore.melt(li, liId, LineitemBase, 1L, liRefs)
+    val types = parts.map(_._2).reduce(_ ++ _) ++ FactStore.attrTypes(li, liRefs.keySet)
+    FactDb(all.reduce(_ unionAll _), types, versioned = false)
+  }
+
+  /** Temporal replay of `events` as user-entity facts, mirroring what
+    * the reference transactor emits (/root/reference/src/unifydb/transact.clj):
+    *  - every event asserts cardinality-one `last_value` / `last_type`
+    *    (later tx supersedes — the dl_card_one / dl_asof surface);
+    *  - `signup` asserts `active`=1, `error` RETRACTS `active`=1
+    *    (the dl_retract / dl_historical surface);
+    *  - `purchase` asserts cardinality-many `purchase_bucket` =
+    *    floor(value) (the dl_card_many surface).
+    */
+  def eventsDb(spark: SparkSession, dir: String): FactDb = {
+    val ev = read(spark, dir, "events")
+      .select((col("user_id") + lit(UserBase)).as("e"),
+        (col("event_id") + lit(TxBase)).as("tx"),
+        col("event_type"), col("value"))
+    val lastValue = ev.select(col("e"), lit("last_value").as("a"), lit("d").as("vtype"),
+      lit(null).cast("string").as("vstr"), lit(null).cast("long").as("vlong"),
+      col("value").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+      lit(null).cast("long").as("vref"), col("tx"), lit(true).as("added"))
+    val lastType = ev.select(col("e"), lit("last_type").as("a"), lit("s").as("vtype"),
+      col("event_type").as("vstr"), lit(null).cast("long").as("vlong"),
+      lit(null).cast("double").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+      lit(null).cast("long").as("vref"), col("tx"), lit(true).as("added"))
+    val active = ev.filter(col("event_type").isin("signup", "error"))
+      .select(col("e"), lit("active").as("a"), lit("l").as("vtype"),
+        lit(null).cast("string").as("vstr"), lit(1L).as("vlong"),
+        lit(null).cast("double").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+        lit(null).cast("long").as("vref"), col("tx"),
+        (col("event_type") === "signup").as("added"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("e"), lit("purchase_bucket").as("a"), lit("l").as("vtype"),
+        lit(null).cast("string").as("vstr"), floor(col("value")).cast("long").as("vlong"),
+        lit(null).cast("double").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+        lit(null).cast("long").as("vref"), col("tx"), lit(true).as("added"))
+    FactDb(lastValue.unionAll(lastType).unionAll(active).unionAll(purchases),
+      Map("last_value" -> "vdbl", "last_type" -> "vstr", "active" -> "vlong",
+        "purchase_bucket" -> "vlong"),
+      cardMany = Set("purchase_bucket"))
+  }
+}

@@ -1,0 +1,296 @@
+package graft.datalog
+
+import graft.core.FactDb
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Datalog → DataFrame compiler.
+  *
+  * Each clause maps to a relational operator on "frame" DataFrames
+  * (one column per bound variable), replacing the reference's per-frame
+  * unification interpreter (/root/reference/src/unifydb/query.clj:286).
+  * The result is ONE Catalyst plan per query: joins get reordered /
+  * broadcast by the optimizer + AQE, pattern constants reach the
+  * parquet scans as pushed filters, and everything stays in
+  * whole-stage codegen. Scale notes:
+  *  - a pattern with a constant attribute prunes to that attribute's
+  *    partition of the fact log before any join;
+  *  - conjunction joins key on shared variables (usually the entity
+  *    id), which matches the fact log's bucketing column;
+  *  - recursive rules run semi-naive (delta-only joins) with
+  *    localCheckpoint every few iterations to keep lineage flat.
+  */
+object Compiler {
+
+  /** db mode: resolved snapshot vs raw historical log (reference
+    * `:historical` db flag, query.clj:194-201). */
+  final case class Db(facts: FactDb, asOf: Long = Long.MaxValue,
+                      historical: Boolean = false) {
+    private[datalog] lazy val source: DataFrame =
+      if (historical) facts.historical(asOf) else facts.snapshot(asOf)
+  }
+
+  def run(db: Db, q: Query)(implicit spark: SparkSession): DataFrame = {
+    val rules = q.rules.groupBy(_.name)
+    val ruleCache = collection.mutable.Map.empty[String, DataFrame]
+    val initFrames: Option[DataFrame] =
+      if (q.bind.isEmpty) None
+      else Some(spark.range(1).select(q.bind.map { case (k, v) => lit(v).as(k) }.toSeq: _*))
+    val frames = eval(db, q.where, rules, ruleCache, initFrames)
+      .getOrElse(throw new IllegalArgumentException("query binds no variables"))
+    project(frames, q)
+  }
+
+  // ---------------------------------------------------------------- find
+
+  private def aggCol(fn: String, v: String, alias: String): Column = (fn match {
+    case "sum" => sum(col(v))
+    case "min" => min(col(v))
+    case "max" => max(col(v))
+    case "mean" | "avg" => avg(col(v))
+    case "median" => median(col(v))
+    case "mode" => mode(col(v))
+    case "stddev" => stddev_samp(col(v))
+    case "count" => count(col(v))
+    case "count-distinct" => count_distinct(col(v))
+    case "distinct" => sort_array(collect_set(col(v)))
+    // Exact variants: double sums are accumulation-order-dependent, so a
+    // distributed sum is not reproducible bit-for-bit. These route
+    // through decimal (exact) and convert to double once at the end —
+    // deterministic on any cluster size AND hash-identical to the same
+    // formula in any other exact engine (the DuckDB oracle).
+    case "sum$exact" =>
+      sum(col(v).cast(DecimalType(25, 6))).cast(DoubleType)
+    case "avg$exact" =>
+      (sum(col(v).cast(DecimalType(25, 6))).cast(DoubleType) / count(col(v)))
+    case "stddev$exact" => {
+      val d = col(v).cast(DecimalType(25, 6))
+      val sx = sum(d).cast(DoubleType)
+      val sxx = sum(d * d).cast(DoubleType)
+      val n = count(col(v)).cast(DoubleType)
+      sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
+    }
+    case other => throw new IllegalArgumentException(s"Unknown aggregation expression $other")
+  }).as(alias)
+
+  private def project(frames: DataFrame, q: Query): DataFrame = {
+    val aggs = q.find.collect { case a: FAgg => a }
+    val vars = q.find.collect { case fv: FVar => fv }
+    val projected =
+      if (aggs.isEmpty) {
+        // Set semantics: the reference groups frames by the find vars and
+        // emits one row per group even without aggregates (query.clj:441-467).
+        frames.select(vars.map(fv => col(fv.v.name).as(fv.alias)): _*).distinct()
+      } else {
+        val keyed = frames.groupBy(vars.map(fv => col(fv.v.name).as(fv.alias)): _*)
+        keyed.agg(aggCol(aggs.head.fn, aggs.head.v.name, aggs.head.alias),
+          aggs.tail.map(a => aggCol(a.fn, a.v.name, a.alias)): _*)
+      }
+    val sorted =
+      if (q.sortBy.isEmpty) projected
+      else projected.orderBy(q.sortBy.map(k => if (k.desc) col(k.alias).desc else col(k.alias).asc): _*)
+    q.limit.fold(sorted)(sorted.limit)
+  }
+
+  // ------------------------------------------------------------- clauses
+
+  /** Evaluate `clause` in the context of `frames` (None = unit frame). */
+  private def eval(db: Db, clause: Clause, rules: Map[String, Seq[Rule]],
+                   cache: collection.mutable.Map[String, DataFrame],
+                   frames: Option[DataFrame])
+                  (implicit spark: SparkSession): Option[DataFrame] = clause match {
+    case And(cs @ _*) => cs.foldLeft(frames)((f, c) => eval(db, c, rules, cache, f))
+    case Or(cs @ _*) =>
+      val parts = cs.map(c => eval(db, c, rules, cache, frames))
+        .collect { case Some(df) => df }
+      Some(parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+    case Not(neg) =>
+      val f = frames.getOrElse(throw new IllegalArgumentException(
+        ":not needs preceding clauses (negation-as-filter, reference query.clj:45-57)"))
+      eval(db, neg, rules, cache, Some(f)) match {
+        case None => Some(f)
+        case Some(matched) =>
+          val keep = f.columns.toSeq
+          val survivors = matched.select(keep.map(col): _*).distinct()
+          Some(f.join(survivors, joinCond(f, survivors, keep), "left_anti"))
+      }
+    case Pred(op, args @ _*) =>
+      val f = frames.getOrElse(throw new IllegalArgumentException("predicate needs bound frames"))
+      Some(f.filter(predCol(op, args.map(term2col))))
+    case FnBind(fn, out, args @ _*) =>
+      val f = frames.getOrElse(throw new IllegalArgumentException("fn-bind needs bound frames"))
+      val value = fnCol(fn, args.map(term2col))
+      if (f.columns.contains(out.name)) Some(f.filter(col(out.name) === value)) // unify
+      else Some(f.withColumn(out.name, value))
+    case p: Pattern => Some(merge(frames, pattern(db, p)))
+    case RuleApp(name, args @ _*) =>
+      val rel = cache.getOrElseUpdate(name, ruleRelation(db, name, rules, cache))
+      val defs = rules(name)
+      val params = defs.head.params
+      require(params.length == args.length, s"rule $name arity mismatch")
+      // Bind call args to the head params of the materialized relation.
+      var out = rel
+      var filters = List.empty[Column]
+      val renames = collection.mutable.Map.empty[String, String]
+      params.zip(args).foreach {
+        case (p, C(value)) => filters ::= col(p.name) === lit(value)
+        case (p, V(n)) =>
+          if (renames.contains(p.name)) filters ::= col(p.name) === col(renames(p.name))
+          else renames(p.name) = n
+        case (_, W) => ()
+      }
+      filters.foreach(f => out = out.filter(f))
+      val selected = out.select(renames.map { case (p, n) => col(p).as(n) }.toSeq: _*).distinct()
+      Some(merge(frames, selected))
+  }
+
+  /** Null-safe equi-join condition on `cols`. */
+  private def joinCond(l: DataFrame, r: DataFrame, cols: Seq[String]): Column =
+    cols.map(c => l(c) <=> r(c)).reduce(_ && _)
+
+  /** Join new clause bindings into the accumulated frames. */
+  private def merge(frames: Option[DataFrame], clauseDf: DataFrame): DataFrame =
+    frames match {
+      case None => clauseDf
+      case Some(f) =>
+        val shared = f.columns.toSet.intersect(clauseDf.columns.toSet).toSeq
+        if (shared.isEmpty) f.crossJoin(clauseDf)
+        else f.join(clauseDf, shared, "inner")
+    }
+
+  // ------------------------------------------------------------- pattern
+
+  /** Compile one pattern to a DataFrame of its variable bindings. */
+  private def pattern(db: Db, p: Pattern): DataFrame = {
+    var src = db.source
+    var outs = List.empty[Column]          // projections, in reverse
+    val bound = collection.mutable.Map.empty[String, Column]
+
+    def handle(term: Term, c: Column): Unit = term match {
+      case C(value) => src = src.filter(c === lit(value))
+      case V(n) =>
+        bound.get(n) match {
+          case Some(prev) => src = src.filter(prev === c)
+          case None => bound(n) = c; outs ::= c.as(n)
+        }
+      case W => ()
+    }
+
+    handle(p.e, col("e"))
+    handle(p.a, col("a"))
+    // Value slot: known when the attribute is a constant; otherwise a
+    // generic string rendering (only historical/pull-style [?e ?a ?v]
+    // queries need it — reference query_test.clj:284).
+    val vCol = p.a match {
+      case C(attr: String) => col(db.facts.slot(attr))
+      case _ => coalesce(col("vstr"), col("vlong").cast(StringType),
+        col("vdbl").cast(StringType), col("vts").cast(StringType),
+        col("vref").cast(StringType))
+    }
+    handle(p.v, vCol)
+    handle(p.tx, col("tx"))
+    handle(p.added, col("added"))
+    if (outs.isEmpty) src.select(lit(1).as("__const")).limit(1)
+    else src.select(outs.reverse: _*)
+  }
+
+  // ----------------------------------------------------- rules (fixpoint)
+
+  private def referencesRule(c: Clause, name: String): Boolean = c match {
+    case RuleApp(n, _*) => n == name
+    case And(cs @ _*) => cs.exists(referencesRule(_, name))
+    case Or(cs @ _*) => cs.exists(referencesRule(_, name))
+    case Not(n) => referencesRule(n, name)
+    case _ => false
+  }
+
+  /** Materialize a rule as a relation over its head params. Recursive
+    * rules run semi-naive: each iteration joins only the previous delta
+    * against the recursive bodies, unions new tuples, and stops at
+    * fixpoint. This is the distributed replacement for the reference's
+    * per-frame rule re-application (query.clj:260-274), which re-enters
+    * the interpreter once per candidate frame.
+    */
+  private def ruleRelation(db: Db, name: String, rules: Map[String, Seq[Rule]],
+                           cache: collection.mutable.Map[String, DataFrame])
+                          (implicit spark: SparkSession): DataFrame = {
+    val defs = rules.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown rule $name"))
+    val params = defs.head.params.map(_.name)
+    val (recDefs, baseDefs) = defs.partition(d => referencesRule(d.body, name))
+
+    def evalDef(d: Rule, self: Option[DataFrame]): DataFrame = {
+      val selfCache = collection.mutable.Map.empty[String, DataFrame]
+      selfCache ++= cache
+      self.foreach(s => selfCache(name) = s)
+      // Rule-local variable scope: evaluate the body standalone, then
+      // project to head params (reference renames vars per application,
+      // query.clj:238-258; a fresh frame context gives the same isolation).
+      val body = eval(db, d.body, rules, selfCache, None)
+        .getOrElse(throw new IllegalArgumentException(s"rule $name body binds nothing"))
+      body.select(d.params.map(p => col(p.name)): _*).distinct()
+    }
+
+    if (recDefs.isEmpty) {
+      baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
+    } else {
+      require(baseDefs.nonEmpty, s"recursive rule $name needs a base case")
+      var total = baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
+        .localCheckpoint(eager = true)
+      var delta = total
+      var i = 0
+      val maxIter = 100
+      while (delta.limit(1).count() > 0 && i < maxIter) {
+        val expanded = recDefs.map(evalDef(_, Some(delta))).reduce(_ unionAll _)
+        delta = expanded.join(total, joinCond(expanded, total, params), "left_anti")
+          .distinct().localCheckpoint(eager = true)
+        total = total.unionAll(delta).localCheckpoint(eager = true)
+        i += 1
+      }
+      require(i < maxIter, s"rule $name did not reach fixpoint in $maxIter iterations")
+      total
+    }
+  }
+
+  // --------------------------------------------------------- expressions
+
+  private def term2col(t: Term): Column = t match {
+    case V(n) => col(n)
+    case C(v) => lit(v)
+    case W => throw new IllegalArgumentException("wildcard not allowed here")
+  }
+
+  private def predCol(op: String, cs: Seq[Column]): Column = op match {
+    // Variadic chains like [(< 50000 ?s 70000)] (reference query_test.clj:210).
+    case "<" => cs.sliding(2).map(p => p(0) < p(1)).reduce(_ && _)
+    case "<=" => cs.sliding(2).map(p => p(0) <= p(1)).reduce(_ && _)
+    case ">" => cs.sliding(2).map(p => p(0) > p(1)).reduce(_ && _)
+    case ">=" => cs.sliding(2).map(p => p(0) >= p(1)).reduce(_ && _)
+    case "=" => cs.sliding(2).map(p => p(0) === p(1)).reduce(_ && _)
+    case "!=" => cs.sliding(2).map(p => p(0) =!= p(1)).reduce(_ && _)
+    case "contains" => cs(0).contains(cs(1))
+    case "starts-with" => cs(0).startsWith(cs(1))
+    case other => throw new IllegalArgumentException(s"Unknown predicate $other")
+  }
+
+  /** Binding-function library (reference resolves any clojure.core fn,
+    * query.clj:106-130; we expose the codegen'd Spark equivalents). */
+  private def fnCol(fn: String, cs: Seq[Column]): Column = fn match {
+    case "+" => cs.reduce(_ + _)
+    case "-" => cs.reduce(_ - _)
+    case "*" => cs.reduce(_ * _)
+    case "/" => cs.reduce(_ / _)
+    case "mod" => cs.reduce(_ % _)
+    case "idiv" => floor(cs.head.cast(DoubleType) / cs(1)).cast(LongType)
+    case "abs" => abs(cs.head)
+    case "str" => concat(cs: _*)
+    case "lower" => lower(cs.head)
+    case "upper" => upper(cs.head)
+    case "year" => year(cs.head)
+    case "month" => month(cs.head)
+    case "floor" => floor(cs.head)
+    case "round" => round(cs.head)
+    case other => throw new IllegalArgumentException(s"Unknown function $other")
+  }
+}

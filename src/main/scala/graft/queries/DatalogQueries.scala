@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.core.TestData
+import graft.datalog._
+import graft.datalog.Compiler.Db
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY.md §2A — the reference's Datalog surface, each exercised
+  * through the graft compiler over the EAV fact encoding of the
+  * driver's parquet tables, with a plain-SQL DuckDB oracle.
+  */
+object DatalogQueries {
+
+  private def static(s: SparkSession, dir: String): Db =
+    Db(TestData.staticDb(s, dir))
+  private def temporal(s: SparkSession, dir: String): Db =
+    Db(TestData.eventsDb(s, dir))
+
+  /** Rebase a user entity id back to the raw user_id for output. */
+  private val userId = FnBind("-", V("user_id"), V("u"), C(TestData.UserBase))
+
+  private def q(db: (SparkSession, String) => Db, query: Query)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => Compiler.run(db(s, dir), query)(s)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dl_pattern" -> q(static, Query(
+      find = Seq(FVar(V("nn"), "n_name")),
+      where = And(
+        Pattern(V("n"), C("n_regionkey"), C(2)),
+        Pattern(V("n"), C("n_name"), V("nn"))))),
+
+    "dl_join" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name"), FVar(V("nn"), "n_name")),
+      where = And(
+        Pattern(V("r"), C("r_name"), C("ASIA")),
+        Pattern(V("n"), C("n_regionkey_ref"), V("r")),
+        Pattern(V("c"), C("c_nationkey_ref"), V("n")),
+        Pattern(V("c"), C("c_name"), V("cn")),
+        Pattern(V("n"), C("n_name"), V("nn"))))),
+
+    "dl_or" -> q(static, Query(
+      find = Seq(FVar(V("nn"), "n_name")),
+      where = Or(
+        And(Pattern(V("n"), C("n_regionkey"), C(0)), Pattern(V("n"), C("n_name"), V("nn"))),
+        And(Pattern(V("n"), C("n_regionkey"), C(4)), Pattern(V("n"), C("n_name"), V("nn")))))),
+
+    "dl_not" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name")),
+      where = And(
+        Pattern(V("c"), C("c_name"), V("cn")),
+        Not(Pattern(V("o"), C("o_custkey_ref"), V("c")))))),
+
+    "dl_pred" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name"), FVar(V("b"), "c_acctbal")),
+      where = And(
+        Pattern(V("c"), C("c_acctbal"), V("b")),
+        Pred("<", C(9990.0), V("b")),
+        Pattern(V("c"), C("c_name"), V("cn"))))),
+
+    "dl_fn_bind" -> q(static, Query(
+      find = Seq(FVar(V("ok"), "l_orderkey"), FVar(V("ln"), "l_linenumber"),
+        FVar(V("rev"), "rev")),
+      where = And(
+        Pattern(V("l"), C("l_orderkey"), V("ok")),
+        Pattern(V("l"), C("l_linenumber"), V("ln")),
+        Pattern(V("l"), C("l_extendedprice"), V("p")),
+        Pattern(V("l"), C("l_discount"), V("d")),
+        FnBind("-", V("disc"), C(1.0), V("d")),
+        FnBind("*", V("rev"), V("p"), V("disc"))))),
+
+    "dl_agg" -> q(static, Query(
+      find = Seq(FVar(V("rf"), "l_returnflag"),
+        FAgg("sum$exact", V("qq"), "sum_qty"), FAgg("count", V("qq"), "cnt")),
+      where = And(
+        Pattern(V("l"), C("l_returnflag"), V("rf")),
+        Pattern(V("l"), C("l_quantity"), V("qq"))))),
+
+    "dl_agg_stats" -> q(static, Query(
+      find = Seq(FVar(V("nn"), "n_name"),
+        FAgg("median", V("b"), "med_bal"),
+        FAgg("stddev$exact", V("b"), "sd_bal"),
+        FAgg("count-distinct", V("b"), "nbal")),
+      where = And(
+        Pattern(V("c"), C("c_nationkey_ref"), V("n")),
+        Pattern(V("n"), C("n_name"), V("nn")),
+        Pattern(V("c"), C("c_acctbal"), V("b"))))),
+
+    "dl_sort_limit" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name"), FVar(V("b"), "c_acctbal")),
+      where = And(
+        Pattern(V("c"), C("c_name"), V("cn")),
+        Pattern(V("c"), C("c_acctbal"), V("b"))),
+      sortBy = Seq(SortKey("c_acctbal", desc = true), SortKey("c_name")),
+      limit = Some(5))),
+
+    "dl_bind" -> q(static, Query(
+      find = Seq(FVar(V("nn"), "n_name")),
+      where = And(
+        Pattern(V("r"), C("r_name"), V("rname")),
+        Pattern(V("n"), C("n_regionkey_ref"), V("r")),
+        Pattern(V("n"), C("n_name"), V("nn"))),
+      bind = Map("rname" -> "EUROPE"))),
+
+    "dl_rule" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name")),
+      where = And(
+        RuleApp("lives-in-region", V("c"), C("AFRICA")),
+        Pattern(V("c"), C("c_name"), V("cn"))),
+      rules = Seq(Rule("lives-in-region", Seq(V("cc"), V("rn")), And(
+        Pattern(V("cc"), C("c_nationkey_ref"), V("n")),
+        Pattern(V("n"), C("n_regionkey_ref"), V("r")),
+        Pattern(V("r"), C("r_name"), V("rn"))))))),
+
+    // Recursive transitive closure over a binary-tree parent edge derived
+    // from nation keys: parent(x) = floor((x-1)/2). Exercises the
+    // semi-naive fixpoint (reference rules, query.clj:260-274).
+    "dl_rule_rec" -> q(static, Query(
+      find = Seq(FVar(V("x"), "child"), FVar(V("y"), "anc")),
+      where = RuleApp("anc", V("x"), V("y")),
+      rules = Seq(
+        Rule("parent", Seq(V("px"), V("py")), And(
+          Pattern(V("xe"), C("n_nationkey"), V("px")),
+          Pred(">", V("px"), C(0)),
+          FnBind("-", V("pxm1"), V("px"), C(1L)),
+          FnBind("idiv", V("py"), V("pxm1"), C(2L)),
+          Pattern(V("ye"), C("n_nationkey"), V("py")))),
+        Rule("anc", Seq(V("ax"), V("ay")), RuleApp("parent", V("ax"), V("ay"))),
+        Rule("anc", Seq(V("ax"), V("ay")), And(
+          RuleApp("parent", V("ax"), V("mid")),
+          RuleApp("anc", V("mid"), V("ay"))))),
+      sortBy = Seq(SortKey("child"), SortKey("anc")))),
+
+    "dl_asof" -> q((s, dir) => Db(TestData.eventsDb(s, dir), asOf = TestData.TxBase + 3000),
+      Query(
+        find = Seq(FVar(V("user_id"), "user_id"), FVar(V("v"), "last_value")),
+        where = And(
+          Pattern(V("u"), C("last_value"), V("v")),
+          userId))),
+
+    "dl_historical" -> q((s, dir) => Db(TestData.eventsDb(s, dir), historical = true),
+      Query(
+        find = Seq(FVar(V("user_id"), "user_id"), FVar(V("t"), "tx"),
+          FVar(V("ad"), "added")),
+        where = And(
+          Pattern(V("u"), C("active"), W, V("t"), V("ad")),
+          userId))),
+
+    "dl_retract" -> q(temporal, Query(
+      find = Seq(FVar(V("user_id"), "user_id")),
+      where = And(
+        Pattern(V("u"), C("active"), C(1L)),
+        userId))),
+
+    "dl_card_one" -> q(temporal, Query(
+      find = Seq(FVar(V("user_id"), "user_id"), FVar(V("t"), "last_type")),
+      where = And(
+        Pattern(V("u"), C("last_type"), V("t")),
+        userId))),
+
+    "dl_card_many" -> q(temporal, Query(
+      find = Seq(FVar(V("user_id"), "user_id"), FVar(V("b"), "bucket")),
+      where = And(
+        Pattern(V("u"), C("purchase_bucket"), V("b")),
+        userId)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dl_pattern" ->
+      "SELECT DISTINCT n_name FROM nation WHERE n_regionkey = 2",
+    "dl_join" ->
+      """SELECT DISTINCT c_name, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'""",
+    "dl_or" ->
+      "SELECT DISTINCT n_name FROM nation WHERE n_regionkey IN (0, 4)",
+    "dl_not" ->
+      """SELECT DISTINCT c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "dl_pred" ->
+      "SELECT DISTINCT c_name, c_acctbal FROM customer WHERE c_acctbal > 9990.0",
+    "dl_fn_bind" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS rev FROM lineitem""",
+    "dl_agg" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+                COUNT(l_quantity) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+    "dl_agg_stats" ->
+      """SELECT n_name, med_bal, sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd_bal, nbal
+         FROM (
+           SELECT n_name,
+                  median(c_acctbal) AS med_bal,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6)) * CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+                  CAST(COUNT(c_acctbal) AS DOUBLE) AS n,
+                  COUNT(DISTINCT c_acctbal) AS nbal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name
+         ) t""",
+    "dl_sort_limit" ->
+      """SELECT c_name, c_acctbal FROM (SELECT DISTINCT c_name, c_acctbal FROM customer) t
+         ORDER BY c_acctbal DESC, c_name LIMIT 5""",
+    "dl_bind" ->
+      """SELECT DISTINCT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'""",
+    "dl_rule" ->
+      """SELECT DISTINCT c_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'AFRICA'""",
+    "dl_rule_rec" ->
+      """WITH RECURSIVE parent AS (
+           SELECT n_nationkey AS x, CAST(floor((n_nationkey - 1) / 2.0) AS BIGINT) AS y
+           FROM nation WHERE n_nationkey > 0
+         ), anc AS (
+           SELECT x, y FROM parent
+           UNION
+           SELECT p.x, a.y FROM parent p JOIN anc a ON p.y = a.x
+         )
+         SELECT x AS child, y AS anc FROM anc ORDER BY child, anc""",
+    "dl_asof" ->
+      """SELECT user_id, value AS last_value FROM (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id <= 3000) t
+         WHERE rn = 1""",
+    "dl_historical" ->
+      """SELECT DISTINCT user_id, event_id + 100 AS tx,
+                event_type = 'signup' AS added
+         FROM events WHERE event_type IN ('signup', 'error')""",
+    "dl_retract" ->
+      """SELECT DISTINCT user_id FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type IN ('signup', 'error')) t
+         WHERE rn = 1 AND event_type = 'signup'""",
+    "dl_card_one" ->
+      """SELECT user_id, event_type AS last_type FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1""",
+    "dl_card_many" ->
+      """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
+         FROM events WHERE event_type = 'purchase'"""
+  )
+}
