@@ -45,11 +45,15 @@ object DatalogQueries {
         And(Pattern(V("n"), C("n_regionkey"), C(0)), Pattern(V("n"), C("n_name"), V("nn"))),
         And(Pattern(V("n"), C("n_regionkey"), C(4)), Pattern(V("n"), C("n_name"), V("nn")))))),
 
+    // Negation-as-filter (reference query.clj:45-57): customers with no
+    // urgent order.
     "dl_not" -> q(static, Query(
       find = Seq(FVar(V("cn"), "c_name")),
       where = And(
         Pattern(V("c"), C("c_name"), V("cn")),
-        Not(Pattern(V("o"), C("o_custkey_ref"), V("c")))))),
+        Not(And(
+          Pattern(V("o"), C("o_custkey_ref"), V("c")),
+          Pattern(V("o"), C("o_orderpriority"), C("1-URGENT"))))))),
 
     "dl_pred" -> q(static, Query(
       find = Seq(FVar(V("cn"), "c_name"), FVar(V("b"), "c_acctbal")),
@@ -177,7 +181,9 @@ object DatalogQueries {
       "SELECT DISTINCT n_name FROM nation WHERE n_regionkey IN (0, 4)",
     "dl_not" ->
       """SELECT DISTINCT c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
     "dl_pred" ->
       "SELECT DISTINCT c_name, c_acctbal FROM customer WHERE c_acctbal > 9990.0",
     "dl_fn_bind" ->

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.core.TestData.read
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SURVEY.md §2B — the relational/analytical headline set (also the
+  * bench suite). Plain declarative Dataset API: Catalyst owns join
+  * order, broadcast of the small dims, pushdown into the parquet scans.
+  *
+  * All double aggregations route through decimal (exact) and convert to
+  * double once — distributed sums are otherwise accumulation-order
+  * dependent and can never hash-match an oracle (see
+  * DatalogQueries "sum$exact" and SURVEY.md §3).
+  */
+object RelationalQueries {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+  /** Exact avg: exact sum / count, one double division at the end. */
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  /** events.ts reads as raw nanos (legacy flag, see SKILL.md gotchas);
+    * keep it as a long everywhere — exact, and oracle-comparable via
+    * DuckDB's epoch_ns(). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events").withColumn("ts_ns", col("ts").cast("long"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(revenue).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q3_topn" -> ((s, dir) => {
+      val c = read(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = read(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = read(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(revenue).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_multijoin" -> ((s, dir) => {
+      val r = read(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = read(s, dir, "nation")
+      val sup = read(s, dir, "supplier")
+      val c = read(s, dir, "customer")
+      val o = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val l = read(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(revenue).as("rev"))
+    }),
+
+    "q6_filter" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("rev"))),
+
+    "q_semijoin" -> ((s, dir) => {
+      val big = read(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      read(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_antijoin" -> ((s, dir) =>
+      read(s, dir, "customer")
+        .join(read(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_name"))
+      read(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("c_name"), col("c_acctbal"), col("rnk"))
+    }),
+
+    "q_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      read(s, dir, "orders")
+        .withColumn("run_total",
+          sum(col("o_totalprice").cast(DecimalType(25, 6))).over(w).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      read(s, dir, "customer")
+        .join(broadcast(read(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(read(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))),
+
+    // For each purchase event: the user's most recent signup at-or-before
+    // it (custom as-of operator; oracle = DuckDB's native ASOF JOIN).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ns"), col("ts_ns").as("signup_ns"),
+          col("event_id").as("signup_id"))
+      AsOfJoin.leftAsOf(purchases, signups, key = "user_id",
+          timeCol = "ts_ns", valueCols = Seq("signup_ns"), tieBreak = "signup_id")
+        // DuckDB reads the nanos parquet timestamps at micro precision —
+        // emit micros so the oracle can compare exactly.
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          expr("asof_signup_ns div 1000").as("signup_us"))
+    }),
+
+    // For each error event: # of click events within ±5 minutes
+    // (banded interval join; oracle = inequality join in DuckDB).
+    "q_range_join" -> ((s, dir) => {
+      // micro precision to match what DuckDB sees (nanos truncate).
+      val ev = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts_us").as("click_us"))
+      val radius = 300L * 1000 * 1000 // 5 min in micros
+      RangeJoin.within(errors, clicks, "ts_us", "click_us", radius)
+        .groupBy(col("event_id"))
+        .agg(count(col("click_id")).as("n_clicks"))
+    })
+  )
+
+  private val revSql = "l_extendedprice * (1.0 - l_discount)"
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+  private def davgSql(x: String) = s"${dsumSql(x)} / COUNT($x)"
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${dsumSql("l_quantity")} AS sum_qty,
+                 ${dsumSql("l_extendedprice")} AS sum_base_price,
+                 ${dsumSql(revSql)} AS sum_disc_price,
+                 ${davgSql("l_quantity")} AS avg_qty,
+                 ${davgSql("l_discount")} AS avg_disc,
+                 COUNT(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus""",
+    "q3_topn" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, ${dsumSql(revSql)} AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY rev DESC, l_orderkey LIMIT 10""",
+    "q5_multijoin" ->
+      s"""SELECT n_name, ${dsumSql(revSql)} AS rev
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY n_name""",
+    "q6_filter" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "q_window" ->
+      """SELECT c_nationkey, c_name, c_acctbal, rnk FROM (
+           SELECT c_nationkey, c_name, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_name) AS rnk
+           FROM customer) t
+         WHERE rnk <= 3""",
+    "q_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                     AS DOUBLE) AS run_total
+         FROM orders""",
+    "q_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${dsumSql("c_acctbal")} AS sum_bal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                epoch_us(s.ts) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts""",
+    "q_range_join" ->
+      """SELECT e.event_id, COUNT(c.event_id) AS n_clicks
+         FROM events e
+         JOIN events c
+           ON c.event_type = 'click'
+          AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+         WHERE e.event_type = 'error'
+         GROUP BY e.event_id"""
+  )
+}
