@@ -1,0 +1,164 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2C).
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact: one hash-shuffle on the content digest; keep-min-id via
+  *    window (same partitioning, single exchange).
+  *  - prefix-filtered Jaccard join: EXACT set-similarity self-join
+  *    without the O(n²) cross product — candidates only need to share
+  *    one token in their rarest-token prefix (PPJoin-style bound), so
+  *    the join key space is tiny and skew-bounded.
+  *  - MinHash+LSH: one pass to k-perm signatures (explode + min-agg,
+  *    map-side combinable), band-bucket shuffle, candidate pairs only
+  *    within buckets. Probabilistic recall; verify pass computes true
+  *    Jaccard on candidates only.
+  *  - SimHash: 64-bit signature via per-bit vote aggregation; pigeonhole
+  *    block join (4×16-bit blocks) finds all pairs within hamming<=3
+  *    exactly, and high-hamming pairs cheaply.
+  *  - embedding near-dup: random-hyperplane LSH buckets, exact cosine
+  *    verify within buckets only.
+  */
+object Dedup {
+
+  private def toks(text: Column): Column = array_distinct(split(trim(text), "\\s+"))
+
+  /** Exact dedup on normalized content hash: one surviving doc (min id)
+    * per distinct content. */
+  def exact(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("text_hash"))
+    hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text_hash"))
+  }
+
+  /** EXACT all-pairs token-set Jaccard >= `threshold`, via prefix
+    * filtering: order tokens by global rarity; if J(a,b) >= t the two
+    * prefixes (first |s|-ceil(t*|s|)+1 rarest tokens) must intersect.
+    * Join on prefix tokens, then verify true Jaccard on candidates.
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val tokDf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // global document frequency — rarest-first gives the smallest join
+    // fan-out; tie-break on the token itself for determinism.
+    val dfreq = tokDf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tokDf.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cands = ranked.as("x").join(ranked.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val withSets = cands
+      .join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+    withSets
+      .withColumn("jac",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** MinHash signatures: k permutations h_i(s) = xxhash64(i, token),
+    * signature[i] = min over tokens. One explode + one grouped agg
+    * (map-side combinable). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i"))
+    tokDf.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
+    * (fraction of agreeing signature positions) >= `estThreshold`.
+    * `bands` × `rowsPerBand` must equal the signature length. */
+  def minhashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                 estThreshold: Double = 0.6): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn("est_jac",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jac") >= estThreshold)
+      .select(col("a"), col("b"), col("est_jac"))
+  }
+
+  /** 64-bit SimHash per doc: per-bit +1/-1 votes from each token's
+    * xxhash64, sign of the vote sum becomes the bit. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    tokDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= `maxHamming` (<=48
+    * guaranteed complete for <=3 via the 4-block pigeonhole; block join
+    * also surfaces most pairs up to ~10). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("blk", "blkval")))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup: random-hyperplane LSH signature buckets
+    * (`planes` sign bits from deterministic pseudo-hyperplanes), exact
+    * cosine verify within buckets. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Int = 8): DataFrame = {
+    val v = col(vecCol)
+    // deterministic pseudo-random hyperplanes: component j of plane p is
+    // a hash-derived value in [-1, 1] — reproducible on any cluster.
+    def planeDot(p: Int): Column =
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+    val sig = (0 until planes).map(p => when(planeDot(p) > 0, 1L << p).otherwise(0L))
+      .reduce(_ + _)
+    val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
+    val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
+    val n = withSig.withColumn("nrm", norm)
+    n.as("x").join(n.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("x.vec"), col("y.vec"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("x.nrm") * col("y.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 6).as("cos"))
+  }
+}

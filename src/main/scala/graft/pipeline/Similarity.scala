@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2C).
+  *
+  * Scale design: top-k against a probe vector is per-partition top-k
+  * (Catalyst's TakeOrderedAndProject — no global sort, no shuffle of
+  * the full table); the probe is a broadcast literal. The LSH variant
+  * prunes to matching sign-buckets first — the scale path when the
+  * corpus is 10^10 vectors: the bucket join replaces the full scan.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k vs one probe vector. */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+           probe: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val p = array(probe.map(lit): _*)
+    val scored = emb.select(col(idCol).as("id"),
+      round(cosine(col(vecCol), p), 6).as("cos"))
+    val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+    filtered.orderBy(col("cos").desc, col("id")).limit(k)
+  }
+
+  /** Approximate top-k: random-hyperplane LSH with multi-probe (the
+    * probe's own bucket plus all 1-bit-flip neighbors), exact rescoring
+    * of the surviving candidates only. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probe: Seq[Double], k: Int, planes: Int = 8,
+              excludeId: Option[Long] = None): DataFrame = {
+    def planeVec(p: Int): Seq[Column] = probe.indices.map(j =>
+      pmod(xxhash64(lit(p), lit(j)), lit(2000001L)) / 1000000.0 - 1.0)
+    def sigOf(vec: Column): Column =
+      (0 until planes).map { p =>
+        val d = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(d > 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+    val probeCol = array(probe.map(lit): _*)
+    val probeSig = sigOf(probeCol)
+    // multi-probe: the probe's bucket plus every 1-bit-flip neighbor —
+    // all plan-time constant expressions.
+    val bucketCols = probeSig +: (0 until planes).map(b => probeSig.bitwiseXOR(lit(1L << b)))
+    val probeBuckets = emb.sparkSession.range(1)
+      .select(explode(array(bucketCols: _*)).as("bucket")).distinct()
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sigOf(col(vecCol)).as("bucket"))
+    val cands = withSig.join(broadcast(probeBuckets), "bucket")
+    val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
+    val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+    filtered.orderBy(col("cos").desc, col("id")).limit(k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2C). Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` — no UDFs — so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly with input
+  * splits: there is no shuffle in any of these (per-row transforms).
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def wsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  def reTokens(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(TokenRe), lit(0)))
+
+  /** Token counting: whitespace + BPE-ish regex counts per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wsTokens(col("text")).as("ws_tokens"),
+      reTokens(col("text")).as("re_tokens"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, and a blended score — the standard cheap quality
+    * filters applied before expensive model-based scoring. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val nToks = size(toks).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val stops = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      (punct / nChars).as("punct_ratio"),
+      (stops / nToks).as("stop_ratio"),
+      (nChars / nToks).as("mean_word_len"))
+      .withColumn("quality_score",
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          col("stop_ratio") * 0.3 +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.2)
+  }
+
+  /** Stopword profiles per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with alphabetical tie-break. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in"),
+    "es" -> Seq("el", "los", "y", "que", "por", "una"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "pas"))
+
+  /** Language ID: count marker-stopword hits per language, emit the
+    * argmax (ties broken by language code order); CJK characters force
+    * "zh". */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(toks, t => t.isin(markers: _*))))
+    }
+    // argmax with deterministic tie-break: walk languages in order, keep
+    // the first one achieving the running max.
+    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pick = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang",
+      when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick))
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text,
+    * plus a 48-bit numeric bucket of it (for cheap equality joins). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs.select(col("doc_id"), md5(normalized).as("fp"),
+      conv(substring(md5(normalized), 1, 6), 16, 10).cast("long").as("fp_bucket"))
+  }
+}

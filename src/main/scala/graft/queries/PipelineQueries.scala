@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.core.TestData.read
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2C — training-data pipeline operators over the
+  * documents/embeddings tables. sql-oracle where the algorithm is
+  * exhaustively replicable in DuckDB; rows-only where it is inherently
+  * probabilistic (LSH candidate generation).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
+  /** Probe = embedding of vec_id 0 (a parameter fetch, not a data scan). */
+  private def probeVec(s: SparkSession, dir: String): Seq[Double] =
+    emb(s, dir).filter(col("vec_id") === 0).head().getSeq[Double](1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.8)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), k = 64, bands = 16, estThreshold = 0.8)),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
+
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "vec", threshold = 0.4, planes = 3)),
+
+    "sim_topk" -> ((s, dir) =>
+      Similarity.topK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
+        excludeId = Some(0L))),
+
+    "sim_ann" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
+        planes = 8, excludeId = Some(0L))),
+
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+
+    "mm_plumbing" -> ((s, dir) =>
+      Multimodal.features(Multimodal.decode(Multimodal.asBinary(docs(s, dir))))
+        .select(col("doc_id"), col("n_bytes"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.format").as("format"),
+          size(col("features")).as("n_features")))
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+         FROM documents GROUP BY 2""",
+    "dedup_ngram" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+         SELECT vec_id AS id, round(list_cosine_similarity(v, pv), 6) AS cos
+         FROM e, p WHERE vec_id <> 0
+         ORDER BY cos DESC, id LIMIT 10""",
+    "text_tokens" ->
+      s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
+          FROM documents""",
+    "text_quality" ->
+      s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_word_len,
+                 least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
+                   + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS quality_score
+          FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len($toksSql) AS DOUBLE) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                   CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
+                     / CAST(len($toksSql) AS DOUBLE) AS stop_ratio,
+                   CAST(length(text) AS DOUBLE)
+                     / CAST(len($toksSql) AS DOUBLE) AS mean_word_len
+            FROM documents) t""",
+    "text_langid" ->
+      s"""SELECT doc_id,
+                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                      WHEN s_de = m AND m > 0 THEN 'de'
+                      WHEN s_en = m AND m > 0 THEN 'en'
+                      WHEN s_es = m AND m > 0 THEN 'es'
+                      WHEN s_fr = m AND m > 0 THEN 'fr'
+                      ELSE 'und' END AS pred_lang
+          FROM (
+            SELECT doc_id, text,
+                   len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+                   len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
+                   len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
+                   len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
+                   greatest(
+                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
+                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
+                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
+                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
+            FROM (SELECT doc_id, text,
+                         string_split_regex(lower(trim(text)), '\\s+') AS lt
+                  FROM documents) x) t""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 6))::BIGINT AS fp_bucket
+         FROM documents"""
+  )
+}
