@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DatalogQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{DatalogQueries, GraphQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DatalogQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+    DatalogQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DatalogQueries.oracle ++ RelationalQueries.oracle ++ PipelineQueries.oracle
+    DatalogQueries.oracle ++ RelationalQueries.oracle ++
+      PipelineQueries.oracle ++ GraphQueries.oracle
 }

@@ -1,0 +1,125 @@
+package graft.graph
+
+import graft.core.FactDb
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-graph analytics over the fact store (SURVEY.md §2D).
+  *
+  * The reference is a *graph* database: `vref` facts ARE the edges
+  * (entity → entity, labeled by attribute). This module exposes them
+  * as: (1) DataFrame-iterative algorithms (BFS, temporal reachability)
+  * that scale past GraphX's RDD model and stay in Tungsten; and
+  * (2) GraphX algorithms (CC, PageRank, triangles) where the Pregel
+  * formulation is the natural fit. As-of time travel composes for
+  * free: build the edge set from `FactDb.snapshot(asOfTx)` and every
+  * algorithm runs against the graph as it existed at that tx.
+  */
+object GraphOps {
+
+  /** Edge list (src, dst, label) = the reference-entity facts visible in
+    * the snapshot. */
+  def edges(db: FactDb, asOfTx: Long = Long.MaxValue): DataFrame =
+    db.snapshot(asOfTx).filter(col("vtype") === "r")
+      .select(col("e").as("src"), col("vref").as("dst"), col("a").as("label"))
+
+  /** Out/in degree per node. */
+  def degrees(edgeDf: DataFrame): DataFrame = {
+    val out = edgeDf.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in = edgeDf.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Multi-hop BFS: nodes reachable from `sources` in <= maxHops
+    * directed hops, with minimal hop count. Semi-naive iteration —
+    * each round joins only the frontier against the edge set, so the
+    * work per round is O(frontier ⋈ edges), not O(visited ⋈ edges).
+    * localCheckpoint keeps the lineage flat (mandatory for iterative
+    * DataFrame algorithms at scale).
+    */
+  def bfs(edgeDf: DataFrame, sources: Seq[Long], maxHops: Int)
+         (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    var visited = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val next = frontier.join(edgeDf, frontier("node") === edgeDf("src"))
+        .select(col("dst").as("node"), lit(hop).as("hops"))
+        .distinct()
+      frontier = next.join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Time-respecting reachability (TeGraph-style): over temporal edges
+    * (src, dst, t), a node is reachable if there is a path whose edge
+    * timestamps strictly increase. Returns (node, earliest arrival t).
+    * Semi-naive on (node, bestT): a frontier entry only expands through
+    * edges later than its arrival time.
+    */
+  def temporalReach(tEdges: DataFrame, sources: Seq[Long], maxHops: Int)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    var best = sources.toDF("node").withColumn("arrival", lit(Long.MinValue))
+      .localCheckpoint(true)
+    var frontier = best
+    var hop = 0
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val expanded = frontier.join(tEdges, frontier("node") === tEdges("src") &&
+          tEdges("t") > frontier("arrival"))
+        .groupBy(col("dst").as("node")).agg(min(col("t")).as("arrival"))
+      // keep only strict improvements
+      frontier = expanded.join(best.withColumnRenamed("arrival", "old"), Seq("node"), "left")
+        .filter(col("old").isNull || col("arrival") < col("old"))
+        .select("node", "arrival").localCheckpoint(true)
+      best = best.withColumnRenamed("arrival", "old")
+        .join(frontier.withColumnRenamed("arrival", "new"), Seq("node"), "full_outer")
+        .select(col("node"), least(col("old"), col("new")).as("arrival"))
+        .localCheckpoint(true)
+    }
+    best
+  }
+
+  /** GraphX view of an edge DataFrame (undirected algorithms pass
+    * symmetrized input). */
+  def toGraphX(edgeDf: DataFrame): Graph[Int, Int] = {
+    val edgeRdd: RDD[Edge[Int]] = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, defaultValue = 0)
+  }
+
+  /** Connected components via GraphX Pregel (component = min vertex id). */
+  def connectedComponents(edgeDf: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val cc = toGraphX(edgeDf).connectedComponents().vertices
+    spark.createDataFrame(cc).toDF("node", "component")
+  }
+
+  /** PageRank via GraphX (fixed #iterations for determinism). */
+  def pageRank(edgeDf: DataFrame, iters: Int = 10)(implicit spark: SparkSession): DataFrame = {
+    val pr = toGraphX(edgeDf).staticPageRank(iters).vertices
+    spark.createDataFrame(pr).toDF("node", "rank")
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Per-node triangle count via GraphX (input must be symmetric+simple;
+    * canonicalOrientation handles that). */
+  def triangleCounts(edgeDf: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val g = Graph.fromEdges(
+      edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst"))
+        .rdd.map(r => Edge(math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), 1)),
+      0).partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = g.triangleCount().vertices
+    edgeDf.sparkSession.createDataFrame(tc).toDF("node", "triangles")
+  }
+}

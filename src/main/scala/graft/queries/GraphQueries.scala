@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.core.{TestData, FactDb}
+import graft.graph.GraphOps
+import graft.operators.RangeJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2D — graph analytics over fact-derived edges. */
+object GraphQueries {
+
+  private def db(s: SparkSession, dir: String): FactDb = TestData.staticDb(s, dir)
+
+  /** nation<->nation edges: same region (5 cliques of 5) — gives the
+    * graph real triangle/community structure. */
+  private def nationEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = TestData.read(s, dir, "nation")
+    n.as("a").join(n.as("b"), col("a.n_regionkey") === col("b.n_regionkey") &&
+        col("a.n_nationkey") =!= col("b.n_nationkey"))
+      .select((col("a.n_nationkey") + TestData.NationBase).as("src"),
+        (col("b.n_nationkey") + TestData.NationBase).as("dst"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // degree of each nation in the customer->nation ref graph
+    "graph_degree" -> ((s, dir) => {
+      val e = GraphOps.edges(db(s, dir)).filter(col("label") === "c_nationkey_ref")
+      GraphOps.degrees(e)
+        .filter(col("in_deg") > 0)
+        .select((col("node") - TestData.NationBase).as("n_nationkey"),
+          col("out_deg"), col("in_deg"))
+    }),
+
+    // BFS <=3 hops from lineitem entities of one order, across
+    // lineitem->order->customer->nation ref edges, with hop counts
+    "graph_reach" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val e = GraphOps.edges(db(s, dir))
+        .filter(col("label").isin("o_custkey_ref", "c_nationkey_ref", "n_regionkey_ref"))
+      val startOrder = TestData.OrdersBase + 1L
+      GraphOps.bfs(e, Seq(startOrder), maxHops = 3)
+        .select(col("node"), col("hops"))
+    }),
+
+    "graph_cc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // nation->region bipartite ref edges: components == regions
+      val e = GraphOps.edges(db(s, dir)).filter(col("label") === "n_regionkey_ref")
+      GraphOps.connectedComponents(e)
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GraphOps.pageRank(nationEdges(s, dir), iters = 10)
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GraphOps.triangleCounts(nationEdges(s, dir))
+        .select((col("node") - TestData.NationBase).as("n_nationkey"), col("triangles"))
+    }),
+
+    // time-respecting reachability over a temporal co-activity graph:
+    // users interacting (events within 60s of each other) form timed
+    // edges; which users does user 0 reach through increasing-time paths?
+    "graph_temporal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val ev = TestData.read(s, dir, "events")
+        .select(col("user_id"), expr("CAST(ts AS LONG) div 1000").as("ts_us"))
+      val radius = 60L * 1000 * 1000
+      val tEdges = RangeJoin.within(
+          ev.select(col("user_id").as("src"), col("ts_us")),
+          ev.select(col("user_id").as("dst"), col("ts_us").as("dst_us")),
+          "ts_us", "dst_us", radius)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), greatest(col("ts_us"), col("dst_us")).as("t"))
+      GraphOps.temporalReach(tEdges, Seq(0L), maxHops = 2)
+        .select(col("node").as("user_id"), col("arrival"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_degree" ->
+      """SELECT c_nationkey AS n_nationkey, CAST(0 AS BIGINT) AS out_deg,
+                COUNT(*) AS in_deg
+         FROM customer GROUP BY c_nationkey""",
+    "graph_reach" ->
+      """WITH start AS (SELECT 6000000001 AS node, 0 AS hops),
+              h1 AS (SELECT DISTINCT 3000000000 + o_custkey AS node, 1 AS hops
+                     FROM orders WHERE o_orderkey = 1),
+              h2 AS (SELECT DISTINCT 2000000000 + c_nationkey AS node, 2 AS hops
+                     FROM customer JOIN h1 ON 3000000000 + c_custkey = h1.node),
+              h3 AS (SELECT DISTINCT 1000000000 + n_regionkey AS node, 3 AS hops
+                     FROM nation JOIN h2 ON 2000000000 + n_nationkey = h2.node)
+         SELECT node, hops FROM start
+         UNION ALL SELECT node, hops FROM h1
+         UNION ALL SELECT node, hops FROM h2
+         UNION ALL SELECT node, hops FROM h3""",
+    "graph_cc" ->
+      """SELECT 2000000000 + n_nationkey AS node, 1000000000 + n_regionkey AS component
+         FROM nation
+         UNION ALL
+         SELECT 1000000000 + r_regionkey AS node, 1000000000 + r_regionkey AS component
+         FROM region""",
+    "graph_triangles" ->
+      """WITH sz AS (SELECT n_regionkey, COUNT(*) AS k FROM nation GROUP BY n_regionkey)
+         SELECT n_nationkey, CAST((k-1) * (k-2) / 2 AS INT) AS triangles
+         FROM nation JOIN sz USING (n_regionkey)"""
+  )
+}
