@@ -3,7 +3,9 @@ package graft.queries
 import graft.core.TestData
 import graft.datalog._
 import graft.datalog.Compiler.Db
+import graft.transact.Transactor
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** SURVEY.md §2A — the reference's Datalog surface, each exercised
   * through the graft compiler over the EAV fact encoding of the
@@ -166,7 +168,49 @@ object DatalogQueries {
       find = Seq(FVar(V("user_id"), "user_id"), FVar(V("b"), "bucket")),
       where = And(
         Pattern(V("u"), C("purchase_bucket"), V("b")),
-        userId)))
+        userId))),
+
+    // Pull expression (reference pull.clj): nested entity retrieval,
+    // flattened to columns for the oracle.
+    "dl_pull" -> ((s: SparkSession, dir: String) => {
+      val facts = TestData.staticDb(s, dir)
+      val ids = facts.snapshot()
+        .filter(col("a") === "c_acctbal" && col("vdbl") > 9900.0)
+        .select(col("e"))
+      Pull.pullFlat(facts, ids,
+          Pull.Spec(Seq("c_name", "c_acctbal"),
+            Seq("c_nationkey_ref" -> Pull.Spec(Seq("n_name"),
+              Seq("n_regionkey_ref" -> Pull.Spec(Seq("r_name")))))))
+        .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
+    }),
+
+    // Transactor round-trip (reference transact.clj): map-form expansion
+    // w/ nested sub-entities + temp ids, then a retraction, queried back
+    // through the datalog compiler.
+    "tx_mapform" -> ((s: SparkSession, dir: String) => {
+      val rows = TestData.read(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 10))
+        .join(TestData.read(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .collect().sortBy(_.getLong(0))
+      val sess = Transactor.emptySession(s)
+      val report = sess.transact(rows.toSeq.map { r =>
+        Transactor.MapForm(Seq(
+          "name" -> r.getString(1),
+          "nation" -> Transactor.MapForm(Seq("nname" -> r.getString(2)))),
+          tempId = Some(s"c${r.getLong(0)}"))
+      })
+      val victim = rows.find(_.getLong(0) == 5L).get
+      sess.transact(Seq(
+        Transactor.Retract(report.tempIds(s"c5"), "name", victim.getString(1))))
+      Compiler.run(Db(sess.db), Query(
+        find = Seq(FVar(V("nm"), "c_name"), FVar(V("nn"), "n_name")),
+        where = And(
+          Pattern(V("c"), C("name"), V("nm")),
+          Pattern(V("c"), C("nation"), V("n")),
+          Pattern(V("n"), C("nname"), V("nn")))))(s)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,6 +295,16 @@ object DatalogQueries {
          WHERE rn = 1""",
     "dl_card_many" ->
       """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
-         FROM events WHERE event_type = 'purchase'"""
+         FROM events WHERE event_type = 'purchase'""",
+    "dl_pull" ->
+      """SELECT c_name, c_acctbal, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_acctbal > 9900.0""",
+    "tx_mapform" ->
+      """SELECT DISTINCT c_name, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5"""
   )
 }

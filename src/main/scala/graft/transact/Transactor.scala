@@ -1,0 +1,133 @@
+package graft.transact
+
+import graft.core.{FactDb, FactStore}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Transaction processing — the Spark-native re-expression of
+  * /root/reference/src/unifydb/transact.clj.
+  *
+  * Semantics kept from the reference:
+  *  - ops are add/retract 4-tuples (`process-tx-data`, transact.clj:57);
+  *  - map forms expand to add-ops, nested maps/seq-of-maps become
+  *    sub-entities with generated ids (`map-form->add-forms`,
+  *    transact.clj:23-47);
+  *  - string entity ids are temp ids resolved to fresh database ids
+  *    (`gen-temp-ids`/`resolve-temp-ids`, transact.clj:70-97);
+  *  - every transaction writes a tx entity carrying `txInstant`
+  *    (`make-new-tx-facts`, transact.clj:17-21) and returns a report
+  *    with the resolved tempids + tx facts.
+  *
+  * Differences (deliberate, Spark-first): tx ids are monotone longs
+  * handed out by the single transactor (the reference serializes
+  * through one queue consumer — same guarantee); fact batches append
+  * to the DataFrame log (at scale: appended parquet files in a
+  * tx-ordered directory layout, compacted periodically). Bulk ingest
+  * bypasses this path via FactStore.melt.
+  */
+object Transactor {
+  sealed trait TxStmt
+  final case class Add(e: Any, a: String, v: Any) extends TxStmt
+  final case class Retract(e: Any, a: String, v: Any) extends TxStmt
+  /** Nested-map transaction form; values may be primitives, MapForm, or
+    * Seq[MapForm]. */
+  final case class MapForm(attrs: Seq[(String, Any)],
+                           tempId: Option[String] = None) extends TxStmt
+
+  final case class TxReport(txId: Long, tempIds: Map[String, Long],
+                            facts: Seq[(Any, String, Any, Long, Boolean)])
+
+  final class Session(val spark: SparkSession, var db: FactDb,
+                      private var nextTx: Long, private var nextId: Long) {
+
+    private var tempCounter = 0L
+    private def freshTemp(): String = { tempCounter += 1; s"graft.temp-$tempCounter" }
+
+    private def expand(stmt: TxStmt): Seq[TxStmt] = stmt match {
+      case m: MapForm =>
+        val id = m.tempId.getOrElse(freshTemp())
+        m.attrs.flatMap {
+          case (a, child: MapForm) =>
+            val childId = child.tempId.getOrElse(freshTemp())
+            expand(child.copy(tempId = Some(childId))) :+ Add(id, a, EntityRef(childId))
+          case (a, children: Seq[_]) if children.forall(_.isInstanceOf[MapForm]) =>
+            children.flatMap { c0 =>
+              val c = c0.asInstanceOf[MapForm]
+              val childId = c.tempId.getOrElse(freshTemp())
+              expand(c.copy(tempId = Some(childId))) :+ Add(id, a, EntityRef(childId))
+            }
+          case (a, v) => Seq(Add(id, a, v))
+        }
+      case other => Seq(other)
+    }
+
+    /** Marker for a reference-to-entity value (temp id or resolved). */
+    case class EntityRef(id: Any)
+
+    def transact(txData: Seq[TxStmt]): TxReport = {
+      val txId = nextTx
+      nextTx += 1
+      val expanded = txData.flatMap(expand) :+
+        Add("graft.tx", "unifydb/txInstant", txId)
+      // temp-id resolution
+      val temps = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      def resolveE(e: Any): Long = e match {
+        case s: String => temps.getOrElseUpdate(s, { val id = nextId; nextId += 1; id })
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => throw new IllegalArgumentException(s"bad entity id $other")
+      }
+      val facts = expanded.map {
+        case Add(e, a, EntityRef(rid)) => (resolveE(e), a, EntityRef(resolveE(rid)), txId, true)
+        case Add(e, a, v) => (resolveE(e), a, v, txId, true)
+        case Retract(e, a, v) => (resolveE(e), a, v, txId, false)
+        case m: MapForm => throw new IllegalStateException(s"unexpanded $m")
+      }
+      appendFacts(facts)
+      TxReport(txId, temps.toMap,
+        facts.map { case (e, a, v, t, ad) => (e, a, v, t, ad) })
+    }
+
+    private def appendFacts(facts: Seq[(Long, String, Any, Long, Boolean)]): Unit = {
+      val rows = facts.map { case (e, a, v, tx, added) =>
+        val (vtype, vstr, vlong, vdbl, vts, vref) = v match {
+          case EntityRef(id: Long) => ("r", null, null, null, null, java.lang.Long.valueOf(id))
+          case s: String => ("s", s, null, null, null, null)
+          case l: Long => ("l", null, java.lang.Long.valueOf(l), null, null, null)
+          case i: Int => ("l", null, java.lang.Long.valueOf(i.toLong), null, null, null)
+          case d: Double => ("d", null, null, java.lang.Double.valueOf(d), null, null)
+          case t: java.sql.Timestamp => ("t", null, null, null, t, null)
+          case b: Boolean => ("l", null, java.lang.Long.valueOf(if (b) 1L else 0L), null, null, null)
+          case other => throw new IllegalArgumentException(s"unsupported value $other")
+        }
+        Row(e, a, vtype, vstr, vlong, vdbl, vts, vref, tx, added)
+      }
+      val types = facts.map { case (_, a, v, _, _) =>
+        a -> (v match {
+          case EntityRef(_) => "vref"
+          case _: String => "vstr"
+          case _: Long | _: Int | _: Boolean => "vlong"
+          case _: Double => "vdbl"
+          case _: java.sql.Timestamp => "vts"
+        })
+      }.toMap
+      val batch = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), FactStore.factSchema)
+      db = FactDb(db.log.unionAll(batch), db.attrTypes ++ types, db.cardMany,
+        versioned = true)
+    }
+  }
+
+  /** Fresh session with an empty fact log. */
+  def emptySession(spark: SparkSession, firstTx: Long = 1L,
+                   firstEntityId: Long = 1L): Session = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], FactStore.factSchema)
+    new Session(spark, FactDb(empty, Map.empty), firstTx, firstEntityId)
+  }
+
+  /** Session over an existing db (e.g. bulk-melted base tables). */
+  def session(spark: SparkSession, db: FactDb, firstTx: Long,
+              firstEntityId: Long): Session =
+    new Session(spark, db, firstTx, firstEntityId)
+}
