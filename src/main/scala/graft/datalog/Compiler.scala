@@ -124,6 +124,16 @@ object Compiler {
       if (f.columns.contains(out.name)) Some(f.filter(col(out.name) === value)) // unify
       else Some(f.withColumn(out.name, value))
     case p: Pattern => Some(merge(frames, pattern(db, p)))
+    case RuleApp(name, args @ _*) if rules(name).forall(d => !hasPattern(d.body)) =>
+      // Filter-only rules (e.g. the reference's `[(:same ?x ?x)]`,
+      // query_test.clj:140) have no finite relation to materialize —
+      // inline each definition's body with params substituted by the
+      // call arguments and evaluate against the current frames.
+      val parts = rules(name).map { d =>
+        val sub = d.params.map(_.name).zip(args).toMap
+        substitute(d.body, sub, n => s"__rule_${name}_$n")
+      }
+      eval(db, if (parts.size == 1) parts.head else Or(parts: _*), rules, cache, frames)
     case RuleApp(name, args @ _*) =>
       val rel = cache.getOrElseUpdate(name, ruleRelation(db, name, rules, cache))
       val defs = rules(name)
@@ -196,6 +206,35 @@ object Compiler {
   }
 
   // ----------------------------------------------------- rules (fixpoint)
+
+  private def hasPattern(c: Clause): Boolean = c match {
+    case _: Pattern => true
+    case And(cs @ _*) => cs.exists(hasPattern)
+    case Or(cs @ _*) => cs.exists(hasPattern)
+    case Not(n) => hasPattern(n)
+    case _: RuleApp => true // conservatively non-inlinable
+    case _ => false
+  }
+
+  /** Substitute rule params with call-site terms; rename body-local vars
+    * with `fresh` to keep rule scopes isolated (the reference's
+    * `rename-vars`, query.clj:238-258). */
+  private def substitute(c: Clause, sub: Map[String, Term], fresh: String => String): Clause = {
+    def st(t: Term): Term = t match {
+      case V(n) => sub.getOrElse(n, V(fresh(n)))
+      case other => other
+    }
+    c match {
+      case And(cs @ _*) => And(cs.map(substitute(_, sub, fresh)): _*)
+      case Or(cs @ _*) => Or(cs.map(substitute(_, sub, fresh)): _*)
+      case Not(n) => Not(substitute(n, sub, fresh))
+      case Pred(op, args @ _*) => Pred(op, args.map(st): _*)
+      case FnBind(fn, out, args @ _*) =>
+        FnBind(fn, st(out).asInstanceOf[V], args.map(st): _*)
+      case Pattern(e, a, v, tx, ad) => Pattern(st(e), st(a), st(v), st(tx), st(ad))
+      case RuleApp(n, args @ _*) => RuleApp(n, args.map(st): _*)
+    }
+  }
 
   private def referencesRule(c: Clause, name: String): Boolean = c match {
     case RuleApp(n, _*) => n == name

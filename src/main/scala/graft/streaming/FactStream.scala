@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.core.FactStore
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surfaces (SURVEY.md §2E): the streaming
+  * counterpart of the transactor — facts arrive as an append-only
+  * stream, exactly the reference's insertion paradigm, but expressed as
+  * readStream → transform → writeStream.
+  */
+object FactStream {
+
+  /** Turn a streaming events frame (event_id, ts, user_id, event_type,
+    * value) into streaming fact-log rows (same schema as
+    * FactStore.factSchema): each event asserts the user's
+    * cardinality-one `last_value`/`last_type`, tx = event_id. Works
+    * identically on batch frames (Structured Streaming's contract). */
+  def eventFacts(events: DataFrame, userBase: Long, txBase: Long): DataFrame = {
+    val e = (col("user_id") + lit(userBase)).as("e")
+    val tx = (col("event_id") + lit(txBase)).as("tx")
+    val lastValue = events.select(e, lit("last_value").as("a"), lit("d").as("vtype"),
+      lit(null).cast("string").as("vstr"), lit(null).cast("long").as("vlong"),
+      col("value").cast("double").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+      lit(null).cast("long").as("vref"), tx, lit(true).as("added"))
+    val lastType = events.select(e, lit("last_type").as("a"), lit("s").as("vtype"),
+      col("event_type").cast("string").as("vstr"), lit(null).cast("long").as("vlong"),
+      lit(null).cast("double").as("vdbl"), lit(null).cast("timestamp").as("vts"),
+      lit(null).cast("long").as("vref"), tx, lit(true).as("added"))
+    lastValue.unionAll(lastType)
+  }
+
+  /** Watermarked sliding-window counts per event_type — the streaming
+    * aggregation surface. `ts` must be a timestamp column. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     win: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserLatest(user_id: Long, last_event_id: Long, last_value: Double,
+                              n_events: Long)
+
+  /** Stateful latest-value-per-user — streaming cardinality-one
+    * resolution via flatMapGroupsWithState (the reference's
+    * `process-facts` latest-wins, maintained incrementally instead of
+    * recomputed per query). */
+  def latestPerUser(events: Dataset[UserEvent]): Dataset[UserLatest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserLatest, UserLatest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[UserLatest]) =>
+          val prev = state.getOption.getOrElse(UserLatest(uid, Long.MinValue, 0.0, 0L))
+          val all = evs.toSeq
+          val latest = all.maxBy(_.event_id)
+          val next =
+            if (latest.event_id > prev.last_event_id)
+              UserLatest(uid, latest.event_id, latest.value, prev.n_events + all.size)
+            else prev.copy(n_events = prev.n_events + all.size)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.{FactDb, FactStore}
+import graft.datalog._
+import graft.datalog.Compiler.Db
+import org.apache.spark.sql.Row
+
+/** Datalog compiler semantics, mirroring the reference's own query
+  * tests — including the SICP lives-near rule with :not
+  * (/root/reference/test/unifydb/query_test.clj:117-150). */
+class CompilerSpec extends SparkSpec {
+
+  private def mkDb(facts: Seq[Row], types: Map[String, String]): Db =
+    Db(FactDb(
+      spark.createDataFrame(spark.sparkContext.parallelize(facts, 1), FactStore.factSchema),
+      types))
+
+  private def s(e: Long, a: String, v: String, tx: Long = 0L): Row =
+    Row(e, a, "s", v, null, null, null, null, tx, true)
+  private def l(e: Long, a: String, v: Long, tx: Long = 0L): Row =
+    Row(e, a, "l", null, v, null, null, null, tx, true)
+  private def r(e: Long, a: String, v: Long, tx: Long = 0L): Row =
+    Row(e, a, "r", null, null, null, null, v, tx, true)
+
+  private val employees = mkDb(Seq(
+    s(1, "name", "Ben Bitdiddle"), s(1, "town", "slumerville"), l(1, "salary", 60000),
+    s(2, "name", "Alyssa P. Hacker"), s(2, "town", "cambridge"), l(2, "salary", 40000),
+    r(2, "supervisor", 1),
+    s(3, "name", "Lem E. Tweakit"), s(3, "town", "slumerville"), l(3, "salary", 25000)),
+    Map("name" -> "vstr", "town" -> "vstr", "salary" -> "vlong", "supervisor" -> "vref"))
+
+  test("lives-near rule with :not (SICP / reference rules test)") {
+    val out = Compiler.run(employees, Query(
+      find = Seq(FVar(V("who"), "who")),
+      where = RuleApp("lives-near", V("who"), C(1L)),
+      rules = Seq(
+        Rule("lives-near", Seq(V("p1"), V("p2")), And(
+          Pattern(V("p1"), C("town"), V("t")),
+          Pattern(V("p2"), C("town"), V("t")),
+          Not(RuleApp("same", V("p1"), V("p2"))))),
+        Rule("same", Seq(V("x"), V("x2")), Pred("=", V("x"), V("x2"))))))
+    assert(out.collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("predicate chains and fn-binds") {
+    val out = Compiler.run(employees, Query(
+      find = Seq(FVar(V("n"), "n"), FVar(V("dbl"), "dbl")),
+      where = And(
+        Pattern(V("e"), C("salary"), V("sal")),
+        Pred("<", C(20000L), V("sal"), C(50000L)),
+        FnBind("*", V("dbl"), V("sal"), C(2L)),
+        Pattern(V("e"), C("name"), V("n")))))
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("Alyssa P. Hacker", 80000L), ("Lem E. Tweakit", 50000L)))
+  }
+
+  test("or / ref traversal / aggregation") {
+    val out = Compiler.run(employees, Query(
+      find = Seq(FAgg("count", V("n"), "cnt"), FAgg("sum", V("sal"), "total")),
+      where = And(
+        Or(Pattern(V("e"), C("town"), C("slumerville")),
+          Pattern(V("e"), C("town"), C("cambridge"))),
+        Pattern(V("e"), C("name"), V("n")),
+        Pattern(V("e"), C("salary"), V("sal")))))
+    val row = out.collect().head
+    assert(row.getLong(0) === 3L && row.getLong(1) === 125000L)
+  }
+
+  test("recursive ancestor rule reaches fixpoint") {
+    val chain = mkDb(Seq(
+      r(1, "parent", 2), r(2, "parent", 3), r(3, "parent", 4)),
+      Map("parent" -> "vref"))
+    val out = Compiler.run(chain, Query(
+      find = Seq(FVar(V("a"), "a"), FVar(V("b"), "b")),
+      where = RuleApp("anc", V("a"), V("b")),
+      rules = Seq(
+        Rule("anc", Seq(V("x"), V("y")), Pattern(V("x"), C("parent"), V("y"))),
+        Rule("anc", Seq(V("x"), V("y")), And(
+          Pattern(V("x"), C("parent"), V("m")),
+          RuleApp("anc", V("m"), V("y")))))))
+    assert(out.count() === 6) // 1->2,3,4; 2->3,4; 3->4
+  }
+
+  test("historical pattern exposes tx and added") {
+    val db = Db(employees.facts, historical = true)
+    val out = Compiler.run(db, Query(
+      find = Seq(FVar(V("t"), "t"), FVar(V("ad"), "ad")),
+      where = Pattern(V("e"), C("name"), C("Ben Bitdiddle"), V("t"), V("ad"))))
+    assert(out.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet === Set((0L, true)))
+  }
+}

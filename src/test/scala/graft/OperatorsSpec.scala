@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.pipeline.Dedup
+import graft.datalog.Pull
+import graft.transact.Transactor
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AsOfJoin picks latest right <= left time, inclusive, per key") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 5L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L, 1L), (1L, 15L, 150L, 2L), (2L, 9L, 900L, 3L))
+      .toDF("k", "t", "v", "rid")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", Seq("v"), "rid")
+      .select("tag", "asof_v").collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("l1") === Some(100L)) // inclusive at equal time
+    assert(out("l2") === Some(150L))
+    assert(out("l3") === None)       // right is later than left
+  }
+
+  test("RangeJoin matches exactly the pairs within radius") {
+    val l = Seq((1L, 100L), (2L, 500L)).toDF("lid", "lt")
+    val r = Seq((10L, 90L), (11L, 160L), (12L, 450L), (13L, 620L)).toDF("rid", "rt")
+    val pairs = RangeJoin.within(l, r, "lt", "rt", 60L)
+      .select("lid", "rid").collect().map(t => (t.getLong(0), t.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
+  test("exact dedup keeps min doc_id per content") {
+    val docs = Seq((1L, "a b c"), (5L, "a  B c "), (9L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 9L)) // 5 normalizes to same content as 1
+  }
+
+  test("minhash: identical token sets share the full signature") {
+    val docs = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w5 w4 w3 w2 w1"), (3L, "z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("simhash: identical docs at hamming 0, disjoint docs far apart") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("transactor + nested pull round-trip") {
+    val sess = Transactor.emptySession(spark)
+    sess.transact(Seq(Transactor.MapForm(Seq(
+      "name" -> "Alice",
+      "status" -> Transactor.MapForm(Seq("text" -> "Feeling good"))),
+      tempId = Some("alice"))))
+    val ids = sess.db.snapshot().filter(col("a") === "name").select(col("e"))
+    val nested = Pull.pullNested(sess.db, ids,
+      Pull.Spec(Seq("name"), Seq("status" -> Pull.Spec(Seq("text")))))
+    val row = nested.select("pulled").collect().head.getStruct(0)
+    assert(row.getString(0) === "Alice")
+    assert(row.getStruct(1).getString(0) === "Feeling good")
+  }
+}

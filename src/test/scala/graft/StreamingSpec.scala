@@ -1,0 +1,52 @@
+package graft
+
+import graft.streaming.FactStream
+import graft.streaming.FactStream.{UserEvent, UserLatest}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming fact ingestion: latest-per-user state (card-one, incremental)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = FactStream.latestPerUser(input.toDS())
+      .writeStream.format("memory").queryName("latest").outputMode("update").start()
+    input.addData(UserEvent(1, 10, 1.0), UserEvent(1, 11, 2.0), UserEvent(2, 12, 7.0))
+    q.processAllAvailable()
+    input.addData(UserEvent(1, 13, 3.5))
+    q.processAllAvailable()
+    val out = spark.table("latest").as[UserLatest].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    assert(out(1L).last_value === 3.5 && out(1L).n_events === 3L)
+    assert(out(2L).last_value === 7.0)
+    q.stop()
+  }
+
+  test("windowed counts over a watermarked stream") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = FactStream.windowedCounts(events, watermark = "0 seconds",
+        win = "1 hour", slide = "1 hour")
+      .writeStream.format("memory").queryName("wins").outputMode("complete").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(0, 10), "click"), (t(0, 50), "click"), (t(1, 10), "view"))
+    q.processAllAvailable()
+    val rows = spark.table("wins").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("click", 2L), ("view", 1L)))
+    q.stop()
+  }
+
+  test("eventFacts emits fact-log rows on batch and streaming frames alike") {
+    val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val facts = FactStream.eventFacts(batch, userBase = 1000L, txBase = 10L)
+    val rows = facts.collect()
+    assert(rows.length === 2)
+    assert(facts.filter(col("a") === "last_value").head().getDouble(5) === 2.5)
+    assert(facts.select("e").distinct().head().getLong(0) === 1007L)
+  }
+}
