@@ -38,8 +38,21 @@ object TestData {
     T("documents", "doc_id", DocBase, Map.empty)
   )
 
+  // Memoized + persisted per (session, dir): the datalog query set
+  // re-reads the same fact log dozens of times per run; caching it in
+  // columnar form (MEMORY_AND_DISK) turns every pattern scan into an
+  // in-memory batch scan with stats-based pruning on the `a` column.
+  private val dbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), FactDb]
+
   /** Facts for the static star-schema tables (tx=1). */
-  def staticDb(spark: SparkSession, dir: String): FactDb = {
+  def staticDb(spark: SparkSession, dir: String): FactDb =
+    dbCache.getOrElseUpdate((spark, dir, "static"), {
+      val db = buildStaticDb(spark, dir)
+      db.copy(log = db.log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def buildStaticDb(spark: SparkSession, dir: String): FactDb = {
     val parts = tables.map { t =>
       val df = read(spark, dir, t.name)
       (FactStore.melt(df, col(t.id), t.base, 1L, t.refs),
@@ -69,7 +82,13 @@ object TestData {
     *  - `purchase` asserts cardinality-many `purchase_bucket` =
     *    floor(value) (the dl_card_many surface).
     */
-  def eventsDb(spark: SparkSession, dir: String): FactDb = {
+  def eventsDb(spark: SparkSession, dir: String): FactDb =
+    dbCache.getOrElseUpdate((spark, dir, "events"), {
+      val db = buildEventsDb(spark, dir)
+      db.copy(log = db.log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private def buildEventsDb(spark: SparkSession, dir: String): FactDb = {
     val ev = read(spark, dir, "events")
       .select((col("user_id") + lit(UserBase)).as("e"),
         (col("event_id") + lit(TxBase)).as("tx"),

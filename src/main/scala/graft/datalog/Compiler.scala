@@ -108,12 +108,26 @@ object Compiler {
     case Not(neg) =>
       val f = frames.getOrElse(throw new IllegalArgumentException(
         ":not needs preceding clauses (negation-as-filter, reference query.clj:45-57)"))
-      eval(db, neg, rules, cache, Some(f)) match {
-        case None => Some(f)
-        case Some(matched) =>
-          val keep = f.columns.toSeq
-          val survivors = matched.select(keep.map(col): _*).distinct()
-          Some(f.join(survivors, joinCond(f, survivors, keep), "left_anti"))
+      // Anti-join only on the variables the negatee shares with the
+      // frames: a frame dies iff a match exists for ITS binding of those
+      // vars (other negatee vars are existential). Evaluating the
+      // negatee over just the distinct shared bindings — instead of
+      // per-frame — keeps the negation subplan proportional to the key
+      // cardinality, not the frame count.
+      val shared = clauseVars(neg).intersect(f.columns.toSet).toSeq
+      if (shared.isEmpty) {
+        eval(db, neg, rules, cache, None) match {
+          case Some(m) if m.limit(1).count() > 0 => Some(f.limit(0))
+          case _ => Some(f)
+        }
+      } else {
+        val keys = f.select(shared.map(col): _*).distinct()
+        eval(db, neg, rules, cache, Some(keys)) match {
+          case None => Some(f)
+          case Some(matched) =>
+            val survivors = matched.select(shared.map(col): _*).distinct()
+            Some(f.join(survivors, joinCond(f, survivors, shared), "left_anti"))
+        }
       }
     case Pred(op, args @ _*) =>
       val f = frames.getOrElse(throw new IllegalArgumentException("predicate needs bound frames"))
@@ -207,6 +221,20 @@ object Compiler {
 
   // ----------------------------------------------------- rules (fixpoint)
 
+  /** All variable names appearing in a clause. */
+  private def clauseVars(c: Clause): Set[String] = {
+    def termVars(ts: Seq[Term]): Set[String] = ts.collect { case V(n) => n }.toSet
+    c match {
+      case Pattern(e, a, v, tx, ad) => termVars(Seq(e, a, v, tx, ad))
+      case And(cs @ _*) => cs.flatMap(clauseVars).toSet
+      case Or(cs @ _*) => cs.flatMap(clauseVars).toSet
+      case Not(n) => clauseVars(n)
+      case Pred(_, args @ _*) => termVars(args)
+      case FnBind(_, out, args @ _*) => termVars(args) + out.name
+      case RuleApp(_, args @ _*) => termVars(args)
+    }
+  }
+
   private def hasPattern(c: Clause): Boolean = c match {
     case _: Pattern => true
     case And(cs @ _*) => cs.exists(hasPattern)
@@ -260,15 +288,25 @@ object Compiler {
     val (recDefs, baseDefs) = defs.partition(d => referencesRule(d.body, name))
 
     def evalDef(d: Rule, self: Option[DataFrame]): DataFrame = {
-      val selfCache = collection.mutable.Map.empty[String, DataFrame]
-      selfCache ++= cache
-      self.foreach(s => selfCache(name) = s)
-      // Rule-local variable scope: evaluate the body standalone, then
-      // project to head params (reference renames vars per application,
-      // query.clj:238-258; a fresh frame context gives the same isolation).
-      val body = eval(db, d.body, rules, selfCache, None)
-        .getOrElse(throw new IllegalArgumentException(s"rule $name body binds nothing"))
-      body.select(d.params.map(p => col(p.name)): _*).distinct()
+      // Share the outer cache so sibling rules (e.g. the non-recursive
+      // `parent` inside `anc`'s body) materialize ONCE across fixpoint
+      // iterations; only this rule's own name is temporarily bound to
+      // the current delta (semi-naive), then restored.
+      val saved = cache.get(name)
+      self.foreach(s => cache(name) = s)
+      try {
+        // Rule-local variable scope: evaluate the body standalone, then
+        // project to head params (reference renames vars per application,
+        // query.clj:238-258; a fresh frame context gives the same isolation).
+        val body = eval(db, d.body, rules, cache, None)
+          .getOrElse(throw new IllegalArgumentException(s"rule $name body binds nothing"))
+        body.select(d.params.map(p => col(p.name)): _*).distinct()
+      } finally {
+        saved match {
+          case Some(v) => cache(name) = v
+          case None => cache.remove(name)
+        }
+      }
     }
 
     if (recDefs.isEmpty) {

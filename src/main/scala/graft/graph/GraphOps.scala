@@ -44,12 +44,14 @@ object GraphOps {
   def bfs(edgeDf: DataFrame, sources: Seq[Long], maxHops: Int)
          (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    // materialize the edge set once — every iteration re-reads it
+    val edges = edgeDf.localCheckpoint(true)
     var visited = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
     var frontier = visited
     var hop = 0
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
-      val next = frontier.join(edgeDf, frontier("node") === edgeDf("src"))
+      val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), lit(hop).as("hops"))
         .distinct()
       frontier = next.join(visited.select("node"), Seq("node"), "left_anti")
