@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd native expression (graft.functions.DotProduct) — same
+    * sequential accumulation as the aggregate/zip_with formulation it
+    * replaced, with no per-row array allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
