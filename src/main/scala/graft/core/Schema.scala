@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+
+/** Schema-as-facts (reference: /root/reference/src/unifydb/schema.clj +
+  * the doc-store test, query_test.clj:150-175): attribute metadata
+  * lives IN the fact log as ordinary facts —
+  *   [?e :unifydb/schema      <attr-name>]
+  *   [?e :unifydb/cardinality "cardinality/many"]
+  * — so schema changes are transactional and time-travel like any other
+  * fact. This derives the cardinality-many attribute set from the log
+  * (a driver-side collect of schema entities only — metadata-sized by
+  * construction, like the reference's own schema sub-query).
+  */
+object Schema {
+  val SchemaAttr = "unifydb/schema"
+  val CardinalityAttr = "unifydb/cardinality"
+  val CardinalityMany = "cardinality/many"
+
+  /** Attributes declared :cardinality/many by schema facts visible as of
+    * `asOfTx`. */
+  def cardManyAttrs(db: FactDb, asOfTx: Long = Long.MaxValue): Set[String] = {
+    val log = db.historical(asOfTx)
+    val schemaEnts = log.filter(col("a") === SchemaAttr)
+      .select(col("e"), col("vstr").as("attr"))
+    val manyEnts = log.filter(col("a") === CardinalityAttr &&
+        col("vstr") === CardinalityMany)
+      .select(col("e"))
+    schemaEnts.join(manyEnts, "e").select("attr")
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
+  /** A FactDb whose cardinality handling follows its own schema facts. */
+  def applySchema(db: FactDb, asOfTx: Long = Long.MaxValue): FactDb =
+    db.copy(cardMany = db.cardMany ++ cardManyAttrs(db, asOfTx))
+}

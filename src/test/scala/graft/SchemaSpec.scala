@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.Schema
+import graft.transact.Transactor
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference doc-store scenario
+  * (query_test.clj:150-175 / 520+): :friends is declared
+  * cardinality/many via schema FACTS, so both of Alice's friends
+  * survive snapshot resolution while an undeclared attr collapses to
+  * latest-wins. */
+class SchemaSpec extends SparkSpec {
+
+  test("cardinality from schema facts controls snapshot resolution") {
+    val sess = Transactor.emptySession(spark)
+    sess.transact(Seq(
+      Transactor.MapForm(Seq(
+        Schema.SchemaAttr -> "friends",
+        Schema.CardinalityAttr -> Schema.CardinalityMany)),
+      Transactor.MapForm(Seq("name" -> "Bob"), tempId = Some("bob")),
+      Transactor.MapForm(Seq("name" -> "Carl"), tempId = Some("carl"))))
+    val r2 = sess.transact(Seq(
+      Transactor.MapForm(Seq("name" -> "Alice"), tempId = Some("alice"))))
+    val alice = r2.tempIds("alice")
+    val bobCarl = sess.db.snapshot()
+      .filter(col("a") === "name" && col("vstr").isin("Bob", "Carl"))
+      .select("e").collect().map(_.getLong(0)).sorted
+    sess.transact(Seq(
+      Transactor.Add(alice, "friends", sess.EntityRef(bobCarl(0))),
+      Transactor.Add(alice, "friends", sess.EntityRef(bobCarl(1))),
+      Transactor.Add(alice, "mood", "happy")))
+    sess.transact(Seq(Transactor.Add(alice, "mood", "tired")))
+
+    val schemaDb = Schema.applySchema(sess.db)
+    assert(schemaDb.cardMany.contains("friends"))
+    val snap = schemaDb.snapshot()
+    // friends: cardinality-many -> both kept
+    assert(snap.filter(col("a") === "friends").count() === 2)
+    // mood: undeclared -> latest wins
+    val moods = snap.filter(col("a") === "mood").select("vstr").collect()
+    assert(moods.map(_.getString(0)).toSeq === Seq("tired"))
+  }
+}
