@@ -170,6 +170,19 @@ object DatalogQueries {
         Pattern(V("u"), C("purchase_bucket"), V("b")),
         userId))),
 
+    // remaining reference aggregates: min/max/avg/mode/distinct
+    // (query.clj:353-378) — mode is safe to oracle here (unique per
+    // group, pre-checked at both SFs).
+    "dl_agg_more" -> q(static, Query(
+      find = Seq(FVar(V("p"), "p"),
+        FAgg("min", V("v"), "min_v"), FAgg("max", V("v"), "max_v"),
+        FAgg("mode", V("v"), "mode_v"), FAgg("avg", V("v"), "avg_v"),
+        FAgg("distinct", V("v"), "distinct_v")),
+      where = And(
+        Pattern(V("o"), C("o_totalprice"), V("tp")),
+        FnBind("idiv", V("v"), V("tp"), C(100000L)),
+        Pattern(V("o"), C("o_orderpriority"), V("p"))))),
+
     // Pull expression (reference pull.clj): nested entity retrieval,
     // flattened to columns for the oracle.
     "dl_pull" -> ((s: SparkSession, dir: String) => {
@@ -296,6 +309,14 @@ object DatalogQueries {
     "dl_card_many" ->
       """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
          FROM events WHERE event_type = 'purchase'""",
+    "dl_agg_more" ->
+      """SELECT o_orderpriority AS p, min(v) AS min_v, max(v) AS max_v,
+                mode(v) AS mode_v, avg(v) AS avg_v,
+                list_sort(list(DISTINCT v)) AS distinct_v
+         FROM (SELECT o_orderpriority,
+                      CAST(floor(o_totalprice / 100000) AS BIGINT) AS v
+               FROM orders) t
+         GROUP BY 1""",
     "dl_pull" ->
       """SELECT c_name, c_acctbal, n_name, r_name
          FROM customer

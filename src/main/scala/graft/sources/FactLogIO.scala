@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.core.{FactDb, FactStore}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable fact-log layout (SURVEY.md §3): the cluster-scale
+  * replacement for the reference's B-tree-over-KV storage
+  * (/root/reference/src/unifydb/storage/btree.clj).
+  *
+  * Layout: parquet `partitionBy("a")` — an attribute-constant pattern
+  * prunes to one directory (the AVET-index role) — with `e` spread
+  * across `buckets` files per partition via repartition on hash(e), so
+  * entity-joins co-locate (the EAVT-index role). Appends are new files
+  * inside the partition (the append-only paradigm); `asOfTx` filtering
+  * happens at read via the `tx` column, with row-group min/max stats
+  * pruning old segments. Metadata (value slots per attribute,
+  * cardinality-many set) rides along as a one-row JSON sidecar.
+  */
+object FactLogIO {
+
+  def write(db: FactDb, path: String, buckets: Int = 8,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    db.log
+      .repartition(buckets, col("e"))
+      .sortWithinPartitions(col("e"), col("a"), col("tx"))
+      .write.mode(mode)
+      .partitionBy("a")
+      .parquet(s"$path/facts")
+    val spark = db.log.sparkSession
+    import spark.implicits._
+    Seq((db.attrTypes.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
+        db.cardMany.toSeq.sorted.mkString(","), db.versioned))
+      .toDF("attr_types", "card_many", "versioned")
+      .coalesce(1).write.mode(mode).json(s"$path/meta")
+  }
+
+  def read(spark: SparkSession, path: String): FactDb = {
+    val meta = spark.read.json(s"$path/meta").head()
+    val attrTypes = meta.getAs[String]("attr_types").split(',')
+      .filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split('='); (k, v)
+      }.toMap
+    val cardMany = meta.getAs[String]("card_many").split(',').filter(_.nonEmpty).toSet
+    // partitionBy turned `a` into a partition column (read back as the
+    // last column) — restore canonical column order.
+    val log = spark.read.parquet(s"$path/facts")
+      .select(FactStore.factSchema.fieldNames.map(col): _*)
+      .select(col("e"), col("a").cast("string").as("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
+        col("tx"), col("added"))
+    FactDb(log, attrTypes, cardMany, versioned = meta.getAs[Boolean]("versioned"))
+  }
+}
