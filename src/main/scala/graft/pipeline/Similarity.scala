@@ -33,6 +33,64 @@ object Similarity {
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means
+    * coarse quantizer partitions the corpus into `nlist` cells; queries
+    * scan only the `nprobe` cells nearest the probe, with exact
+    * rescoring inside them. This is the standard billion-vector scale
+    * path (cf. FAISS IVF): the cell assignment is a one-off indexing
+    * shuffle, after which a query touches ~nprobe/nlist of the data.
+    *
+    * Determinism: centroid seeds are the `nlist` vectors with smallest
+    * xxhash64(id); Lloyd runs a FIXED `iters` count; all averages are
+    * exact integer-index groupings. Centroids are model parameters —
+    * collecting k×dim doubles to the driver per iteration is the
+    * standard (and scale-independent) pattern.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probe: Seq[Double], k: Int, nlist: Int = 8, nprobe: Int = 2,
+              iters: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val dim = probe.length
+
+    def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+      // squared L2 via dot products; argmin with first-wins tie-break
+      val dists = cents.map { c =>
+        val cCol = array(c.map(lit): _*)
+        dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)
+      }
+      val arr = array(dists: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+
+    var centroids: Seq[Seq[Double]] = data
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = data.withColumn("cell", nearestCell(col("vec"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("dim")), collect_list(col("m"))).as("byDim"))
+        .collect().map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> (0 until dim).map(i => m.getOrElse(i, 0.0))
+        }.toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val probeCol = array(probe.map(lit): _*)
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = probe.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d2)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val cands = data.withColumn("cell", nearestCell(col("vec"), centroids))
+      .filter(col("cell").isin(probeCells: _*))
+    val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
+    val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+    filtered.orderBy(col("cos").desc, col("id")).limit(k)
+  }
+
   /** Approximate top-k: random-hyperplane LSH with multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors), exact rescoring
     * of the surviving candidates only. */

@@ -79,6 +79,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("pred_lang"))
   }
 
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): rolling
+    * k-gram hashes, minimum per sliding window, distinct sorted set.
+    * Guarantees any shared substring of length >= w+k-1 produces a
+    * shared fingerprint hash — the plagiarism/near-dup detection
+    * primitive. Pure codegen'd higher-order functions, no UDF. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"), expr(
+      s"""sort_array(array_distinct(transform(
+            sequence(0, greatest(length(text) - $k - ${w - 1}, 0)),
+            j -> array_min(transform(sequence(j + 1, j + $w),
+                   i -> xxhash64(substr(text, i, $k)))))))""").as("fingerprint"))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -42,6 +42,15 @@ object PipelineQueries {
       Similarity.annTopK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
         planes = 8, excludeId = Some(0L))),
 
+    "sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
+        nlist = 8, nprobe = 2, excludeId = Some(0L))),
+
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir))
+        .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
+          col("fingerprint")(0).as("min_hash"))),
+
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
 
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),

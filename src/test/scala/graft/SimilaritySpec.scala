@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
+  private def probe = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
+
+  test("IVF top-k recalls most of the exact top-k with nprobe=4/8") {
+    val exact = Similarity.topK(emb, "vec_id", "vec", probe, 10, Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "vec", probe, 10,
+        nlist = 8, nprobe = 4, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(exact).size >= 5, s"recall too low: $ivf vs $exact")
+  }
+
+  test("IVF with nprobe = nlist equals exact top-k") {
+    val exact = Similarity.topK(emb, "vec_id", "vec", probe, 10, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfTopK(emb, "vec_id", "vec", probe, 10,
+        nlist = 4, nprobe = 4, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+  }
+
+  test("winnowing: shared long substring -> shared fingerprint hash") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "xyzzy quick brown fox jumps over the lazy cat 42424"),
+      (3L, "completely unrelated content with other words here!")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)   // long shared run
+    assert(fps(1L).intersect(fps(3L)).isEmpty ||
+      fps(1L).intersect(fps(3L)).size < fps(1L).intersect(fps(2L)).size)
+  }
+}
