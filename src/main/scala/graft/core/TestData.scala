@@ -45,12 +45,25 @@ object TestData {
   private val dbCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), FactDb]
 
+  /** Materialize a fact log with a TRUNCATED logical plan: the melted
+    * 40-branch union otherwise makes Catalyst hit its 100-iteration
+    * cap on every downstream query. Serialized storage (not
+    * localCheckpoint's deserialized default) keeps the resident set
+    * ~4× smaller and spills to disk gracefully. */
+  private def materialize(db: FactDb): FactDb = {
+    val spark = db.log.sparkSession
+    // RDD round-trip truncates the plan to a LogicalRDD; the persist on
+    // top is COLUMNAR (compressed, stats-pruned, fast repeated scans).
+    val flat = spark.createDataFrame(db.log.rdd, FactStore.factSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count() // materialize once
+    db.copy(log = flat)
+  }
+
   /** Facts for the static star-schema tables (tx=1). */
   def staticDb(spark: SparkSession, dir: String): FactDb =
-    dbCache.getOrElseUpdate((spark, dir, "static"), {
-      val db = buildStaticDb(spark, dir)
-      db.copy(log = db.log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    dbCache.getOrElseUpdate((spark, dir, "static"),
+      materialize(buildStaticDb(spark, dir)))
 
   private def buildStaticDb(spark: SparkSession, dir: String): FactDb = {
     val parts = tables.map { t =>
@@ -83,10 +96,8 @@ object TestData {
     *    floor(value) (the dl_card_many surface).
     */
   def eventsDb(spark: SparkSession, dir: String): FactDb =
-    dbCache.getOrElseUpdate((spark, dir, "events"), {
-      val db = buildEventsDb(spark, dir)
-      db.copy(log = db.log.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    dbCache.getOrElseUpdate((spark, dir, "events"),
+      materialize(buildEventsDb(spark, dir)))
 
   private def buildEventsDb(spark: SparkSession, dir: String): FactDb = {
     val ev = read(spark, dir, "events")
