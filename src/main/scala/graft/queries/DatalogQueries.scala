@@ -170,6 +170,32 @@ object DatalogQueries {
         Pattern(V("u"), C("purchase_bucket"), V("b")),
         userId))),
 
+    // Flagship compound query: TPC-H Q5 expressed entirely in datalog —
+    // deductive rule, graph ref-traversal, the same-nation constraint
+    // as a shared variable, binding functions, exact aggregation, sort.
+    "dl_q5" -> q(static, Query(
+      find = Seq(FVar(V("nname"), "n_name"), FAgg("sum$exact", V("rev"), "rev")),
+      where = And(
+        RuleApp("in-region", V("c"), C("ASIA")),
+        Pattern(V("o"), C("o_custkey_ref"), V("c")),
+        Pattern(V("o"), C("o_orderdate"), V("od")),
+        Pred(">=", V("od"), C("1996-01-01")),
+        Pred("<", V("od"), C("1998-01-01")),
+        Pattern(V("l"), C("l_orderkey_ref"), V("o")),
+        Pattern(V("l"), C("l_suppkey_ref"), V("sup")),
+        Pattern(V("sup"), C("s_nationkey_ref"), V("n2")),
+        Pattern(V("c"), C("c_nationkey_ref"), V("n2")),
+        Pattern(V("n2"), C("n_name"), V("nname")),
+        Pattern(V("l"), C("l_extendedprice"), V("p")),
+        Pattern(V("l"), C("l_discount"), V("d")),
+        FnBind("-", V("disc"), C(1.0), V("d")),
+        FnBind("*", V("rev"), V("p"), V("disc"))),
+      rules = Seq(Rule("in-region", Seq(V("cc"), V("rn")), And(
+        Pattern(V("cc"), C("c_nationkey_ref"), V("n")),
+        Pattern(V("n"), C("n_regionkey_ref"), V("r")),
+        Pattern(V("r"), C("r_name"), V("rn"))))),
+      sortBy = Seq(SortKey("rev", desc = true)))),
+
     // remaining reference aggregates: min/max/avg/mode/distinct
     // (query.clj:353-378) — mode is safe to oracle here (unique per
     // group, pre-checked at both SFs).
@@ -309,6 +335,19 @@ object DatalogQueries {
     "dl_card_many" ->
       """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
          FROM events WHERE event_type = 'purchase'""",
+    "dl_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS rev
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY rev DESC""",
     "dl_agg_more" ->
       """SELECT o_orderpriority AS p, min(v) AS min_v, max(v) AS max_v,
                 mode(v) AS mode_v, avg(v) AS avg_v,

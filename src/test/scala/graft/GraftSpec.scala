@@ -1,0 +1,49 @@
+package graft
+
+import graft.datalog._
+import graft.transact.Transactor.{Add, MapForm, Retract}
+import org.apache.spark.sql.functions.col
+
+/** End-to-end façade spec: transact → query → time-travel → pull, the
+  * full reference workflow on one connection. */
+class GraftSpec extends SparkSpec {
+
+  test("connection workflow: transact, query, as-of, retract, pull") {
+    val conn = Graft.open(spark)
+    val r1 = conn.transact(Seq(
+      MapForm(Seq("name" -> "Ben", "salary" -> 60000L), tempId = Some("ben")),
+      MapForm(Seq("name" -> "Alyssa", "salary" -> 40000L), tempId = Some("alyssa"))))
+    val ben = r1.tempIds("ben")
+
+    // query latest
+    val q = Query(
+      find = Seq(FVar(V("n"), "n")),
+      where = And(
+        Pattern(V("e"), C("salary"), V("s")),
+        Pred(">", V("s"), C(50000L)),
+        Pattern(V("e"), C("name"), V("n"))))
+    assert(conn.query(q).collect().map(_.getString(0)).toSeq === Seq("Ben"))
+
+    // raise Alyssa's salary (retract + add, the reference idiom)
+    val alyssa = r1.tempIds("alyssa")
+    val r2 = conn.transact(Seq(
+      Retract(alyssa, "salary", 40000L),
+      Add(alyssa, "salary", 70000L)))
+
+    assert(conn.query(q).collect().map(_.getString(0)).toSet === Set("Ben", "Alyssa"))
+    // time travel: before the raise only Ben matched
+    assert(conn.asOf(r1.txId).query(q).collect().map(_.getString(0)).toSeq === Seq("Ben"))
+
+    // historical sees both salary versions for Alyssa
+    val hist = conn.historical.query(Query(
+      find = Seq(FVar(V("s"), "s"), FVar(V("ad"), "ad")),
+      where = Pattern(C(alyssa), C("salary"), V("s"), W, V("ad"))))
+    assert(hist.count() === 3) // 40000 add, 40000 retract, 70000 add
+
+    // pull
+    import spark.implicits._
+    val pulled = conn.pullFlat(Seq(ben).toDF("e"), Pull.Spec(Seq("name", "salary")))
+    val row = pulled.select("name", "salary").head()
+    assert(row.getString(0) === "Ben" && row.getLong(1) === 60000L)
+  }
+}
