@@ -173,13 +173,12 @@ object Dedup {
     val sig = (0 until planes).map(p => when(planeDot(p) > 0, 1L << p).otherwise(0L))
       .reduce(_ + _)
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
-    val norm = sqrt(aggregate(col("vec"), lit(0.0), (a, x) => a + x * x))
-    val n = withSig.withColumn("nrm", norm)
+    val dotFn = graft.functions.VectorExpressions.dot _
+    val n = withSig.withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
     n.as("x").join(n.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cos",
-        aggregate(zip_with(col("x.vec"), col("y.vec"), (a, b) => a * b),
-          lit(0.0), (acc, x) => acc + x) / (col("x.nrm") * col("y.nrm")))
+        dotFn(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 6).as("cos"))
   }

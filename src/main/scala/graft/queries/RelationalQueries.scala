@@ -115,6 +115,11 @@ object RelationalQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))),
 
+    "q_cube" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
     // For each purchase event: the user's most recent signup at-or-before
     // it (custom as-of operator; oracle = DuckDB's native ASOF JOIN).
     "q_asof_join" -> ((s, dir) => {
@@ -221,6 +226,10 @@ object RelationalQueries {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY ROLLUP (r_name, n_name)""",
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 ${dsumSql("o_totalprice")} AS total
+          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
                 epoch_us(s.ts) AS signup_us
