@@ -131,9 +131,11 @@ object Compiler {
       }
     case Pred(op, args @ _*) =>
       val f = frames.getOrElse(throw new IllegalArgumentException("predicate needs bound frames"))
+      requireBound(f, args)
       Some(f.filter(predCol(op, args.map(term2col))))
     case FnBind(fn, out, args @ _*) =>
       val f = frames.getOrElse(throw new IllegalArgumentException("fn-bind needs bound frames"))
+      requireBound(f, args)
       val value = fnCol(fn, args.map(term2col))
       if (f.columns.contains(out.name)) Some(f.filter(col(out.name) === value)) // unify
       else Some(f.withColumn(out.name, value))
@@ -220,6 +222,14 @@ object Compiler {
   }
 
   // ----------------------------------------------------- rules (fixpoint)
+
+  /** Reference error parity (query.clj:83-91): predicates and binding
+    * functions over a variable no preceding clause bound fail with an
+    * "Unbound variable" error, not a planner error. */
+  private def requireBound(f: DataFrame, args: Seq[Term]): Unit =
+    args.collectFirst { case V(n) if !f.columns.contains(n) => n }.foreach { n =>
+      throw new IllegalArgumentException(s"Unbound variable $n")
+    }
 
   /** All variable names appearing in a clause. */
   private def clauseVars(c: Clause): Set[String] = {

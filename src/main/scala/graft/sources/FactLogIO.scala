@@ -35,6 +35,15 @@ object FactLogIO {
       .coalesce(1).write.mode(mode).json(s"$path/meta")
   }
 
+  /** Bucketed-table variant: hash(e) buckets recorded in the catalog, so
+    * entity-entity joins between fact tables (or self-joins of pattern
+    * scans) are CO-LOCATED — Spark plans them with no Exchange. This is
+    * the cluster answer to the reference's EAVT index locality. */
+  def writeBucketedTable(db: FactDb, table: String, buckets: Int = 8): Unit =
+    db.log.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "e").sortBy("e", "a", "tx")
+      .format("parquet").saveAsTable(table)
+
   def read(spark: SparkSession, path: String): FactDb = {
     val meta = spark.read.json(s"$path/meta").head()
     val attrTypes = meta.getAs[String]("attr_types").split(',')

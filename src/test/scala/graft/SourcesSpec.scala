@@ -27,6 +27,44 @@ class SourcesSpec extends SparkSpec {
     assert(a === b && a > 0)
   }
 
+  test("bucketed fact tables join on e with no shuffle exchange") {
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS facts_bucketed")
+    val loc = new java.io.File("spark-warehouse/facts_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    FactLogIO.writeBucketedTable(db, "facts_bucketed", buckets = 4)
+    val t = spark.table("facts_bucketed")
+    // merge hint: at test size Spark would broadcast; the scale-relevant
+    // plan is the sort-merge join, which bucketing runs WITHOUT a
+    // shuffle exchange on either side.
+    val joined = t.filter(col("a") === "last_value").select("e", "vdbl").hint("merge")
+      .join(t.filter(col("a") === "active").select(col("e"), col("vlong")), "e")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("ShuffleExchange"), s"expected co-located bucketed join:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("unbound variable in predicate fails with the reference error") {
+    val err = intercept[IllegalArgumentException] {
+      graft.datalog.Compiler.run(
+        graft.datalog.Compiler.Db(TestData.eventsDb(spark, "/root/testdata/sf0.001")),
+        graft.datalog.Query(
+          find = Seq(graft.datalog.FVar(graft.datalog.V("v"), "v")),
+          where = graft.datalog.And(
+            graft.datalog.Pattern(graft.datalog.V("u"),
+              graft.datalog.C("last_value"), graft.datalog.V("v")),
+            graft.datalog.Pred("<", graft.datalog.V("voops"), graft.datalog.C(1.0)))))
+    }
+    assert(err.getMessage === "Unbound variable voops")
+  }
+
   test("salted skew join equals the plain join") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // key 1 is hot
