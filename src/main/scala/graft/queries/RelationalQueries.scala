@@ -120,6 +120,33 @@ object RelationalQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
 
+    // Correlated-min subquery shape (TPC-H Q2): lineitems priced at
+    // their part's minimum price — window-min, no self-join.
+    "q_corr_min" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_partkey"))
+      read(s, dir, "lineitem")
+        .withColumn("min_price", min(col("l_extendedprice")).over(w))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("l_suppkey")).as("supp"), min(col("l_extendedprice")).as("price"))
+    }),
+
+    // Nation-pair trade volume by year (TPC-H Q7 shape)
+    "q7_volume" -> ((s, dir) => {
+      val n1 = read(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val n2 = read(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      read(s, dir, "lineitem")
+        .join(read(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(read(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(read(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year")) // DuckDB year() is BIGINT
+        .agg(dsum(revenue).as("volume"))
+    }),
+
     // For each purchase event: the user's most recent signup at-or-before
     // it (custom as-of operator; oracle = DuckDB's native ASOF JOIN).
     "q_asof_join" -> ((s, dir) => {
@@ -226,6 +253,23 @@ object RelationalQueries {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY ROLLUP (r_name, n_name)""",
+    "q_corr_min" ->
+      """SELECT l_partkey, min(l_suppkey) AS supp, min(l_extendedprice) AS price
+         FROM lineitem l
+         WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem
+                                  WHERE l_partkey = l.l_partkey)
+         GROUP BY l_partkey""",
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                 year(l_shipdate) AS l_year, ${dsumSql(revSql)} AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name
+          GROUP BY 1, 2, 3""",
     "q_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                  ${dsumSql("o_totalprice")} AS total
