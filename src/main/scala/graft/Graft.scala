@@ -35,6 +35,18 @@ final class Graft private (val session: Transactor.Session,
   /** The database as of a past transaction id. */
   def asOf(tx: Long): Graft = new Graft(session, tx, historicalMode)
 
+  /** The database as of a wall-clock instant: resolves the newest
+    * transaction whose `unifydb/txInstant` is <= `instant` (every tx
+    * writes one — reference `make-new-tx-facts`, transact.clj:17) and
+    * time-travels there. */
+  def asOfInstant(instant: Long): Graft = {
+    import org.apache.spark.sql.functions._
+    val tx = session.db.log
+      .filter(col("a") === "unifydb/txInstant" && col("vlong") <= instant)
+      .agg(max(col("tx"))).head()
+    asOf(if (tx.isNullAt(0)) -1L else tx.getLong(0))
+  }
+
   /** Historical mode: every fact version, with tx/added visible in
     * patterns. */
   def historical: Graft = new Graft(session, asOfTx, historicalMode = true)
@@ -50,9 +62,11 @@ final class Graft private (val session: Transactor.Session,
 }
 
 object Graft {
-  /** Fresh empty database. */
-  def open(spark: SparkSession): Graft =
-    new Graft(Transactor.emptySession(spark))
+  /** Fresh empty database. `clock` feeds each tx's txInstant (inject a
+    * fake for deterministic tests). */
+  def open(spark: SparkSession,
+           clock: () => Long = () => System.currentTimeMillis()): Graft =
+    new Graft(Transactor.emptySession(spark, clock = clock))
 
   /** Over an existing fact db (e.g. bulk-melted tables or
     * sources.FactLogIO.read). `firstTx`/`firstEntityId` must be above

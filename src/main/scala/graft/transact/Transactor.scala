@@ -38,7 +38,8 @@ object Transactor {
                             facts: Seq[(Any, String, Any, Long, Boolean)])
 
   final class Session(val spark: SparkSession, var db: FactDb,
-                      private var nextTx: Long, private var nextId: Long) {
+                      private var nextTx: Long, private var nextId: Long,
+                      clock: () => Long = () => System.currentTimeMillis()) {
 
     private var tempCounter = 0L
     private def freshTemp(): String = { tempCounter += 1; s"graft.temp-$tempCounter" }
@@ -67,8 +68,10 @@ object Transactor {
     def transact(txData: Seq[TxStmt]): TxReport = {
       val txId = nextTx
       nextTx += 1
+      // every tx writes a tx entity carrying its wall-clock instant
+      // (reference make-new-tx-facts, transact.clj:17-21)
       val expanded = txData.flatMap(expand) :+
-        Add("graft.tx", "unifydb/txInstant", txId)
+        Add("graft.tx", "unifydb/txInstant", clock())
       // temp-id resolution
       val temps = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       def resolveE(e: Any): Long = e match {
@@ -120,10 +123,11 @@ object Transactor {
 
   /** Fresh session with an empty fact log. */
   def emptySession(spark: SparkSession, firstTx: Long = 1L,
-                   firstEntityId: Long = 1L): Session = {
+                   firstEntityId: Long = 1L,
+                   clock: () => Long = () => System.currentTimeMillis()): Session = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], FactStore.factSchema)
-    new Session(spark, FactDb(empty, Map.empty), firstTx, firstEntityId)
+    new Session(spark, FactDb(empty, Map.empty), firstTx, firstEntityId, clock)
   }
 
   /** Session over an existing db (e.g. bulk-melted base tables). */

@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions.col
   * full reference workflow on one connection. */
 class GraftSpec extends SparkSpec {
 
+  test("asOfInstant resolves the tx from txInstant facts") {
+    var now = 0L
+    val conn = Graft.open(spark, clock = () => { now += 1000; now })
+    val r1 = conn.transact(Seq(MapForm(Seq("name" -> "v1"), tempId = Some("x")))) // t=1000
+    conn.transact(Seq(
+      Retract(r1.tempIds("x"), "name", "v1"),
+      Add(r1.tempIds("x"), "name", "v2"))) // t=2000
+    val nameAt = (g: Graft) => g.query(Query(
+      find = Seq(FVar(V("n"), "n")),
+      where = Pattern(C(r1.tempIds("x")), C("name"), V("n"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(nameAt(conn.asOfInstant(1500)) === Seq("v1"))
+    assert(nameAt(conn.asOfInstant(2500)) === Seq("v2"))
+    assert(nameAt(conn.asOfInstant(500)) === Seq.empty)
+  }
+
   test("connection workflow: transact, query, as-of, retract, pull") {
     val conn = Graft.open(spark)
     val r1 = conn.transact(Seq(
