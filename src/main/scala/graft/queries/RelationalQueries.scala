@@ -120,6 +120,30 @@ object RelationalQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
 
+    // Gap-based sessionization (30-min inactivity): lag + cumulative
+    // session counter per user — one shuffle on user_id, both windows
+    // share the partitioning.
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val gap = 30L * 60 * 1000 * 1000
+      events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gap, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("sess_start"))
+    }),
+
+    // typed extraction from the JSON-ish props column (regexp both
+    // sides so the oracle is engine-neutral)
+    "q_props_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+
     // Correlated-min subquery shape (TPC-H Q2): lineitems priced at
     // their part's minimum price — window-min, no self-join.
     "q_corr_min" -> ((s, dir) => {
@@ -253,6 +277,23 @@ object RelationalQueries {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY ROLLUP (r_name, n_name)""",
+    "q_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events, min(ts_us) AS sess_start
+         FROM (
+           SELECT user_id, ts_us,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS session_id
+           FROM (
+             SELECT user_id, epoch_us(ts) AS ts_us,
+                    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                              > 1800000000
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events) g) s
+         GROUP BY user_id, session_id""",
+    "q_props_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+                COUNT(*) AS n
+         FROM events GROUP BY 1""",
     "q_corr_min" ->
       """SELECT l_partkey, min(l_suppkey) AS supp, min(l_extendedprice) AS price
          FROM lineitem l
