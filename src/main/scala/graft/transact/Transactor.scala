@@ -37,9 +37,50 @@ object Transactor {
   final case class TxReport(txId: Long, tempIds: Map[String, Long],
                             facts: Seq[(Any, String, Any, Long, Boolean)])
 
+  /** Pre-expansion rewrite of incoming statements (reference
+    * transforms.clj — applied before id resolution). */
+  type Transform = Seq[TxStmt] => Seq[TxStmt]
+  /** Post-commit rewrite of the outgoing report (reference filters.clj
+    * — the log keeps everything; only the REPORT is filtered). */
+  type ReportFilter = TxReport => TxReport
+
+  /** Sensitive auth attributes never echoed in tx-reports (reference
+    * filter-auth-facts, transact/filters.clj:14-25). */
+  val SensitiveAttrs: Set[String] =
+    Set("unifydb/salt", "unifydb/i", "unifydb/server-key", "unifydb/stored-key")
+
+  val redactSensitive: ReportFilter = r =>
+    r.copy(facts = r.facts.filterNot(f => SensitiveAttrs.contains(f._2)))
+
+  /** User-creation transform (reference new-user-transform,
+    * transact/transforms.clj:25-38): a username+password pair on one
+    * entity becomes derived credential facts; the raw password never
+    * reaches the log. `salt` is injectable for deterministic tests. */
+  def newUserTransform(salt: String => String = u => s"salt-${u.hashCode}"): Transform = {
+    stmts =>
+      val byEntity = stmts.collect { case a @ Add(_, _, _) => a }.groupBy(_.e)
+      val userEnts = byEntity.collect {
+        case (e, adds) if adds.exists(_.a == "unifydb/username") &&
+          adds.exists(_.a == "unifydb/password") => e
+      }.toSet
+      if (userEnts.isEmpty) stmts
+      else stmts.flatMap {
+        case Add(e, "unifydb/password", pw: String) if userEnts(e) =>
+          val username = byEntity(e).find(_.a == "unifydb/username").get.v.toString
+          val s = salt(username)
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"$s:$pw".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          Seq(Add(e, "unifydb/salt", s), Add(e, "unifydb/stored-key", digest),
+            Add(e, "unifydb/i", 4096L))
+        case other => Seq(other)
+      }
+  }
+
   final class Session(val spark: SparkSession, var db: FactDb,
                       private var nextTx: Long, private var nextId: Long,
-                      clock: () => Long = () => System.currentTimeMillis()) {
+                      clock: () => Long = () => System.currentTimeMillis(),
+                      transforms: Seq[Transform] = Seq(newUserTransform()),
+                      reportFilters: Seq[ReportFilter] = Seq(redactSensitive)) {
 
     private var tempCounter = 0L
     private def freshTemp(): String = { tempCounter += 1; s"graft.temp-$tempCounter" }
@@ -70,7 +111,8 @@ object Transactor {
       nextTx += 1
       // every tx writes a tx entity carrying its wall-clock instant
       // (reference make-new-tx-facts, transact.clj:17-21)
-      val expanded = txData.flatMap(expand) :+
+      val transformed = transforms.foldLeft(txData.flatMap(expand))((d, t) => t(d))
+      val expanded = transformed :+
         Add("graft.tx", "unifydb/txInstant", clock())
       // temp-id resolution
       val temps = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -87,8 +129,9 @@ object Transactor {
         case m: MapForm => throw new IllegalStateException(s"unexpanded $m")
       }
       appendFacts(facts)
-      TxReport(txId, temps.toMap,
+      val report = TxReport(txId, temps.toMap,
         facts.map { case (e, a, v, t, ad) => (e, a, v, t, ad) })
+      reportFilters.foldLeft(report)((r, f) => f(r))
     }
 
     private def appendFacts(facts: Seq[(Long, String, Any, Long, Boolean)]): Unit = {

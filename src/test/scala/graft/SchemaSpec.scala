@@ -40,4 +40,19 @@ class SchemaSpec extends SparkSpec {
     val moods = snap.filter(col("a") === "mood").select("vstr").collect()
     assert(moods.map(_.getString(0)).toSeq === Seq("tired"))
   }
+
+  test("user transform hashes credentials; report redacts sensitive attrs") {
+    val sess = Transactor.emptySession(spark)
+    val report = sess.transact(Seq(Transactor.MapForm(Seq(
+      "unifydb/username" -> "ben",
+      "unifydb/password" -> "hunter2"), tempId = Some("u"))))
+    // raw password never reaches the log
+    assert(sess.db.log.filter(col("a") === "unifydb/password").count() === 0)
+    // derived credentials ARE in the log...
+    assert(sess.db.log.filter(col("a") === "unifydb/stored-key").count() === 1)
+    assert(sess.db.log.filter(col("a") === "unifydb/salt").count() === 1)
+    // ...but redacted from the report (reference filter-auth-facts)
+    assert(!report.facts.exists(f => Transactor.SensitiveAttrs.contains(f._2)))
+    assert(report.facts.exists(_._2 == "unifydb/username"))
+  }
 }
