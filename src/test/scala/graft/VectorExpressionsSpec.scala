@@ -28,6 +28,11 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(0) === 85344000.0)
   }
 
+  test("GraftExtensions injects without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("graft_dot registers as a SQL function") {
     VectorExpressions.register(spark)
     df.createOrReplaceTempView("vecs")
