@@ -104,7 +104,14 @@ object Compiler {
     case Or(cs @ _*) =>
       val parts = cs.map(c => eval(db, c, rules, cache, frames))
         .collect { case Some(df) => df }
-      Some(parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+      // Disjuncts must bind the same variable set: a var missing from
+      // one branch would union as NULL, and a later join on it would
+      // silently DROP those frames where the reference's unifier would
+      // bind. Fail loudly instead of diverging.
+      val varSets = parts.map(_.columns.toSet)
+      require(varSets.distinct.size == 1,
+        s":or disjuncts must bind the same variables, got ${varSets.mkString(" vs ")}")
+      Some(parts.reduce(_.unionByName(_)))
     case Not(neg) =>
       val f = frames.getOrElse(throw new IllegalArgumentException(
         ":not needs preceding clauses (negation-as-filter, reference query.clj:45-57)"))
