@@ -19,7 +19,7 @@ object SkewJoin {
   def salted(skewed: DataFrame, build: DataFrame, key: String,
              salts: Int): DataFrame = {
     val saltedBig = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

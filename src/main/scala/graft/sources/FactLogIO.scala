@@ -54,7 +54,7 @@ object FactLogIO {
     // partitionBy turned `a` into a partition column (read back as the
     // last column) — restore canonical column order.
     val log = spark.read.parquet(s"$path/facts")
-      .select(FactStore.factSchema.fieldNames.map(col): _*)
+      .select(FactStore.factSchema.fieldNames.toIndexedSeq.map(col): _*)
       .select(col("e"), col("a").cast("string").as("a"), col("vtype"),
         col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
         col("tx"), col("added"))
