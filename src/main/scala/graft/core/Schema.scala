@@ -33,4 +33,25 @@ object Schema {
   /** A FactDb whose cardinality handling follows its own schema facts. */
   def applySchema(db: FactDb, asOfTx: Long = Long.MaxValue): FactDb =
     db.copy(cardMany = db.cardMany ++ cardManyAttrs(db, asOfTx))
+
+  /** All schema properties of `attrs`, keyed by attribute — the
+    * reference's `get-schemas` (schema.clj:19-31; schema_test.clj:13):
+    * e.g. Map("foo" -> Map("unifydb/schema" -> "foo",
+    * "unifydb/cardinality" -> "cardinality/many")). Unknown attrs are
+    * absent. */
+  def getSchemas(db: FactDb, attrs: Seq[String],
+                 asOfTx: Long = Long.MaxValue): Map[String, Map[String, String]] = {
+    val log = db.historical(asOfTx)
+    val ents = log.filter(col("a") === SchemaAttr && col("vstr").isin(attrs: _*))
+      .select(col("e"), col("vstr").as("attr"))
+    val props = log.filter(col("a").startsWith("unifydb/"))
+      .select(col("e"), col("a").as("prop"), col("vstr").as("value"))
+      .filter(col("value").isNotNull)
+    ents.join(props, "e").select("attr", "prop", "value")
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (attr, rows) =>
+        attr -> rows.map(r => r.getString(1) -> r.getString(2)).toMap
+      }
+  }
 }

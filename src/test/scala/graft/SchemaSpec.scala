@@ -41,6 +41,23 @@ class SchemaSpec extends SparkSpec {
     assert(moods.map(_.getString(0)).toSeq === Seq("tired"))
   }
 
+  test("getSchemas returns all schema props per attribute (reference schema_test)") {
+    val sess = Transactor.emptySession(spark)
+    sess.transact(Seq(
+      Transactor.MapForm(Seq(
+        Schema.SchemaAttr -> "foo",
+        Schema.CardinalityAttr -> Schema.CardinalityMany)),
+      Transactor.MapForm(Seq(
+        Schema.SchemaAttr -> "bar",
+        "unifydb/unique" -> "unique/upsert"))))
+    val schemas = Schema.getSchemas(sess.db, Seq("foo", "bar", "baz"))
+    assert(schemas("foo") === Map("unifydb/schema" -> "foo",
+      "unifydb/cardinality" -> "cardinality/many"))
+    assert(schemas("bar") === Map("unifydb/schema" -> "bar",
+      "unifydb/unique" -> "unique/upsert"))
+    assert(!schemas.contains("baz"))
+  }
+
   test("user transform hashes credentials; report redacts sensitive attrs") {
     val sess = Transactor.emptySession(spark)
     val report = sess.transact(Seq(Transactor.MapForm(Seq(
