@@ -3,17 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  /** Headline set: every subsystem represented (SURVEY.md §6). */
+  /** Headline set: every subsystem represented (SURVEY.md §6).
+    * dl_asof_bucketed exercises snapshot() over the FactLogIO bucketed
+    * layout (no-Exchange windows) end-to-end. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topn", "q5_multijoin", "q6_filter", "q_window",
     "q_asof_join", "q_range_join",
-    "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof",
+    "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
     "graph_reach", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,16 +28,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JIT + codegen + FS metadata, not measured
     SparkEntry.queries("dl_pattern")(spark, sfDir).count()
-    val results = headline.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // n runs per query, report the per-query MEDIAN: single runs are
+    // ±30% box-noisy and one GC pause misgrades a whole round.
+    val samples: Seq[Seq[Double]] = (1 to n).map { _ =>
+      headline.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = headline.zipWithIndex.map { case (name, i) =>
+      name -> median(samples.map(_(i)))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n}""")
     spark.stop()
   }
 }

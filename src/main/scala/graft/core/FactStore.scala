@@ -150,9 +150,16 @@ case class FactDb(log: DataFrame, attrTypes: Map[String, String],
   }
 
   /** Among live facts, keep only the newest value per (e,a) for
-    * cardinality-one attributes. */
+    * cardinality-one attributes. Value columns are deterministic
+    * tie-breakers after tx: two different values asserted in the SAME
+    * tx would otherwise pick a run-dependent winner (the reference's
+    * whole-tuple sort, query.clj:132-150, is deterministic too — see
+    * the header note on the tx-vs-value order divergence). */
   private def resolveCardOne(live: DataFrame, isOne: Column): DataFrame = {
-    val perAttr = Window.partitionBy(col("e"), col("a")).orderBy(col("tx").desc)
+    val perAttr = Window.partitionBy(col("e"), col("a")).orderBy(
+      col("tx").desc, col("vstr").desc_nulls_last, col("vlong").desc_nulls_last,
+      col("vdbl").desc_nulls_last, col("vts").desc_nulls_last,
+      col("vref").desc_nulls_last)
     live.withColumn("__rn", row_number().over(perAttr))
       .filter(!isOne || col("__rn") === 1)
       .drop("__rn")

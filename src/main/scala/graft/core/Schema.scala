@@ -18,9 +18,12 @@ object Schema {
   val CardinalityMany = "cardinality/many"
 
   /** Attributes declared :cardinality/many by schema facts visible as of
-    * `asOfTx`. */
+    * `asOfTx`. Reads the version-RESOLVED snapshot (not the raw log) so
+    * a retracted schema declaration stops applying — the reference
+    * resolves schema via a normal query whose process-facts filters
+    * retractions (schema.clj get-cardinalities). */
   def cardManyAttrs(db: FactDb, asOfTx: Long = Long.MaxValue): Set[String] = {
-    val log = db.historical(asOfTx)
+    val log = db.snapshot(asOfTx)
     val schemaEnts = log.filter(col("a") === SchemaAttr)
       .select(col("e"), col("vstr").as("attr"))
     val manyEnts = log.filter(col("a") === CardinalityAttr &&
@@ -41,7 +44,7 @@ object Schema {
     * absent. */
   def getSchemas(db: FactDb, attrs: Seq[String],
                  asOfTx: Long = Long.MaxValue): Map[String, Map[String, String]] = {
-    val log = db.historical(asOfTx)
+    val log = db.snapshot(asOfTx) // version-resolved: retractions drop out
     val ents = log.filter(col("a") === SchemaAttr && col("vstr").isin(attrs: _*))
       .select(col("e"), col("vstr").as("attr"))
     val props = log.filter(col("a").startsWith("unifydb/"))

@@ -55,6 +55,11 @@ object Compiler {
     case "count" => count(col(v))
     case "count-distinct" => count_distinct(col(v))
     case "distinct" => sort_array(collect_set(col(v)))
+    // `distinct` rendered as a sorted comma-joined STRING: hash-stable
+    // across engines (array columns defeat the driver's pandas-side
+    // sort/hash compare), so it can carry a SQL oracle.
+    case "distinct$str" =>
+      array_join(transform(sort_array(collect_set(col(v))), _.cast(StringType)), ",")
     // Exact variants: double sums are accumulation-order-dependent, so a
     // distributed sum is not reproducible bit-for-bit. These route
     // through decimal (exact) and convert to double once at the end —
@@ -330,21 +335,56 @@ object Compiler {
       baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
     } else {
       require(baseDefs.nonEmpty, s"recursive rule $name needs a base case")
-      var total = baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
+      // Materialize sibling rule relations (e.g. the non-recursive
+      // `parent` inside `anc`'s body) ONCE before iterating: each hop
+      // re-executes the recursive bodies, and an unmaterialized sibling
+      // would be recomputed from its base scans every iteration.
+      // (Outside a fixpoint, rule relations stay unmaterialized plans so
+      // they fuse into the enclosing query for pushdown — see dl_q5.)
+      ruleDeps(defs.map(_.body)).diff(Set(name))
+        .filter(n => rules.contains(n) && rules(n).exists(d => hasPattern(d.body)))
+        .foreach { n =>
+          val rel = cache.getOrElseUpdate(n, ruleRelation(db, n, rules, cache))
+          cache(n) = rel.localCheckpoint(eager = true)
+        }
+      // Semi-naive fixpoint, one materializing job per hop:
+      //  - ONLY the delta is ever checkpointed (it is needed as an RDD
+      //    for the emptiness check anyway);
+      //  - the accumulated closure stays a UNION TREE of checkpointed
+      //    deltas — never re-materialized, so per-hop work is
+      //    O(delta ⋈ body + anti-join scan), not O(closure) writes;
+      //  - the emptiness check is a count over the just-checkpointed
+      //    delta partitions (no extra computation).
+      var delta = baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
         .localCheckpoint(eager = true)
-      var delta = total
+      val deltas = collection.mutable.ArrayBuffer(delta)
+      var total = delta
+      var n = delta.count()
       var i = 0
       val maxIter = 100
-      while (delta.limit(1).count() > 0 && i < maxIter) {
+      while (n > 0 && i < maxIter) {
         val expanded = recDefs.map(evalDef(_, Some(delta))).reduce(_ unionAll _)
         delta = expanded.join(total, joinCond(expanded, total, params), "left_anti")
           .distinct().localCheckpoint(eager = true)
-        total = total.unionAll(delta).localCheckpoint(eager = true)
+        n = delta.count()
+        if (n > 0) { deltas += delta; total = deltas.reduce(_ unionAll _) }
         i += 1
       }
-      require(i < maxIter, s"rule $name did not reach fixpoint in $maxIter iterations")
+      require(n == 0, s"rule $name did not reach fixpoint in $maxIter iterations")
       total
     }
+  }
+
+  /** Names of rules applied anywhere in `bodies`. */
+  private def ruleDeps(bodies: Seq[Clause]): Set[String] = {
+    def walk(c: Clause): Set[String] = c match {
+      case RuleApp(n, _*) => Set(n)
+      case And(cs @ _*) => cs.flatMap(walk).toSet
+      case Or(cs @ _*) => cs.flatMap(walk).toSet
+      case Not(neg) => walk(neg)
+      case _ => Set.empty
+    }
+    bodies.flatMap(walk).toSet
   }
 
   // --------------------------------------------------------- expressions
@@ -365,6 +405,7 @@ object Compiler {
     case "!=" => cs.sliding(2).map(p => p(0) =!= p(1)).reduce(_ && _)
     case "contains" => cs(0).contains(cs(1))
     case "starts-with" => cs(0).startsWith(cs(1))
+    case "ends-with" => cs(0).endsWith(cs(1))
     case other => throw new IllegalArgumentException(s"Unknown predicate $other")
   }
 
@@ -383,8 +424,15 @@ object Compiler {
     case "upper" => upper(cs.head)
     case "year" => year(cs.head)
     case "month" => month(cs.head)
+    case "day" => dayofmonth(cs.head)
     case "floor" => floor(cs.head)
     case "round" => round(cs.head)
+    // String/date functions the reference gets free from clojure.core
+    // (query.clj:106-130) — codegen'd Spark builtins here.
+    case "str-len" => length(cs.head).cast(LongType)
+    case "substr" => cs.head.substr(cs(1), cs(2)) // (substr ?s pos len), 1-based
+    case "trim" => trim(cs.head)
+    case "date-diff" => datediff(cs.head, cs(1)).cast(LongType) // days, end - start
     case other => throw new IllegalArgumentException(s"Unknown function $other")
   }
 }

@@ -27,12 +27,14 @@ object AsOfJoin {
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
+    // __tie is computed BEFORE any drop/rename so tieBreak may itself be
+    // one of the value columns (it then survives as asof_<tieBreak>).
+    val base = right.select((Seq(col(key), col(timeCol)) ++
+        (valueCols :+ tieBreak).distinct.map(col)): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(tieBreak).cast("long"))
     val taggedRight = valueCols.foldLeft(
-      right.select((Seq(col(key), col(timeCol)) ++
-          (valueCols :+ tieBreak).distinct.map(col)): _*)
-        .withColumn("__side", lit(0))
-        .withColumn("__tie", col(tieBreak).cast("long"))
-        .drop(tieBreak)
+      if (valueCols.contains(tieBreak)) base else base.drop(tieBreak)
     ) { (df, c) => df.withColumnRenamed(c, s"asof_$c") }
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     // Right rows at the same timestamp sort before left rows (side 0 < 1),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Banded time-range join: pair left rows with right rows whose time is
@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
   * BroadcastNestedLoopJoin at scale).
   */
 object RangeJoin {
+  /** Exact integer floor-division bucketing: `t/radius` in DOUBLE loses
+    * up to ~256ns above 2^53 (epoch-nano timestamps), which silently
+    * shifts a bucket past the ±1 explode and drops matching pairs.
+    * `(t - pmod(t, r)) div r` stays in long arithmetic and floors
+    * correctly for negative times too. */
+  private def bucketOf(time: String, radius: Long): Column =
+    expr(s"($time - pmod($time, ${radius}L)) div ${radius}L")
+
   /** @param leftTime/rightTime long columns (e.g. epoch nanos) */
   def within(left: DataFrame, right: DataFrame,
              leftTime: String, rightTime: String, radius: Long): DataFrame = {
-    val l = left.withColumn("__bucket",
-      explode(array(
-        (col(leftTime) / radius).cast("long") - 1,
-        (col(leftTime) / radius).cast("long"),
-        (col(leftTime) / radius).cast("long") + 1)))
-    val r = right.withColumn("__bucket", (col(rightTime) / radius).cast("long"))
+    val lb = bucketOf(leftTime, radius)
+    val l = left.withColumn("__bucket", explode(array(lb - 1, lb, lb + 1)))
+    val r = right.withColumn("__bucket", bucketOf(rightTime, radius))
     l.join(r, Seq("__bucket"))
       .filter(abs(col(leftTime) - col(rightTime)) <= radius)
       .drop("__bucket")

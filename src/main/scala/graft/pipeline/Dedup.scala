@@ -139,29 +139,63 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= `maxHamming` (<=48
-    * guaranteed complete for <=3 via the 4-block pigeonhole; block join
-    * also surfaces most pairs up to ~10). */
+  /** SimHash near-dup pairs with hamming distance <= `maxHamming`,
+    * star-collapsed (same pattern as minhashLsh): identical signatures
+    * group directly (linear), and within each 16-bit pigeonhole block
+    * bucket every member pairs only with the bucket's min-id
+    * representative. Candidates are O(docs × blocks), never O(block²) —
+    * a degenerate block value (short/templated docs hashing alike) can
+    * no longer explode the join at scale. The trade (vs all-pairs
+    * within a bucket) is the production one: dedup keeps one survivor
+    * per cluster, so rep-to-member pairs are what the downstream
+    * "drop b, keep a" consumer needs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
-    val blocked = sigs.select(col("doc_id"), col("simhash"),
+    val sigs = simhashSignatures(docs).localCheckpoint(true)
+    val groups = sigs.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+      .localCheckpoint(true)
+    val identical = groups.select(col("rep").as("a"),
+        explode(col("members")).as("b"), lit(0).as("hamming"))
+      .filter(col("a") < col("b"))
+    val reps = groups.select(col("rep").as("doc_id"), col("simhash"))
+    val blocked = reps.select(col("doc_id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("blk", "blkval")))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.blkval") === col("y.blkval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .dropDuplicates("a", "b")
+    val bucketRep = blocked.groupBy(col("blk"), col("blkval"))
+      .agg(min(col("doc_id")).as("a"))
+    val cands = blocked.join(bucketRep, Seq("blk", "blkval"))
+      .filter(col("doc_id") > col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+      .distinct()
+    val near = cands
+      .join(sigs.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    identical.unionAll(near)
   }
 
   /** Embedding cosine near-dup: random-hyperplane LSH signature buckets
     * (`planes` sign bits from deterministic pseudo-hyperplanes), exact
-    * cosine verify within buckets. */
+    * cosine verify within buckets — star-collapsed: every bucket member
+    * verifies only against the bucket's min-id representative, so
+    * candidate pairs are O(n), never O(bucket²) (with a constant plane
+    * count a bucket holds ≈ n/2^planes vectors — quadratic death at
+    * 10^10 rows).
+    *
+    * `planes <= 0` auto-scales the signature width with corpus size
+    * (targeting ~64 vectors per bucket, one count job) — the knob a
+    * fixed default gets wrong at 1000× the data. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, planes: Int = 8): DataFrame = {
+                       threshold: Double, planes: Int = 0): DataFrame = {
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = emb.count().max(1L)
+        math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+      }
     val v = col(vecCol)
     // deterministic pseudo-random hyperplanes: component j of plane p is
     // a hash-derived value in [-1, 1] — reproducible on any cluster.
@@ -170,16 +204,19 @@ object Dedup {
         zip_with(v, sequence(lit(0), size(v) - 1),
           (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
         lit(0.0), (acc, x) => acc + x)
-    val sig = (0 until planes).map(p => when(planeDot(p) > 0, 1L << p).otherwise(0L))
+    val sig = (0 until nPlanes).map(p => when(planeDot(p) > 0, 1L << p).otherwise(0L))
       .reduce(_ + _)
-    val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
     val dotFn = graft.functions.VectorExpressions.dot _
-    val n = withSig.withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
-    n.as("x").join(n.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cos",
-        dotFn(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
+    val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
+      .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
+    val bucketRep = withSig.groupBy(col("bucket")).agg(min(col("id")).as("rep"))
+    val repVecs = withSig.select(col("id").as("rep"), col("vec").as("rvec"),
+      col("nrm").as("rnrm"))
+    withSig.join(bucketRep, Seq("bucket"))
+      .filter(col("id") > col("rep"))
+      .join(repVecs, Seq("rep"))
+      .withColumn("cos", dotFn(col("rvec"), col("vec")) / (col("rnrm") * col("nrm")))
       .filter(col("cos") >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"), round(col("cos"), 6).as("cos"))
+      .select(col("rep").as("a"), col("id").as("b"), round(col("cos"), 6).as("cos"))
   }
 }

@@ -91,33 +91,49 @@ object Similarity {
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
 
-  /** Approximate top-k: random-hyperplane LSH with multi-probe (the
-    * probe's own bucket plus all 1-bit-flip neighbors), exact rescoring
-    * of the surviving candidates only. */
-  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
-              probe: Seq[Double], k: Int, planes: Int = 8,
-              excludeId: Option[Long] = None): DataFrame = {
-    def planeVec(p: Int): Seq[Column] = probe.indices.map(j =>
-      pmod(xxhash64(lit(p), lit(j)), lit(2000001L)) / 1000000.0 - 1.0)
-    def sigOf(vec: Column): Column =
-      (0 until planes).map { p =>
-        val d = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(d > 0, 1L << p).otherwise(0L)
-      }.reduce(_ + _)
+  /** Sign-LSH signature of `vec` over `planes` deterministic
+    * pseudo-random hyperplanes (hash-derived components in [-1,1] —
+    * reproducible on any cluster). */
+  private def sigOf(vec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val d = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** The ANN index: (id, vec, bucket) with the sign-LSH signature
+    * computed ONCE over the corpus. At scale this is a persisted
+    * sidecar column (parquet partitioned by bucket, cf. FactLogIO's
+    * layout) written at ingest; queries read it instead of recomputing
+    * signatures per probe. */
+  def annIndex(emb: DataFrame, idCol: String, vecCol: String,
+               planes: Int = 8): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sigOf(col(vecCol), planes).as("bucket"))
+
+  /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
+    * probe's own bucket plus all 1-bit-flip neighbors — plan-time
+    * constants), exact rescoring of the surviving candidates only. The
+    * corpus-side plan is a pure bucket-semijoin over the index: no
+    * signature computation per query. */
+  def annTopKIndexed(index: DataFrame, probe: Seq[Double], k: Int,
+                     planes: Int = 8, excludeId: Option[Long] = None): DataFrame = {
     val probeCol = array(probe.map(lit): _*)
-    val probeSig = sigOf(probeCol)
-    // multi-probe: the probe's bucket plus every 1-bit-flip neighbor —
-    // all plan-time constant expressions.
+    val probeSig = sigOf(probeCol, planes)
     val bucketCols = probeSig +: (0 until planes).map(b => probeSig.bitwiseXOR(lit(1L << b)))
-    val probeBuckets = emb.sparkSession.range(1)
+    val probeBuckets = index.sparkSession.range(1)
       .select(explode(array(bucketCols: _*)).as("bucket")).distinct()
-    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigOf(col(vecCol)).as("bucket"))
-    val cands = withSig.join(broadcast(probeBuckets), "bucket")
+    val cands = index.join(broadcast(probeBuckets), "bucket")
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
+
+  /** One-shot ANN top-k (index built inline — prefer annIndex +
+    * annTopKIndexed when serving many probes). */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probe: Seq[Double], k: Int, planes: Int = 8,
+              excludeId: Option[Long] = None): DataFrame =
+    annTopKIndexed(annIndex(emb, idCol, vecCol, planes), probe, k, planes, excludeId)
 }

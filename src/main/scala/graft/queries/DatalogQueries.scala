@@ -18,6 +18,19 @@ object DatalogQueries {
   private def temporal(s: SparkSession, dir: String): Db =
     Db(TestData.eventsDb(s, dir))
 
+  /** events fact log written once per (session, dir) to the bucketed
+    * catalog layout and read back — entity-hash co-location makes the
+    * snapshot windows Exchange-free. */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.core.FactDb]
+  private def bucketedEventsDb(s: SparkSession, dir: String): graft.core.FactDb =
+    bucketedCache.getOrElseUpdate((s, dir), {
+      val db = TestData.eventsDb(s, dir)
+      val table = "graft_events_bucketed_" + math.abs(dir.hashCode.toLong)
+      graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8)
+      db.copy(log = s.table(table))
+    })
+
   /** Rebase a user entity id back to the raw user_id for output. */
   private val userId = FnBind("-", V("user_id"), V("u"), C(TestData.UserBase))
 
@@ -144,6 +157,19 @@ object DatalogQueries {
           Pattern(V("u"), C("last_value"), V("v")),
           userId))),
 
+    // Same as-of query served from the DURABLE bucketed fact-log layout
+    // (FactLogIO.writeBucketedTable): the scan reports hash(e)
+    // partitioning, so snapshot()'s (e,a,…) version-resolution windows
+    // need NO Exchange — the cluster-scale claim of SURVEY §3,
+    // demonstrated end-to-end (write once per session, then query).
+    "dl_asof_bucketed" -> q(
+      (s, dir) => Db(bucketedEventsDb(s, dir), asOf = TestData.TxBase + 3000),
+      Query(
+        find = Seq(FVar(V("user_id"), "user_id"), FVar(V("v"), "last_value")),
+        where = And(
+          Pattern(V("u"), C("last_value"), V("v")),
+          userId))),
+
     "dl_historical" -> q((s, dir) => Db(TestData.eventsDb(s, dir), historical = true),
       Query(
         find = Seq(FVar(V("user_id"), "user_id"), FVar(V("t"), "tx"),
@@ -198,15 +224,40 @@ object DatalogQueries {
 
     // remaining reference aggregates: min/max/avg/mode/distinct
     // (query.clj:353-378) — mode is safe to oracle here (unique per
-    // group, pre-checked at both SFs).
+    // group, pre-checked at both SFs). `distinct` is emitted via its
+    // string rendering (sorted, comma-joined) so the driver's hash
+    // compare covers it — array columns defeat the pandas-side sort.
     "dl_agg_more" -> q(static, Query(
       find = Seq(FVar(V("p"), "p"),
         FAgg("min", V("v"), "min_v"), FAgg("max", V("v"), "max_v"),
         FAgg("mode", V("v"), "mode_v"), FAgg("avg", V("v"), "avg_v"),
-        FAgg("distinct", V("v"), "distinct_v")),
+        FAgg("distinct$str", V("v"), "distinct_v")),
       where = And(
         Pattern(V("o"), C("o_totalprice"), V("tp")),
         FnBind("idiv", V("v"), V("tp"), C(100000L)),
+        Pattern(V("o"), C("o_orderpriority"), V("p"))))),
+
+    // String fns from the extended registry (the reference resolves any
+    // clojure.core fn, query.clj:70-130; these are the codegen'd Spark
+    // equivalents): str-len, substr, ends-with.
+    "dl_str_fn" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name"), FVar(V("len"), "name_len"),
+        FVar(V("num"), "cust_num")),
+      where = And(
+        Pattern(V("c"), C("c_name"), V("cn")),
+        Pred("ends-with", V("cn"), C("7")),
+        FnBind("str-len", V("len"), V("cn")),
+        FnBind("substr", V("num"), V("cn"), C(10), C(9))))),
+
+    // Date arithmetic from the extended registry: days-since binding fn
+    // feeding grouped min/max aggregates.
+    "dl_date_fn" -> q(static, Query(
+      find = Seq(FVar(V("p"), "p"),
+        FAgg("max", V("dd"), "max_days"), FAgg("min", V("dd"), "min_days"),
+        FAgg("count", V("dd"), "cnt")),
+      where = And(
+        Pattern(V("o"), C("o_orderdate"), V("od")),
+        FnBind("date-diff", V("dd"), V("od"), C("1995-01-01")),
         Pattern(V("o"), C("o_orderpriority"), V("p"))))),
 
     // Pull expression (reference pull.clj): nested entity retrieval,
@@ -316,6 +367,12 @@ object DatalogQueries {
                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
            FROM events WHERE event_id <= 3000) t
          WHERE rn = 1""",
+    "dl_asof_bucketed" ->
+      """SELECT user_id, value AS last_value FROM (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_id <= 3000) t
+         WHERE rn = 1""",
     "dl_historical" ->
       """SELECT DISTINCT user_id, event_id + 100 AS tx,
                 event_type = 'signup' AS added
@@ -351,11 +408,21 @@ object DatalogQueries {
     "dl_agg_more" ->
       """SELECT o_orderpriority AS p, min(v) AS min_v, max(v) AS max_v,
                 mode(v) AS mode_v, avg(v) AS avg_v,
-                list_sort(list(DISTINCT v)) AS distinct_v
+                array_to_string(list_sort(list(DISTINCT v)), ',') AS distinct_v
          FROM (SELECT o_orderpriority,
                       CAST(floor(o_totalprice / 100000) AS BIGINT) AS v
                FROM orders) t
          GROUP BY 1""",
+    "dl_str_fn" ->
+      """SELECT DISTINCT c_name, CAST(length(c_name) AS BIGINT) AS name_len,
+                substring(c_name, 10, 9) AS cust_num
+         FROM customer WHERE c_name LIKE '%7'""",
+    "dl_date_fn" ->
+      """SELECT o_orderpriority AS p,
+                max(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS max_days,
+                min(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS min_days,
+                count(*) AS cnt
+         FROM orders GROUP BY 1""",
     "dl_pull" ->
       """SELECT c_name, c_acctbal, n_name, r_name
          FROM customer

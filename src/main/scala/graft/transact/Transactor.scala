@@ -52,11 +52,24 @@ object Transactor {
   val redactSensitive: ReportFilter = r =>
     r.copy(facts = r.facts.filterNot(f => SensitiveAttrs.contains(f._2)))
 
+  /** PBKDF2 iteration count stored alongside credentials (and actually
+    * applied in the derivation — the stored `unifydb/i` must match what
+    * a verifier would run). */
+  val Pbkdf2Iterations = 4096
+
+  private def randomSalt(): String = {
+    val bytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(bytes)
+    bytes.map("%02x".format(_)).mkString
+  }
+
   /** User-creation transform (reference new-user-transform,
     * transact/transforms.clj:25-38): a username+password pair on one
     * entity becomes derived credential facts; the raw password never
-    * reaches the log. `salt` is injectable for deterministic tests. */
-  def newUserTransform(salt: String => String = u => s"salt-${u.hashCode}"): Transform = {
+    * reaches the log. Key derivation is PBKDF2-HMAC-SHA256 with the
+    * advertised `unifydb/i` iteration count over a random 128-bit salt
+    * (`salt` is injectable for deterministic tests). */
+  def newUserTransform(salt: String => String = _ => randomSalt()): Transform = {
     stmts =>
       val byEntity = stmts.collect { case a @ Add(_, _, _) => a }.groupBy(_.e)
       val userEnts = byEntity.collect {
@@ -68,10 +81,12 @@ object Transactor {
         case Add(e, "unifydb/password", pw: String) if userEnts(e) =>
           val username = byEntity(e).find(_.a == "unifydb/username").get.v.toString
           val s = salt(username)
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(s"$s:$pw".getBytes("UTF-8")).map("%02x".format(_)).mkString
-          Seq(Add(e, "unifydb/salt", s), Add(e, "unifydb/stored-key", digest),
-            Add(e, "unifydb/i", 4096L))
+          val spec = new javax.crypto.spec.PBEKeySpec(
+            pw.toCharArray, s.getBytes("UTF-8"), Pbkdf2Iterations, 256)
+          val key = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+            .generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
+          Seq(Add(e, "unifydb/salt", s), Add(e, "unifydb/stored-key", key),
+            Add(e, "unifydb/i", Pbkdf2Iterations.toLong))
         case other => Seq(other)
       }
   }
