@@ -1,0 +1,170 @@
+package graft
+
+import graft.core.Schema
+import graft.datalog._
+import graft.datalog.Compiler.Db
+import graft.transact.Transactor
+import org.apache.spark.sql.DataFrame
+
+/** Collections parity (SURVEY §4's claim, VERDICT round-1 item 8):
+  * the reference stores EDN collection VALUES inside one fact
+  * (`:job [:computer :wizard]`, `:address [:slumerville [:ridge :road]
+  * 10]`) and unifies rest-patterns `[?h & ?t]` against them
+  * (reference test/unifydb/query_test.clj:20-250). graft's typed-column
+  * value model trades those for codegen + pushdown and models
+  * collections as sub-entities / cardinality-many attributes — the
+  * reference's own recommended encoding for queryable data. This spec
+  * walks EVERY rest-pattern/collection case from query_test.clj through
+  * that encoding and checks the patterns-only equivalent returns the
+  * reference's expected answers, including the tx-visibility variants.
+  */
+class CollectionsParitySpec extends SparkSpec {
+
+  // --- the reference operators/matching fixture, re-encoded ---------
+  // job [:computer :wizard] -> sub-entity {job/field, job/title} plus
+  //   cardinality-many job/tags {"computer","wizard"} (membership form)
+  // address [:town [street] number] -> sub-entity
+  //   {addr/town, addr/street1, addr/street2, addr/number}
+  private lazy val fixture = {
+    val sess = Transactor.emptySession(spark)
+    // tx1: schema — job/tags is cardinality-many
+    sess.transact(Seq(Transactor.MapForm(Seq(
+      Schema.SchemaAttr -> "job/tags",
+      Schema.CardinalityAttr -> Schema.CardinalityMany))))
+    // tx2: ben + his job (reference tx0-1)
+    val r2 = sess.transact(Seq(Transactor.MapForm(Seq(
+      "name" -> "Ben Bitdiddle",
+      "salary" -> 60000L,
+      "job" -> Transactor.MapForm(Seq(
+        "job/field" -> "computer", "job/title" -> "wizard"))),
+      tempId = Some("ben"))))
+    val ben = r2.tempIds("ben")
+    sess.transact(Seq(
+      Transactor.Add(ben, "job/tags", "computer"),
+      Transactor.Add(ben, "job/tags", "wizard")))
+    // tx4: alyssa + job + supervisor + BOTH addresses (reference tx2)
+    val r4 = sess.transact(Seq(
+      Transactor.MapForm(Seq(
+        "name" -> "Alyssa P. Hacker",
+        "salary" -> 40000L,
+        "job" -> Transactor.MapForm(Seq(
+          "job/field" -> "computer", "job/title" -> "programmer")),
+        "address" -> Transactor.MapForm(Seq(
+          "addr/town" -> "cambridge", "addr/street1" -> "mass",
+          "addr/street2" -> "ave", "addr/number" -> 78L))),
+        tempId = Some("alyssa")),
+      Transactor.MapForm(Seq(
+        "addr/town" -> "slumerville", "addr/street1" -> "ridge",
+        "addr/street2" -> "road", "addr/number" -> 10L),
+        tempId = Some("ben-addr"))))
+    val alyssa = r4.tempIds("alyssa")
+    val benAddr = r4.tempIds("ben-addr")
+    sess.transact(Seq(
+      Transactor.Add(alyssa, "job/tags", "computer"),
+      Transactor.Add(alyssa, "job/tags", "programmer"),
+      Transactor.Add(ben, "address", sess.EntityRef(benAddr)),
+      Transactor.Add(alyssa, "supervisor", sess.EntityRef(ben))))
+    val txBoth = 5L // both addresses visible (reference db-tx-2)
+    // tx6: retract alyssa's address ref (reference tx3 retraction)
+    val alyssaAddr = {
+      import org.apache.spark.sql.functions._
+      sess.db.log.filter(col("a") === "address" && col("e") === alyssa)
+        .select("vref").head().getLong(0)
+    }
+    sess.transact(Seq(Transactor.Retract(alyssa, "address", sess.EntityRef(alyssaAddr))))
+    // tx7: third person in slumerville (reference tx4)
+    val r7 = sess.transact(Seq(Transactor.MapForm(Seq(
+      "address" -> Transactor.MapForm(Seq(
+        "addr/town" -> "slumerville", "addr/street1" -> "davis",
+        "addr/street2" -> "square", "addr/number" -> 42L))),
+      tempId = Some("cy"))))
+    (Schema.applySchema(sess.db), ben, alyssa, r7.tempIds("cy"), txBoth)
+  }
+
+  private def run(q: Query, asOf: Long = Long.MaxValue): DataFrame =
+    Compiler.run(Db(fixture._1, asOf = asOf), q)(spark)
+
+  test("positional unification: [?e :job [:computer ?what]] via sub-entity patterns") {
+    val (_, ben, alyssa, _, _) = fixture
+    val rows = run(Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("what"), "what")),
+      where = And(
+        Pattern(V("e"), C("job"), V("j")),
+        Pattern(V("j"), C("job/field"), C("computer")),
+        Pattern(V("j"), C("job/title"), V("what")))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((ben, "wizard"), (alyssa, "programmer")))
+  }
+
+  test("wildcard tail: [?e :job [:computer _]] matches both") {
+    val (_, ben, alyssa, _, _) = fixture
+    val rows = run(Query(
+      find = Seq(FVar(V("e"), "e")),
+      where = And(
+        Pattern(V("e"), C("job"), V("j")),
+        Pattern(V("j"), C("job/field"), C("computer")))))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(ben, alyssa))
+  }
+
+  test("rest-pattern [?town & ?rest] on a known entity binds head + components") {
+    val (_, ben, _, _, _) = fixture
+    val rows = run(Query(
+      find = Seq(FVar(V("town"), "town"), FVar(V("s1"), "s1"),
+        FVar(V("s2"), "s2"), FVar(V("n"), "n")),
+      where = And(
+        Pattern(C(ben), C("address"), V("a")),
+        Pattern(V("a"), C("addr/town"), V("town")),
+        Pattern(V("a"), C("addr/street1"), V("s1")),
+        Pattern(V("a"), C("addr/street2"), V("s2")),
+        Pattern(V("a"), C("addr/number"), V("n")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("slumerville", "ridge", "road", 10L)))
+  }
+
+  test("tx visibility: alyssa's address exists as-of the assert tx, gone after retraction") {
+    val (_, _, alyssa, _, txBoth) = fixture
+    val q = Query(
+      find = Seq(FVar(V("town"), "town"), FVar(V("n"), "n")),
+      where = And(
+        Pattern(C(alyssa), C("address"), V("a")),
+        Pattern(V("a"), C("addr/town"), V("town")),
+        Pattern(V("a"), C("addr/number"), V("n"))))
+    val atTx = run(q, asOf = txBoth).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(atTx.toSeq === Seq(("cambridge", 78L)))
+    assert(run(q).collect().isEmpty) // latest: retraction cancels
+  }
+
+  test("rest-pattern with constant head: [_ :address [:slumerville & ?address]]") {
+    val (_, _, _, cy, _) = fixture
+    val rows = run(Query(
+      find = Seq(FVar(V("s1"), "s1"), FVar(V("s2"), "s2"), FVar(V("n"), "n")),
+      where = And(
+        Pattern(V("who"), C("address"), V("a")),
+        Pattern(V("a"), C("addr/town"), C("slumerville")),
+        Pattern(V("a"), C("addr/street1"), V("s1")),
+        Pattern(V("a"), C("addr/street2"), V("s2")),
+        Pattern(V("a"), C("addr/number"), V("n")))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(("ridge", "road", 10L), ("davis", "square", 42L)))
+    assert(cy > 0) // fixture sanity
+  }
+
+  test("collection membership: [(some #{:computer} ?job)] via cardinality-many tags") {
+    val (_, ben, alyssa, _, _) = fixture
+    val rows = run(Query(
+      find = Seq(FVar(V("e"), "e")),
+      where = Pattern(V("e"), C("job/tags"), C("computer"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(ben, alyssa))
+    // + != predicate narrowing (reference operators test)
+    val narrowed = run(Query(
+      find = Seq(FVar(V("e"), "e")),
+      where = And(
+        Pattern(V("e"), C("job/tags"), C("computer")),
+        Pattern(V("e"), C("name"), V("nm")),
+        Pred("!=", C("Ben Bitdiddle"), V("nm")))))
+      .collect().map(_.getLong(0)).toSet
+    assert(narrowed === Set(alyssa))
+  }
+}

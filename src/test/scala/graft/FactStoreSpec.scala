@@ -56,6 +56,21 @@ class FactStoreSpec extends SparkSpec {
     assert(hist.filter(hist("a") === "favorite-colors").count() === 5)
   }
 
+  test("card-one same-tx tie resolves deterministically (largest value wins)") {
+    // Two different values asserted for a cardinality-one attribute in
+    // the SAME tx: graft pins "largest value wins" via the value-column
+    // tie-breakers (the reference's whole-tuple sort is deterministic
+    // too, by (value, tx) order — divergence documented in FactStore).
+    val tie = Seq(
+      (9L, "lucky", "a", 1L, true),
+      (9L, "lucky", "b", 1L, true))
+    (1 to 3).foreach { _ =>
+      val snap = db(tie, Set.empty).snapshot()
+      val v = snap.filter(snap("a") === "lucky").select("vstr").collect()
+      assert(v.map(_.getString(0)).toSeq === Seq("b"))
+    }
+  }
+
   test("melt produces one fact per non-null column value") {
     import spark.implicits._
     val df = Seq((1L, "x", 2.0), (2L, "y", 3.0)).toDF("id", "s", "d")

@@ -1,0 +1,150 @@
+package graft
+
+import graft.graph.GraphOps
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hard ground-truth checks for the operators whose driver-side status
+  * is rows-only (LSH/ANN/float output — not SQL-oracle-expressible):
+  * planted duplicates with known answers, recall against brute force,
+  * and an independent re-implementation for winnowing. Also pins the
+  * 100 TB property the star-collapse exists for: a giant identical
+  * cluster must yield LINEAR pair counts, not quadratic.
+  */
+class GroundTruthSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 1000-doc identical cluster + distinct fillers. */
+  private lazy val clusterDocs = {
+    val cluster = (0 until 1000).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val fillers = (0 until 50).map(i =>
+      (5000L + i, s"unique${i}a filler${i}b text${i}c with${i}d tokens${i}e nothing${i}f shared${i}g"))
+    (cluster ++ fillers).toDF("doc_id", "text")
+  }
+
+  test("minhashLsh: 1000-doc identical cluster collapses to 999 star pairs, no quadratic blowup") {
+    val pairs = Dedup.minhashLsh(clusterDocs, k = 64, bands = 16, estThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusterPairs = pairs.filter { case (a, b) => a < 1000 && b < 1000 }
+    // star shape: every member pairs with rep 0 exactly once — 999 pairs,
+    // NOT the 499,500 an all-pairs bucket join would emit
+    assert(clusterPairs.length === 999)
+    assert(clusterPairs.forall(_._1 == 0L))
+    assert(clusterPairs.map(_._2).toSet === (1L until 1000L).toSet)
+    // fillers share no tokens: nothing pairs with them
+    assert(pairs.forall { case (a, b) => b < 1000 || a >= 5000 })
+  }
+
+  test("simhashPairs: identical cluster collapses to 999 hamming-0 star pairs") {
+    val pairs = Dedup.simhashPairs(clusterDocs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val clusterPairs = pairs.filter(p => p._1 < 1000 && p._2 < 1000)
+    assert(clusterPairs.length === 999)
+    assert(clusterPairs.forall(p => p._1 == 0L && p._3 == 0))
+  }
+
+  test("simhashPairs: planted near-duplicate (one token changed) found at small hamming") {
+    // 60 shared tokens, ONE changed: hamming stays small enough that a
+    // 16-bit block collides (the algorithm's designed operating point —
+    // heavier edits are out of simhash's contract)
+    val shared = (0 until 60).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " ending"),
+      (2L, shared + " different"),
+      (3L, "completely other content about weather patterns and ocean currents today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 16),
+      s"near-dup pair not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  /** Deterministic cluster embeddings: cluster base + tiny per-member
+    * perturbation (signs preserved → same LSH bucket). */
+  private def clusterVec(c: Int, m: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => math.sin(c * 31.0 + j * 7.0) + m * 1e-6)
+
+  test("embeddingNearDup: planted clusters — members pair with their rep, never across clusters") {
+    val dim = 8
+    val rows = for (c <- 0 until 5; m <- 0 until 20)
+      yield (c * 100L + m, clusterVec(c, m, dim))
+    val emb = rows.toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDup(emb, "id", "vec", threshold = 0.999, planes = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every returned pair is intra-cluster (verified cosine)
+    assert(pairs.forall { case (a, b, cos) => a / 100 == b / 100 && cos >= 0.999 })
+    // recall: each cluster whose bucket it owns yields all 19 star pairs
+    val byCluster = pairs.groupBy(_._1 / 100).view.mapValues(_.length).toMap
+    assert(byCluster.values.sum >= 60, s"recall too low: $byCluster")
+    // star shape: pair source is always the cluster min id
+    assert(pairs.forall { case (a, _, _) => a % 100 == 0 })
+  }
+
+  test("annTopKIndexed recall vs exact brute-force top-k") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    val exact = Similarity.topK(emb, "id", "vec", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = Similarity.annIndex(emb, "id", "vec", planes = 6)
+    val ann = Similarity.annTopKIndexed(index, probe, 10, planes = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ann).size / 10.0
+    assert(recall >= 0.6, s"ANN recall $recall; exact=$exact ann=$ann")
+  }
+
+  test("winnow matches an independent sliding-window implementation") {
+    val k = 5; val w = 4
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),
+      (2L, "the same substring appears in both documents here"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    // independent formulation: k-grams exploded to rows, hashed by the
+    // same primitive, then windows/min/distinct/sort computed DRIVER-SIDE
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      if (t.length < k) Seq.empty
+      else (0 to t.length - k).map(i => (id, i, t.substring(i, i + k)))
+    }
+    val hashes = grams.toDF("doc_id", "pos", "g")
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val expected = texts.collect { case (id, t) if t.length >= k + w - 1 =>
+      // graft's winnow window j covers gram positions j .. j+w-1
+      val lastStart = t.length - k - (w - 1)
+      val fps = (0 to lastStart).map { j =>
+        (j until j + w).flatMap(p => hashes.get((id, p))).min
+      }
+      id -> fps.distinct.sorted
+    }
+    val actual = TextAnalysis.winnow(docs, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // doc 3 is shorter than k: the expression hashes short tails too, so
+    // compare only docs with >= k+w-1 chars (the guarantee's domain)
+    assert(actual(1L) === expected(1L))
+    assert(actual(2L) === expected(2L))
+  }
+
+  test("pageRank matches driver-side power iteration (GraphX static semantics)") {
+    // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in only)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val edgeDf = edges.toDF("src", "dst")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 0 until 10) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      rank = nodes.map(n => n -> (0.15 + 0.85 * in.getOrElse(n, 0.0))).toMap
+    }
+    val actual = GraphOps.pageRank(edgeDf, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { n =>
+      assert(math.abs(actual(n) - rank(n)) < 1e-4,
+        s"node $n: graphx=${actual(n)} power-iter=${rank(n)}")
+    }
+  }
+}

@@ -41,6 +41,22 @@ class SchemaSpec extends SparkSpec {
     assert(moods.map(_.getString(0)).toSeq === Seq("tired"))
   }
 
+  test("retracted cardinality declaration stops applying (schema reads resolved snapshot)") {
+    val sess = Transactor.emptySession(spark)
+    val r1 = sess.transact(Seq(
+      Transactor.MapForm(Seq(
+        Schema.SchemaAttr -> "nicknames",
+        Schema.CardinalityAttr -> Schema.CardinalityMany), tempId = Some("sch"))))
+    assert(Schema.cardManyAttrs(sess.db) === Set("nicknames"))
+    // retract the cardinality/many declaration — the attribute reverts
+    // to cardinality-one from here on
+    sess.transact(Seq(Transactor.Retract(
+      r1.tempIds("sch"), Schema.CardinalityAttr, Schema.CardinalityMany)))
+    assert(Schema.cardManyAttrs(sess.db) === Set.empty)
+    // as-of the declaring tx it still applies (time travel)
+    assert(Schema.cardManyAttrs(sess.db, asOfTx = r1.txId) === Set("nicknames"))
+  }
+
   test("getSchemas returns all schema props per attribute (reference schema_test)") {
     val sess = Transactor.emptySession(spark)
     sess.transact(Seq(

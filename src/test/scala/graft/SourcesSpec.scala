@@ -51,6 +51,28 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("snapshot version-resolution over a bucketed table needs no exchange") {
+    // The windows in FactDb.snapshot partition by (e, a, …); a table
+    // bucketed by e already clusters them, so the resolved read is
+    // sort-only — the SURVEY §3 cluster-layout claim, end-to-end.
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS facts_bucketed_snap")
+    val loc = new java.io.File("spark-warehouse/facts_bucketed_snap")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    FactLogIO.writeBucketedTable(db, "facts_bucketed_snap", buckets = 4)
+    val bucketed = db.copy(log = spark.table("facts_bucketed_snap"))
+    val snap = bucketed.snapshot()
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free snapshot:\n$plan")
+    assert(snap.count() === db.snapshot().count())
+  }
+
   test("unbound variable in predicate fails with the reference error") {
     val err = intercept[IllegalArgumentException] {
       graft.datalog.Compiler.run(
