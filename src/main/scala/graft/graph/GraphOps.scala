@@ -44,19 +44,26 @@ object GraphOps {
   def bfs(edgeDf: DataFrame, sources: Seq[Long], maxHops: Int)
          (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // materialize the edge set once — every iteration re-reads it
+    // materialize the edge set once — every iteration re-reads it.
+    // One materializing job per hop: only the FRONTIER is checkpointed
+    // (needed for the emptiness count anyway); the visited set stays a
+    // union tree of checkpointed frontiers, never re-materialized
+    // (same restructure as the datalog rule fixpoint).
     val edges = edgeDf.localCheckpoint(true)
-    var visited = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
-    var frontier = visited
+    var frontier = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
+    val parts = collection.mutable.ArrayBuffer(frontier)
+    var visited = frontier
+    var n = frontier.count()
     var hop = 0
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    while (hop < maxHops && n > 0) {
       hop += 1
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), lit(hop).as("hops"))
         .distinct()
       frontier = next.join(visited.select("node"), Seq("node"), "left_anti")
         .localCheckpoint(true)
-      visited = visited.unionAll(frontier).localCheckpoint(true)
+      n = frontier.count()
+      if (n > 0) { parts += frontier; visited = parts.reduce(_ unionAll _) }
     }
     visited
   }
@@ -70,25 +77,33 @@ object GraphOps {
   def temporalReach(tEdges: DataFrame, sources: Seq[Long], maxHops: Int)
                    (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    var best = sources.toDF("node").withColumn("arrival", lit(Long.MinValue))
+    // Edge set materialized once (it is often a derived join — e.g. the
+    // banded co-activity self-join — that must not re-execute per hop).
+    // One checkpoint per hop (the frontier); the best-arrival set is a
+    // union tree of frontiers resolved by a final groupBy-min, so the
+    // accumulated state is never re-materialized during iteration.
+    val edges = tEdges.localCheckpoint(true)
+    var frontier = sources.toDF("node").withColumn("arrival", lit(Long.MinValue))
       .localCheckpoint(true)
-    var frontier = best
+    val parts = collection.mutable.ArrayBuffer(frontier)
+    var n = frontier.count()
     var hop = 0
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    while (hop < maxHops && n > 0) {
       hop += 1
-      val expanded = frontier.join(tEdges, frontier("node") === tEdges("src") &&
-          tEdges("t") > frontier("arrival"))
+      val bestSoFar = parts.reduce(_ unionAll _)
+        .groupBy(col("node")).agg(min(col("arrival")).as("old"))
+      val expanded = frontier.join(edges, frontier("node") === edges("src") &&
+          edges("t") > frontier("arrival"))
         .groupBy(col("dst").as("node")).agg(min(col("t")).as("arrival"))
       // keep only strict improvements
-      frontier = expanded.join(best.withColumnRenamed("arrival", "old"), Seq("node"), "left")
+      frontier = expanded.join(bestSoFar, Seq("node"), "left")
         .filter(col("old").isNull || col("arrival") < col("old"))
         .select("node", "arrival").localCheckpoint(true)
-      best = best.withColumnRenamed("arrival", "old")
-        .join(frontier.withColumnRenamed("arrival", "new"), Seq("node"), "full_outer")
-        .select(col("node"), least(col("old"), col("new")).as("arrival"))
-        .localCheckpoint(true)
+      n = frontier.count()
+      if (n > 0) parts += frontier
     }
-    best
+    parts.reduce(_ unionAll _)
+      .groupBy(col("node")).agg(min(col("arrival")).as("arrival"))
   }
 
   /** GraphX view of an edge DataFrame (undirected algorithms pass

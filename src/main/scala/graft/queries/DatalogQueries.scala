@@ -27,6 +27,16 @@ object DatalogQueries {
     bucketedCache.getOrElseUpdate((s, dir), {
       val db = TestData.eventsDb(s, dir)
       val table = "graft_events_bucketed_" + math.abs(dir.hashCode.toLong)
+      // idempotent across sessions: a previous run's warehouse directory
+      // survives the (session-scoped) catalog entry — clear both.
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit =
+        if (f.exists()) {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+      rm(new java.io.File(s"$wh/$table"))
       graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8)
       db.copy(log = s.table(table))
     })

@@ -105,6 +105,24 @@ object GraphQueries {
     "graph_triangles" ->
       """WITH sz AS (SELECT n_regionkey, COUNT(*) AS k FROM nation GROUP BY n_regionkey)
          SELECT n_nationkey, CAST((k-1) * (k-2) / 2 AS INT) AS triangles
-         FROM nation JOIN sz USING (n_regionkey)"""
+         FROM nation JOIN sz USING (n_regionkey)""",
+    // 2-hop unrolling of the time-respecting reachability: hop-1
+    // arrivals from user 0, hop-2 expansion through strictly later
+    // edges, min arrival per node (source pinned at Long.MinValue).
+    "graph_temporal" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+              e AS (SELECT a.user_id AS src, b.user_id AS dst, greatest(a.t, b.t) AS tt
+                    FROM ev a JOIN ev b
+                      ON abs(a.t - b.t) <= 60000000 AND a.user_id <> b.user_id),
+              h1 AS (SELECT dst AS node, min(tt) AS arrival FROM e
+                     WHERE src = 0 GROUP BY dst),
+              x2 AS (SELECT e.dst AS node, min(e.tt) AS arrival
+                     FROM e JOIN h1 ON e.src = h1.node AND e.tt > h1.arrival
+                     GROUP BY e.dst),
+              allb AS (SELECT CAST(0 AS BIGINT) AS node,
+                              CAST(-9223372036854775807 - 1 AS BIGINT) AS arrival
+                       UNION ALL SELECT node, arrival FROM h1
+                       UNION ALL SELECT node, arrival FROM x2)
+         SELECT node AS user_id, min(arrival) AS arrival FROM allb GROUP BY node"""
   )
 }
