@@ -91,6 +91,26 @@ object TextAnalysis {
             j -> array_min(transform(sequence(j + 1, j + $w),
                    i -> xxhash64(substr(text, i, $k)))))))""").as("fingerprint"))
 
+  /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln((N+1)/(df+1)) (smoothed), deterministic (score desc, token)
+    * ranking. Two hash shuffles (per-doc tf, global df) + one window —
+    * the classic fully-distributed formulation; the corpus size joins
+    * in as a broadcast 1-row aggregate, no driver collect. */
+  def tfidfTop(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))))
+      .filter(col("rn") <= topK)
+      .select(col("doc_id"), col("tok"), round(col("score"), 6).as("score"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -71,6 +71,8 @@ object PipelineQueries {
 
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir), topK = 3)),
+
     "mm_plumbing" -> ((s, dir) =>
       Multimodal.features(Multimodal.decode(Multimodal.asBinary(docs(s, dir))))
         .select(col("doc_id"), col("n_bytes"), col("meta.width").as("width"),
@@ -141,6 +143,19 @@ object PipelineQueries {
             FROM (SELECT doc_id, text,
                          string_split_regex(lower(trim(text)), '\\s+') AS lt
                   FROM documents) x) t""",
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              scored AS (SELECT doc_id, tok, tf * ln((n + 1.0) / (df + 1.0)) AS score
+                         FROM tf JOIN df USING (tok), n)
+         SELECT doc_id, tok, round(score, 6) AS score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok) AS rn
+           FROM scored) t
+         WHERE rn <= 3""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

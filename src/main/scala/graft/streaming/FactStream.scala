@@ -40,6 +40,19 @@ object FactStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup — the streaming counterpart of
+    * pipeline.Dedup.exact for continuous ingestion: normalize + hash the
+    * content, emit only first-seen documents. State is bounded by the
+    * watermark (dropDuplicatesWithinWatermark), the property that keeps
+    * this runnable forever at ingest scale — an unbounded
+    * dropDuplicates state would grow with corpus size. `ts` must be a
+    * timestamp event-time column. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("text_hash",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .dropDuplicatesWithinWatermark("text_hash")
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserLatest(user_id: Long, last_event_id: Long, last_value: Double,
                               n_events: Long)

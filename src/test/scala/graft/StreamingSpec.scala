@@ -40,6 +40,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup emits only first-seen content, state bounded by watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = FactStream.dedupStream(docs, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData(
+      (t(1), 1L, "the quick brown fox"),
+      (t(2), 2L, "THE  quick   brown fox"), // normalizes to doc 1's content
+      (t(3), 3L, "something else entirely"))
+    q.processAllAvailable()
+    input.addData((t(4), 4L, "the quick brown fox")) // still within watermark
+    q.processAllAvailable()
+    val out = spark.table("dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+    q.stop()
+  }
+
   test("eventFacts emits fact-log rows on batch and streaming frames alike") {
     val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
