@@ -73,6 +73,19 @@ object PipelineQueries {
 
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir), topK = 3)),
 
+    // End-to-end curation pipeline — the composition a real training-data
+    // run executes: language gate -> quality gate -> exact-dedup
+    // survivors. One pass over the corpus, one hash shuffle (the dedup
+    // groupBy); the gates are pushed-down scans feeding it.
+    "pipeline_e2e" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = TextAnalysis.langId(d).filter(col("pred_lang") === "en")
+        .join(TextAnalysis.quality(d).filter(col("quality_score") >= 0.5), "doc_id")
+      val survivors = Dedup.exact(d).select(col("doc_id"))
+      gated.join(survivors, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), round(col("quality_score"), 6).as("quality_score"))
+    }),
+
     "mm_plumbing" -> ((s, dir) =>
       Multimodal.features(Multimodal.decode(Multimodal.asBinary(docs(s, dir))))
         .select(col("doc_id"), col("n_bytes"), col("meta.width").as("width"),
@@ -143,6 +156,47 @@ object PipelineQueries {
             FROM (SELECT doc_id, text,
                          string_split_regex(lower(trim(text)), '\\s+') AS lt
                   FROM documents) x) t""",
+    "pipeline_e2e" ->
+      s"""WITH lang AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                        WHEN s_de = m AND m > 0 THEN 'de'
+                        WHEN s_en = m AND m > 0 THEN 'en'
+                        WHEN s_es = m AND m > 0 THEN 'es'
+                        WHEN s_fr = m AND m > 0 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM (
+              SELECT doc_id, text,
+                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
+                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
+                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
+                     greatest(
+                       len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
+                       len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
+                       len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
+                       len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
+              FROM (SELECT doc_id, text,
+                           string_split_regex(lower(trim(text)), '\\s+') AS lt
+                    FROM documents) x) t),
+          qual AS (
+            SELECT doc_id, n_tokens,
+                   least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS quality_score
+            FROM (
+              SELECT doc_id,
+                     CAST(len($toksSql) AS DOUBLE) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                     CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
+                       / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+              FROM documents) t),
+          surv AS (SELECT min(doc_id) AS doc_id
+                   FROM documents
+                   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+          SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
+          FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
+          WHERE pred_lang = 'en' AND quality_score >= 0.5""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                       FROM documents),
