@@ -55,4 +55,50 @@ object Multimodal {
     decoded.withColumn("features",
       transform(sequence(lit(0), lit(dim - 1)),
         i => pmod(xxhash64(col("doc_id"), i), lit(1000L)) / 1000.0))
+
+  /** Batch "resize" to a bounding box: same mapPartitions shape as
+    * decode (one scaler per task). The stub clamps the metadata to the
+    * box preserving aspect ratio and truncates the payload
+    * proportionally — a real implementation swaps in the native scaler
+    * at the marked line and everything else stands. */
+  def resize(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = decoded.sparkSession
+    val schema = decoded.schema
+    val mediaIdx = schema.fieldIndex("media")
+    val metaIdx = schema.fieldIndex("meta")
+    val rdd = decoded.rdd.mapPartitions { rows =>
+      // real pipeline: val scaler = NativeScaler.open(maxW, maxH) — per task
+      rows.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val (w, h) = (meta.getInt(0), meta.getInt(1))
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        // ??? <- real rescale goes here; deterministic stand-in below
+        val outBytes = bytes.take(math.max(1, (bytes.length * scale * scale).toInt))
+        val newMeta = Row(math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt), meta.getString(2))
+        Row.fromSeq(r.toSeq.updated(mediaIdx, outBytes).updated(metaIdx, newMeta))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling: treat the payload as `frameSize`-byte frames and
+    * emit every `stride`-th one as its own row (doc_id, frame_idx,
+    * frame). This is the video→frames fan-out shape: a per-row
+    * generate (posexplode), no shuffle — downstream per-frame decode /
+    * embedding stages inherit the input partitioning. */
+  def frameSample(withMedia: DataFrame, frameSize: Int, stride: Int): DataFrame =
+    withMedia
+      .select(col("doc_id"),
+        posexplode(split_binary_frames(col("media"), frameSize)).as(Seq("frame_idx", "frame")))
+      .filter(pmod(col("frame_idx"), lit(stride)) === 0)
+
+  /** Chunk a binary column into fixed-size slices (codegen'd builtins:
+    * sequence + transform + substr on binary). */
+  private def split_binary_frames(media: org.apache.spark.sql.Column, frameSize: Int) =
+    transform(
+      sequence(lit(0),
+        greatest(((octet_length(media) - 1) / lit(frameSize)).cast(IntegerType), lit(0))),
+      i => media.substr(i * frameSize + 1, lit(frameSize)))
 }

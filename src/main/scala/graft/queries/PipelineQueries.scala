@@ -87,10 +87,17 @@ object PipelineQueries {
     }),
 
     "mm_plumbing" -> ((s, dir) =>
-      Multimodal.features(Multimodal.decode(Multimodal.asBinary(docs(s, dir))))
+      Multimodal.features(Multimodal.resize(
+          Multimodal.decode(Multimodal.asBinary(docs(s, dir))), maxW = 512, maxH = 512))
         .select(col("doc_id"), col("n_bytes"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.format").as("format"),
-          size(col("features")).as("n_features")))
+          size(col("features")).as("n_features"))),
+
+    // video→frames fan-out shape: fixed-size payload slices, every 2nd
+    // one emitted as its own row (rows-only; shapes spec-asserted).
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asBinary(docs(s, dir)), frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes")))
   )
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, Multimodal}
 import graft.datalog.Pull
 import graft.transact.Transactor
 import org.apache.spark.sql.functions._
@@ -51,6 +51,21 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("multimodal plumbing: decode meta, resize bounds, frame sampling shapes") {
+    val docs = Seq((1L, "x" * 300), (2L, "short")).toDF("doc_id", "text")
+    val decoded = Multimodal.decode(Multimodal.asBinary(docs))
+    val resized = Multimodal.resize(decoded, maxW = 100, maxH = 100)
+    val metas = resized.select(col("doc_id"), col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // every resized dimension fits the bounding box
+    assert(metas.values.forall { case (w, h) => w <= 100 && h <= 100 && w >= 1 && h >= 1 })
+    // frame sampling: 300 bytes at 64-byte frames = 5 frames, stride 2 -> idx 0,2,4
+    val frames = Multimodal.frameSample(Multimodal.asBinary(docs), 64, 2)
+      .filter(col("doc_id") === 1L)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(frames.toSeq === Seq(0, 2, 4))
   }
 
   test("transactor + nested pull round-trip") {
