@@ -23,14 +23,27 @@ object RangeJoin {
   private def bucketOf(time: String, radius: Long): Column =
     expr(s"($time - pmod($time, ${radius}L)) div ${radius}L")
 
-  /** @param leftTime/rightTime long columns (e.g. epoch nanos) */
+  /** @param leftTime/rightTime long columns (e.g. epoch nanos)
+    * @param salts >1 splinters each band into sub-buckets — the hot-band
+    *        guard: one busy minute of events otherwise lands every row
+    *        of both sides in a single reducer. Right rows hash into a
+    *        sub-bucket; left rows replicate across all of them, so the
+    *        result is identical and the hot band spreads over `salts`
+    *        reducers (on top of AQE's skew-join splitting). */
   def within(left: DataFrame, right: DataFrame,
-             leftTime: String, rightTime: String, radius: Long): DataFrame = {
+             leftTime: String, rightTime: String, radius: Long,
+             salts: Int = 1): DataFrame = {
     val lb = bucketOf(leftTime, radius)
-    val l = left.withColumn("__bucket", explode(array(lb - 1, lb, lb + 1)))
-    val r = right.withColumn("__bucket", bucketOf(rightTime, radius))
-    l.join(r, Seq("__bucket"))
+    val l0 = left.withColumn("__bucket", explode(array(lb - 1, lb, lb + 1)))
+    val r0 = right.withColumn("__bucket", bucketOf(rightTime, radius))
+    val (l, r, keys) =
+      if (salts <= 1) (l0, r0, Seq("__bucket"))
+      else (
+        l0.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1)))),
+        r0.withColumn("__salt", pmod(xxhash64(col(rightTime)), lit(salts)).cast("int")),
+        Seq("__bucket", "__salt"))
+    l.join(r, keys)
       .filter(abs(col(leftTime) - col(rightTime)) <= radius)
-      .drop("__bucket")
+      .drop(keys: _*)
   }
 }

@@ -27,10 +27,19 @@ object FactLogIO {
       .write.mode(mode)
       .partitionBy("a")
       .parquet(s"$path/facts")
-    val spark = db.log.sparkSession
+    writeMeta(db.log.sparkSession, path, db.attrTypes, db.cardMany, db.versioned, mode)
+  }
+
+  /** The one-row JSON metadata sidecar (value slots per attribute,
+    * cardinality-many set, versioned flag) — written separately so
+    * streaming writers, which produce only the facts directory, can
+    * complete the layout. */
+  def writeMeta(spark: SparkSession, path: String, attrTypes: Map[String, String],
+                cardMany: Set[String], versioned: Boolean,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
     import spark.implicits._
-    Seq((db.attrTypes.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
-        db.cardMany.toSeq.sorted.mkString(","), db.versioned))
+    Seq((attrTypes.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
+        cardMany.toSeq.sorted.mkString(","), versioned))
       .toDF("attr_types", "card_many", "versioned")
       .coalesce(1).write.mode(mode).json(s"$path/meta")
   }

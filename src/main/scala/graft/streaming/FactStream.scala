@@ -40,6 +40,23 @@ object FactStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Continuous ingestion into the durable fact-log layout
+    * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
+    * each micro-batch lands as new files inside the attribute
+    * partitions, which IS the append-only paradigm (no compaction
+    * needed for correctness; tx-ordered files, row-group tx stats prune
+    * as-of reads). Pair with FactLogIO.writeMeta to complete the
+    * layout, then FactLogIO.read + snapshot() query it. */
+  def writeFactLog(facts: DataFrame, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .format("parquet")
+      .option("path", s"$path/facts")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("a")
+      .outputMode("append")
+      .start()
+
   /** Streaming exact dedup — the streaming counterpart of
     * pipeline.Dedup.exact for continuous ingestion: normalize + hash the
     * content, emit only first-seen documents. State is bounded by the

@@ -29,6 +29,15 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((1L, 10L), (1L, 11L), (2L, 12L)))
   }
 
+  test("salted range join equals the unsalted join (hot-band guard)") {
+    val l = (1 to 200).map(i => (i.toLong, (i % 7) * 100L)).toDF("lid", "lt")
+    val r = (1 to 300).map(i => (1000L + i, (i % 5) * 100L + i % 60)).toDF("rid", "rt")
+    val plain = RangeJoin.within(l, r, "lt", "rt", 60L).select("lid", "rid")
+    val salted = RangeJoin.within(l, r, "lt", "rt", 60L, salts = 4).select("lid", "rid")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("exact dedup keeps min doc_id per content") {
     val docs = Seq((1L, "a b c"), (5L, "a  B c "), (9L, "x y")).toDF("doc_id", "text")
     val out = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).toSet

@@ -59,6 +59,28 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming ingestion lands in the durable fact-log layout and is queryable") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-log").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val facts = FactStream.eventFacts(events, userBase = 100L, txBase = 0L)
+    val q = FactStream.writeFactLog(facts, dir, s"$dir/ckpt")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((1L, t(1), 7L, "click", 1.5))
+    q.processAllAvailable()
+    input.addData((2L, t(2), 7L, "purchase", 9.0)) // second micro-batch: new files
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.FactLogIO.writeMeta(spark, dir,
+      Map("last_value" -> "vdbl", "last_type" -> "vstr"), Set.empty, versioned = true)
+    val db = graft.sources.FactLogIO.read(spark, dir)
+    // snapshot resolves across micro-batch file boundaries: latest wins
+    val latest = db.snapshot().filter(col("a") === "last_value")
+      .select("e", "vdbl").collect()
+    assert(latest.toSeq.map(r => (r.getLong(0), r.getDouble(1))) === Seq((107L, 9.0)))
+  }
+
   test("eventFacts emits fact-log rows on batch and streaming frames alike") {
     val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
