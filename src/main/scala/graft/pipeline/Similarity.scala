@@ -21,7 +21,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused one-pass native cosine (graft.functions.CosineSim): one array
+    * traversal instead of three dots, bit-identical accumulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
 
   /** Exact brute-force cosine top-k vs one probe vector. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,

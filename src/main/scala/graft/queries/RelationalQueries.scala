@@ -172,6 +172,17 @@ object RelationalQueries {
         .agg(dsum(revenue).as("volume"))
     }),
 
+    // Promo revenue share in a month (TPC-H Q14 shape): lineitem⋈part
+    // with a conditional aggregate — part is broadcast-size at any SF
+    // where it fits (AQE falls back to SMJ past the threshold).
+    "q14_promo" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01") && col("l_shipdate") < lit("1997-10-01"))
+        .join(read(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+            dsum(when(col("p_type").startsWith("PROMO"), revenue).otherwise(lit(0.0))) /
+            dsum(revenue)).as("promo_revenue"))),
+
     // For each purchase event: the user's most recent signup at-or-before
     // it (custom as-of operator; oracle = DuckDB's native ASOF JOIN).
     "q_asof_join" -> ((s, dir) => {
@@ -316,6 +327,12 @@ object RelationalQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
                  ${dsumSql("o_totalprice")} AS total
           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "q14_promo" ->
+      s"""SELECT 100.0 * ${dsumSql(s"CASE WHEN p_type LIKE 'PROMO%' THEN $revSql ELSE 0.0 END")}
+                 / ${dsumSql(revSql)} AS promo_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
                 epoch_us(s.ts) AS signup_us

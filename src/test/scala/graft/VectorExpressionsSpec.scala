@@ -28,6 +28,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(0) === 85344000.0)
   }
 
+  test("fused cosine matches the three-dot formulation bit-for-bit") {
+    val composed = df.filter(col("id") === 1).select(
+      (VectorExpressions.dot(col("a"), col("b")) /
+        (sqrt(VectorExpressions.dot(col("a"), col("a"))) *
+          sqrt(VectorExpressions.dot(col("b"), col("b"))))).as("c"))
+    val fused = df.filter(col("id") === 1)
+      .select(VectorExpressions.cosine(col("a"), col("b")).as("c"))
+    assert(fused.head().getDouble(0) === composed.head().getDouble(0))
+  }
+
+  test("fused cosine survives whole-stage codegen (many rows)") {
+    val wide = spark.range(1000).select(col("id"),
+      transform(sequence(lit(1), lit(64)), i => i.cast("double")).as("v"))
+    // cosine(v, v) == 1.0 up to sqrt(x)*sqrt(x) rounding
+    val out = wide.select(sum(VectorExpressions.cosine(col("v"), col("v"))).as("s")).head()
+    assert(math.abs(out.getDouble(0) - 1000.0) < 1e-9)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
