@@ -355,7 +355,12 @@ object Compiler {
       //    O(delta ⋈ body + anti-join scan), not O(closure) writes;
       //  - the emptiness check is a count over the just-checkpointed
       //    delta partitions (no extra computation).
-      var delta = baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
+      // evalDef outputs are already distinct per definition, so a
+      // single-definition delta needs no extra dedup shuffle — only
+      // multi-definition unions do.
+      def dedupIfUnion(parts: Seq[DataFrame]): DataFrame =
+        if (parts.size == 1) parts.head else parts.reduce(_ unionAll _).distinct()
+      var delta = dedupIfUnion(baseDefs.map(evalDef(_, None)))
         .localCheckpoint(eager = true)
       val deltas = collection.mutable.ArrayBuffer(delta)
       var total = delta
@@ -363,9 +368,9 @@ object Compiler {
       var i = 0
       val maxIter = 100
       while (n > 0 && i < maxIter) {
-        val expanded = recDefs.map(evalDef(_, Some(delta))).reduce(_ unionAll _)
+        val expanded = dedupIfUnion(recDefs.map(evalDef(_, Some(delta))))
         delta = expanded.join(total, joinCond(expanded, total, params), "left_anti")
-          .distinct().localCheckpoint(eager = true)
+          .localCheckpoint(eager = true)
         n = delta.count()
         if (n > 0) { deltas += delta; total = deltas.reduce(_ unionAll _) }
         i += 1
