@@ -73,6 +73,40 @@ class SourcesSpec extends SparkSpec {
     assert(snap.count() === db.snapshot().count())
   }
 
+  test("attribute-constant reads prune to one partition of the durable layout") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    FactLogIO.write(db, dir, buckets = 2)
+    val scan = FactLogIO.read(spark, dir).log.filter(col("a") === "active")
+    val plan = scan.queryExecution.executedPlan.toString
+    // the AVET-index role: partitionBy("a") turns the attribute filter
+    // into directory pruning, visible as a PartitionFilters entry
+    assert(plan.contains("PartitionFilters") && plan.contains("active"),
+      s"expected partition pruning on a:\n$plan")
+    assert(scan.count() > 0)
+  }
+
+  test("unknown predicate / unknown function fail with the reference errors") {
+    import graft.datalog._
+    val db = graft.datalog.Compiler.Db(TestData.eventsDb(spark, "/root/testdata/sf0.001"))
+    val p = intercept[IllegalArgumentException] {
+      Compiler.run(db, Query(
+        find = Seq(FVar(V("v"), "v")),
+        where = And(
+          Pattern(V("u"), C("last_value"), V("v")),
+          Pred("foo", V("v"), C(1.0)))))(spark)
+    }
+    assert(p.getMessage === "Unknown predicate foo") // reference :unknown-predicate
+    val f = intercept[IllegalArgumentException] {
+      Compiler.run(db, Query(
+        find = Seq(FVar(V("o"), "o")),
+        where = And(
+          Pattern(V("u"), C("last_value"), V("v")),
+          FnBind("bar", V("o"), V("v")))))(spark)
+    }
+    assert(f.getMessage === "Unknown function bar")
+  }
+
   test("unbound variable in predicate fails with the reference error") {
     val err = intercept[IllegalArgumentException] {
       graft.datalog.Compiler.run(
