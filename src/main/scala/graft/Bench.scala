@@ -11,6 +11,7 @@ object Bench {
     "q_asof_join", "q_range_join",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
+    "text_tfidf", "pipeline_e2e",
     "graph_reach", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {

@@ -125,6 +125,14 @@ object Dedup {
     identical.unionAll(near)
   }
 
+  /** The deduplicated corpus: drop every doc appearing as the MEMBER
+    * side (`b`) of a near-dup pair, keeping representatives — the
+    * consumer step after any of the pair generators here (their star
+    * shape makes this the greedy one-survivor-per-cluster policy).
+    * One anti-join, no driver-side state. */
+  def keepSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
   /** 64-bit SimHash per doc: per-bit +1/-1 votes from each token's
     * xxhash64, sign of the vote sum becomes the bit. */
   def simhashSignatures(docs: DataFrame): DataFrame = {

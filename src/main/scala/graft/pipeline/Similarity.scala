@@ -49,22 +49,27 @@ object Similarity {
     * collecting k×dim doubles to the driver per iteration is the
     * standard (and scale-independent) pattern.
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              probe: Seq[Double], k: Int, nlist: Int = 8, nprobe: Int = 2,
-              iters: Int = 2, excludeId: Option[Long] = None): DataFrame = {
-    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val dim = probe.length
+  /** A trained IVF index: per-vector cell assignments + the centroid
+    * model. At scale `assigned` is a persisted sidecar (parquet
+    * partitioned by cell) and `centroids` is the k×dim model artifact —
+    * queries read both instead of re-running Lloyd per probe. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Seq[Double]])
 
-    def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
-      // squared L2 via dot products; argmin with first-wins tie-break
-      val dists = cents.map { c =>
-        val cCol = array(c.map(lit): _*)
-        dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)
-      }
-      val arr = array(dists: _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
+  private def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    // squared L2 via dot products; argmin with first-wins tie-break
+    val dists = cents.map { c =>
+      val cCol = array(c.map(lit): _*)
+      dot(vec, vec) - lit(2.0) * dot(vec, cCol) + lit(c.map(x => x * x).sum)
     }
+    val arr = array(dists: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
 
+  /** Train the coarse quantizer + assign every vector to its cell —
+    * the one-off indexing pass. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nlist: Int = 8, iters: Int = 2): IvfIndex = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     var centroids: Seq[Seq[Double]] = data
       .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
       .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -81,18 +86,31 @@ object Similarity {
         }.toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    IvfIndex(data.withColumn("cell", nearestCell(col("vec"), centroids)), centroids)
+  }
 
+  /** Query a precomputed IVF index: rank cells by probe distance, scan
+    * only the nearest `nprobe` of them with exact rescoring. */
+  def ivfTopKIndexed(index: IvfIndex, probe: Seq[Double], k: Int,
+                     nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
     val probeCol = array(probe.map(lit): _*)
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+    val probeCells = index.centroids.zipWithIndex.map { case (c, i) =>
       val d2 = probe.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
       (i, d2)
     }.sortBy(_._2).take(nprobe).map(_._1)
-    val cands = data.withColumn("cell", nearestCell(col("vec"), centroids))
-      .filter(col("cell").isin(probeCells: _*))
+    val cands = index.assigned.filter(col("cell").isin(probeCells: _*))
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
+
+  /** One-shot IVF top-k (index trained inline — prefer ivfIndex +
+    * ivfTopKIndexed when serving many probes). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              probe: Seq[Double], k: Int, nlist: Int = 8, nprobe: Int = 2,
+              iters: Int = 2, excludeId: Option[Long] = None): DataFrame =
+    ivfTopKIndexed(ivfIndex(emb, idCol, vecCol, probe.length, nlist, iters),
+      probe, k, nprobe, excludeId)
 
   /** Sign-LSH signature of `vec` over `planes` deterministic
     * pseudo-random hyperplanes (hash-derived components in [-1,1] —

@@ -32,6 +32,18 @@ object PipelineQueries {
       Similarity.annIndex(emb(s, dir), "vec_id", "vec", planes = 8)
         .localCheckpoint(true))
 
+  /** IVF index (k-means model + cell assignments) trained once per
+    * (session, dir) — the in-memory stand-in for the persisted
+    * cell-partitioned sidecar + centroid artifact. */
+  private val ivfIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
+  private def ivfIdx(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfIdxCache.getOrElseUpdate((s, dir), {
+      val idx = Similarity.ivfIndex(emb(s, dir), "vec_id", "vec",
+        dim = probeVec(s, dir).length, nlist = 8, iters = 2)
+      idx.copy(assigned = idx.assigned.localCheckpoint(true))
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -55,8 +67,8 @@ object PipelineQueries {
         planes = 8, excludeId = Some(0L))),
 
     "sim_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
-        nlist = 8, nprobe = 2, excludeId = Some(0L))),
+      Similarity.ivfTopKIndexed(ivfIdx(s, dir), probeVec(s, dir), 10,
+        nprobe = 2, excludeId = Some(0L))),
 
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir))

@@ -81,6 +81,27 @@ class GroundTruthSpec extends SparkSpec {
     assert(pairs.forall { case (a, _, _) => a % 100 == 0 })
   }
 
+  test("keepSurvivors drops exactly the member side of near-dup pairs") {
+    val survivors = Dedup.keepSurvivors(clusterDocs,
+        Dedup.minhashLsh(clusterDocs, k = 64, bands = 16, estThreshold = 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1000 identical docs collapse to rep 0; all 50 unique fillers survive
+    assert(survivors === (Set(0L) ++ (0 until 50).map(i => 5000L + i)))
+  }
+
+  test("ivfTopKIndexed over a precomputed index equals inline ivfTopK") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    val inline = Similarity.ivfTopK(emb, "id", "vec", probe, 10, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Similarity.ivfIndex(emb, "id", "vec", dim, nlist = 8, iters = 2)
+    val indexed = Similarity.ivfTopKIndexed(idx, probe, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === inline)
+  }
+
   test("annTopKIndexed recall vs exact brute-force top-k") {
     val dim = 8
     val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
