@@ -66,6 +66,15 @@ class CompilerSpec extends SparkSpec {
     assert(row.getLong(0) === 3L && row.getLong(1) === 125000L)
   }
 
+  test("global aggregate without group keys") {
+    val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
+    val out = Compiler.run(db, Query(
+      find = Seq(FAgg("count", V("v"), "n"), FAgg("max", V("v"), "mx")),
+      where = Pattern(V("u"), C("last_value"), V("v"))))(spark)
+      .collect()
+    assert(out.length === 1 && out.head.getLong(0) > 0)
+  }
+
   test("recursive ancestor rule reaches fixpoint") {
     val chain = mkDb(Seq(
       r(1, "parent", 2), r(2, "parent", 3), r(3, "parent", 4)),
