@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+
+/** CI-checked physical-plan properties — the SURVEY §3 scale claims
+  * (pushdown, column pruning, broadcast of small dims, top-k without a
+  * global sort) asserted on the real query set instead of audited by
+  * hand. A regression that silently de-optimizes a plan fails here
+  * even while results stay correct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    (RelationalQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter reaches the parquet scan; unused columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"expected pushed shipdate filter:\n$p")
+    // 11-column table, 6-column query: the scan schema must not carry
+    // the join keys / tax it never uses
+    assert(!p.contains("l_tax") && !p.contains("l_partkey"),
+      s"expected pruned ReadSchema:\n$p")
+  }
+
+  test("q5_multijoin: dim filters pushed; nation/region broadcast") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("r_name"),
+      s"expected pushed region filter:\n$p")
+  }
+
+  test("sim_topk: per-partition top-k, no global sort") {
+    val p = plan("sim_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(!p.contains("\nSort "), s"expected no global Sort:\n$p")
+  }
+
+  test("sim_ann: corpus side is the precomputed index scan, not a signature pass") {
+    val p = plan("sim_ann")
+    // the index is a checkpointed RDD scan; the signature expression
+    // (xxhash64-based plane dots) must not appear over the corpus
+    assert(p.contains("Scan ExistingRDD"), s"expected index scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k merge:\n$p")
+  }
+}
