@@ -24,6 +24,45 @@ class GraftSpec extends SparkSpec {
     assert(nameAt(conn.asOfInstant(500)) === Seq.empty)
   }
 
+  test("pull: reference flagship scenario — card-many friends, nested status, missing attrs") {
+    // mirrors reference query_test.clj:520-560: Alice pulls name,
+    // favorite-color, nested status text, and a cardinality-many
+    // friends list each with their own nested status (Bob has none).
+    import graft.core.Schema
+    import spark.implicits._
+    val conn = Graft.open(spark)
+    conn.transact(Seq(MapForm(Seq(
+      Schema.SchemaAttr -> "friends",
+      Schema.CardinalityAttr -> Schema.CardinalityMany))))
+    val r = conn.transact(Seq(
+      MapForm(Seq("name" -> "Bob", "favorite-color" -> "green"), tempId = Some("bob")),
+      MapForm(Seq("name" -> "Carl", "favorite-color" -> "yellow",
+        "status" -> MapForm(Seq("text" -> "Feeling bad"))), tempId = Some("carl")),
+      MapForm(Seq("name" -> "Alice", "favorite-color" -> "red",
+        "status" -> MapForm(Seq("text" -> "Feeling good"))), tempId = Some("alice"))))
+    val (alice, bob, carl) = (r.tempIds("alice"), r.tempIds("bob"), r.tempIds("carl"))
+    conn.transact(Seq(
+      Add(alice, "friends", conn.session.EntityRef(bob)),
+      Add(alice, "friends", conn.session.EntityRef(carl))))
+
+    val spec = Pull.Spec(Seq("name", "favorite-color"), Seq(
+      "status" -> Pull.Spec(Seq("text")),
+      "friends" -> Pull.Spec(Seq("name", "favorite-color"),
+        Seq("status" -> Pull.Spec(Seq("text"))))))
+    val row = conn.pull(Seq(alice).toDF("e"), spec)
+      .select("pulled").head().getStruct(0)
+    assert(row.getString(0) === "Alice")
+    assert(row.getString(1) === "red")
+    assert(row.getStruct(2).getString(0) === "Feeling good")
+    val friends = row.getSeq[org.apache.spark.sql.Row](3)
+    assert(friends.length === 2)
+    val byName = friends.map(f => f.getString(0) -> f).toMap
+    assert(byName("Carl").getString(1) === "yellow")
+    assert(byName("Carl").getStruct(2).getString(0) === "Feeling bad")
+    assert(byName("Bob").getString(1) === "green")
+    assert(byName("Bob").isNullAt(2) || byName("Bob").getStruct(2).isNullAt(0)) // no status
+  }
+
   test("connection workflow: transact, query, as-of, retract, pull") {
     val conn = Graft.open(spark)
     val r1 = conn.transact(Seq(
