@@ -172,6 +172,19 @@ object RelationalQueries {
         .agg(dsum(revenue).as("volume"))
     }),
 
+    // Sketch aggregates — the interactive-analytics path at 100 TB where
+    // exact distinct/percentile would shuffle every value: HLL++
+    // (approx_count_distinct) and a quantile sketch (approx_percentile)
+    // are map-side mergeable, so cost is one partial-agg pass. Approximate
+    // results differ per engine → rows-only + an error-bound spec.
+    "q_approx" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+          count(lit(1)).as("n"))),
+
     // Promo revenue share in a month (TPC-H Q14 shape): lineitem⋈part
     // with a conditional aggregate — part is broadcast-size at any SF
     // where it fits (AQE falls back to SMJ past the threshold).

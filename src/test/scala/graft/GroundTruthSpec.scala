@@ -149,6 +149,23 @@ class GroundTruthSpec extends SparkSpec {
     assert(actual(2L) === expected(2L))
   }
 
+  test("sketch aggregates stay within error bounds of exact answers") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val approx = graft.queries.RelationalQueries.queries("q_approx")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    exact.foreach { case (et, (users, med)) =>
+      val (au, amed) = approx(et)
+      assert(math.abs(au - users).toDouble / users < 0.05,
+        s"$et: approx users $au vs exact $users")
+      assert(math.abs(amed - med) / math.max(math.abs(med), 1e-9) < 0.10,
+        s"$et: approx median $amed vs exact $med")
+    }
+  }
+
   test("pageRank matches driver-side power iteration (GraphX static semantics)") {
     // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in only)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
