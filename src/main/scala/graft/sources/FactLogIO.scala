@@ -53,6 +53,37 @@ object FactLogIO {
       .bucketBy(buckets, "e").sortBy("e", "a", "tx")
       .format("parquet").saveAsTable(table)
 
+  /** Index compaction (the reference's B-tree index-build analogue,
+    * Datomic-style log+index): materialize the RESOLVED snapshot at
+    * `watermark` as a base segment. Subsequent snapshot reads resolve
+    * base ∪ facts-after-watermark, so query cost is proportional to
+    * the LIVE set + tail — not to total history length. The full log
+    * stays untouched for historical / as-of-before-watermark reads.
+    *
+    * Correct because version resolution is newest-op-wins per value: a
+    * base fact re-enters resolution at its original tx, so a tail
+    * retraction (newer tx) still cancels it, and a tail assertion
+    * still supersedes it for cardinality-one. */
+  def writeSnapshotBase(db: FactDb, path: String, watermark: Long): Unit = {
+    db.snapshot(watermark)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/base")
+    val spark = db.log.sparkSession
+    import spark.implicits._
+    Seq(watermark).toDF("watermark")
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/base_meta")
+  }
+
+  /** A FactDb whose snapshot() resolves the compacted base + the log
+    * tail past the watermark. Historical reads must keep using the
+    * original db (the base has dead versions compacted away). */
+  def withSnapshotBase(spark: SparkSession, path: String, db: FactDb): FactDb = {
+    val watermark = spark.read.json(s"$path/base_meta").head().getAs[Long]("watermark")
+    val base = spark.read.parquet(s"$path/base")
+      .select(FactStore.factSchema.fieldNames.toIndexedSeq.map(col): _*)
+    db.copy(log = base.unionAll(db.log.filter(col("tx") > watermark)),
+      versioned = true)
+  }
+
   def read(spark: SparkSession, path: String): FactDb = {
     val meta = spark.read.json(s"$path/meta").head()
     val attrTypes = meta.getAs[String]("attr_types").split(',')

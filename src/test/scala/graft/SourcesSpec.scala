@@ -73,6 +73,31 @@ class SourcesSpec extends SparkSpec {
     assert(snap.count() === db.snapshot().count())
   }
 
+  test("snapshot-base compaction: base + tail resolves identically to the full log") {
+    import graft.transact.Transactor
+    val dir = Files.createTempDirectory("graft-base").toString
+    val sess = Transactor.emptySession(spark)
+    val r1 = sess.transact(Seq(
+      Transactor.MapForm(Seq("score" -> 1.0, "active" -> 1L), tempId = Some("u1")),
+      Transactor.MapForm(Seq("score" -> 5.0), tempId = Some("u2"))))
+    val (u1, u2) = (r1.tempIds("u1"), r1.tempIds("u2"))
+    val watermark = r1.txId
+    FactLogIO.writeSnapshotBase(sess.db, dir, watermark)
+    // tail past the watermark: retract a base fact, supersede a card-one
+    sess.transact(Seq(
+      Transactor.Retract(u1, "active", 1L),
+      Transactor.Add(u2, "score", 7.0)))
+    val full = sess.db.snapshot()
+      .select("e", "a", "vdbl", "vlong").collect().map(_.toSeq).toSet
+    val compacted = FactLogIO.withSnapshotBase(spark, dir, sess.db).snapshot()
+      .select("e", "a", "vdbl", "vlong").collect().map(_.toSeq).toSet
+    assert(compacted === full)
+    // the tail retraction cancelled the base fact...
+    assert(!compacted.exists(r => r(0) == u1 && r(1) == "active"))
+    // ...and the tail assertion superseded the base card-one value
+    assert(compacted.exists(r => r(0) == u2 && r(1) == "score" && r(2) == 7.0))
+  }
+
   test("attribute-constant reads prune to one partition of the durable layout") {
     val dir = Files.createTempDirectory("graft-prune").toString
     val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
