@@ -111,6 +111,18 @@ class SourcesSpec extends SparkSpec {
     assert(scan.count() > 0)
   }
 
+  test("as-of reads push the tx bound into the parquet scan") {
+    val dir = Files.createTempDirectory("graft-txprune").toString
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    FactLogIO.write(db, dir, buckets = 2)
+    val asOf = FactLogIO.read(spark, dir).historical(asOfTx = 500L)
+    val plan = asOf.queryExecution.executedPlan.toString
+    // tx <= bound reaches the scan → row-group min/max stats skip old
+    // segments (the append-only layout writes tx-ordered files)
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(tx,500)"),
+      s"expected pushed tx bound:\n$plan")
+  }
+
   test("unknown predicate / unknown function fail with the reference errors") {
     import graft.datalog._
     val db = graft.datalog.Compiler.Db(TestData.eventsDb(spark, "/root/testdata/sf0.001"))
