@@ -151,6 +151,40 @@ object Similarity {
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
 
+  /** Multi-probe width chosen from a candidate budget: with `planes`
+    * sign bits the corpus spreads over 2^planes buckets, so probing m
+    * buckets yields ≈ m·n/2^planes candidates. The probe ring widens
+    * (exact bucket → 1-bit flips → 2-bit flips …) until the EXPECTED
+    * candidate count reaches `minCandidates` — the recall/latency knob
+    * a fixed 1-bit ring gets wrong when planes is sized for a much
+    * larger corpus (sparse buckets → starved top-k). All probe buckets
+    * stay plan-time constants; the corpus-side plan is unchanged. */
+  def annTopKAdaptive(index: DataFrame, corpusSize: Long, probe: Seq[Double],
+                      k: Int, planes: Int = 8, minCandidates: Int = 1000,
+                      excludeId: Option[Long] = None): DataFrame = {
+    val perBucket = math.max(corpusSize.toDouble / (1L << planes), 1e-9)
+    def choose(n: Int, r: Int): Long =
+      (0 until r).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+    var buckets = 1L
+    var flips = 0
+    while (buckets * perBucket < minCandidates && flips < planes) {
+      flips += 1
+      buckets += choose(planes, flips)
+    }
+    val maxFlips = flips
+    val probeCol = array(probe.map(lit): _*)
+    val probeSig = sigOf(probeCol, planes)
+    val masks = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= maxFlips).map(_.toLong)
+    val probeBuckets = index.sparkSession.range(1)
+      .select(explode(array(masks.map(m => probeSig.bitwiseXOR(lit(m))): _*)).as("bucket"))
+      .distinct()
+    val cands = index.join(broadcast(probeBuckets), "bucket")
+    val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
+    val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+    filtered.orderBy(col("cos").desc, col("id")).limit(k)
+  }
+
   /** One-shot ANN top-k (index built inline — prefer annIndex +
     * annTopKIndexed when serving many probes). */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,

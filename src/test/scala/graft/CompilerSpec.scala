@@ -90,6 +90,31 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() === 6) // 1->2,3,4; 2->3,4; 3->4
   }
 
+  test("recursive rule terminates on a cyclic graph (closure of a 3-cycle)") {
+    // 0→1→2→0: semi-naive must stop when the delta empties, not loop —
+    // the anti-join against the accumulated closure is what terminates it.
+    val sess = graft.transact.Transactor.emptySession(spark)
+    val r = sess.transact(Seq(
+      graft.transact.Transactor.MapForm(Seq("name" -> "n0"), tempId = Some("n0")),
+      graft.transact.Transactor.MapForm(Seq("name" -> "n1"), tempId = Some("n1")),
+      graft.transact.Transactor.MapForm(Seq("name" -> "n2"), tempId = Some("n2"))))
+    val ids = Seq("n0", "n1", "n2").map(r.tempIds)
+    sess.transact(Seq(
+      graft.transact.Transactor.Add(ids(0), "next", sess.EntityRef(ids(1))),
+      graft.transact.Transactor.Add(ids(1), "next", sess.EntityRef(ids(2))),
+      graft.transact.Transactor.Add(ids(2), "next", sess.EntityRef(ids(0)))))
+    val out = Compiler.run(Compiler.Db(sess.db), Query(
+      find = Seq(FVar(V("x"), "x"), FVar(V("y"), "y")),
+      where = RuleApp("reach", V("x"), V("y")),
+      rules = Seq(
+        Rule("reach", Seq(V("a"), V("b")), Pattern(V("a"), C("next"), V("b"))),
+        Rule("reach", Seq(V("a"), V("b")), And(
+          Pattern(V("a"), C("next"), V("m")),
+          RuleApp("reach", V("m"), V("b")))))))(spark)
+    // every node reaches every node (including itself) → 9 pairs
+    assert(out.count() === 9)
+  }
+
   test("historical pattern exposes tx and added") {
     val db = Db(employees.facts, historical = true)
     val out = Compiler.run(db, Query(

@@ -116,6 +116,29 @@ class GroundTruthSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall $recall; exact=$exact ann=$ann")
   }
 
+  test("adaptive multi-probe widens the ring until the top-k is fully served") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    // 10 planes over 200 vectors → ~0.2 vectors/bucket: the fixed 1-bit
+    // ring starves, the adaptive ring must still return k results with
+    // recall at least as good
+    val index = Similarity.annIndex(emb, "id", "vec", planes = 10)
+    val exact = Similarity.topK(emb, "id", "vec", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val fixed = Similarity.annTopKIndexed(index, probe, 10, planes = 10)
+      .collect().map(_.getLong(0)).toSet
+    val adaptive = Similarity.annTopKAdaptive(index, 200L, probe, 10,
+        planes = 10, minCandidates = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(adaptive.size === 10)
+    val fixedRecall = (exact intersect fixed).size
+    val adaptiveRecall = (exact intersect adaptive).size
+    assert(adaptiveRecall >= fixedRecall)
+    assert(adaptiveRecall >= 6, s"adaptive recall $adaptiveRecall/10")
+  }
+
   test("winnow matches an independent sliding-window implementation") {
     val k = 5; val w = 4
     val docs = Seq(
