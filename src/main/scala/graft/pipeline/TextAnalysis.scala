@@ -111,6 +111,19 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), round(col("score"), 6).as("score"))
   }
 
+  /** Feature-hashing bag-of-words: each token hashes (md5-derived, so
+    * any engine reproduces it) into one of `dims` buckets; output is
+    * the sparse (doc_id, dim, cnt) long form — the hashing-trick text
+    * vectorizer feeding linear probes/classifiers. One explode + one
+    * hash-shuffle groupBy, map-side combinable. */
+  def hashVectors(docs: DataFrame, dims: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dims)).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -85,6 +85,8 @@ object PipelineQueries {
 
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir), topK = 3)),
 
+    "text_hashvec" -> ((s, dir) => TextAnalysis.hashVectors(docs(s, dir), dims = 64)),
+
     // End-to-end curation pipeline — the composition a real training-data
     // run executes: language gate -> quality gate -> exact-dedup
     // survivors. One pass over the corpus, one hash shuffle (the dedup
@@ -216,6 +218,14 @@ object PipelineQueries {
           SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
           FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
           WHERE pred_lang = 'en' AND quality_score >= 0.5""",
+    "text_hashvec" ->
+      """SELECT doc_id,
+                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                count(*) AS cnt
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+               FROM documents) t
+         GROUP BY 1, 2""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                       FROM documents),

@@ -77,6 +77,29 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0, 2, 4))
   }
 
+  test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
+    // reference transact_test.clj "List value": line-items is a seq of
+    // maps → one ref per child + the child facts
+    val sess = Transactor.emptySession(spark)
+    val r = sess.transact(Seq(Transactor.MapForm(Seq(
+      "customer-id" -> 1234L,
+      "line-items" -> Seq(
+        Transactor.MapForm(Seq("cost" -> 100L)),
+        Transactor.MapForm(Seq("cost" -> 200L)))),
+      tempId = Some("order1"))))
+    val order = r.tempIds("order1")
+    val log = sess.db.log
+    assert(log.filter(col("a") === "line-items" && col("e") === order).count() === 2)
+    assert(log.filter(col("a") === "cost").select("vlong")
+      .collect().map(_.getLong(0)).toSet === Set(100L, 200L))
+    // child refs point at the entities carrying the cost facts
+    val children = log.filter(col("a") === "line-items").select("vref")
+      .collect().map(_.getLong(0)).toSet
+    val costEnts = log.filter(col("a") === "cost").select("e")
+      .collect().map(_.getLong(0)).toSet
+    assert(children === costEnts)
+  }
+
   test("transactor + nested pull round-trip") {
     val sess = Transactor.emptySession(spark)
     sess.transact(Seq(Transactor.MapForm(Seq(
