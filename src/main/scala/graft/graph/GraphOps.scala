@@ -127,6 +127,19 @@ object GraphOps {
       .select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Hop-count shortest paths to a landmark set via GraphX's Pregel
+    * ShortestPaths. Output long form: (node, landmark, dist). Pass a
+    * symmetrized edge set for undirected distance. */
+  def shortestPaths(edgeDf: DataFrame, landmarks: Seq[Long])
+                   (implicit spark: SparkSession): DataFrame = {
+    val res = org.apache.spark.graphx.lib.ShortestPaths
+      .run(toGraphX(edgeDf), landmarks)
+    val rows = res.vertices.flatMap { case (node, spmap) =>
+      spmap.map { case (landmark, dist) => (node, landmark, dist) }
+    }
+    spark.createDataFrame(rows).toDF("node", "landmark", "dist")
+  }
+
   /** Per-node triangle count via GraphX (input must be symmetric+simple;
     * canonicalOrientation handles that). */
   def triangleCounts(edgeDf: DataFrame)(implicit spark: SparkSession): DataFrame = {

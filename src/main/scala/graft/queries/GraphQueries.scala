@@ -60,6 +60,21 @@ object GraphQueries {
         .select((col("node") - TestData.NationBase).as("n_nationkey"), col("triangles"))
     }),
 
+    // hop-count shortest paths to a landmark over the nation parent
+    // tree (parent(k) = floor((k-1)/2), symmetrized) — tree distance ==
+    // node depth, so an exact recursive SQL oracle exists.
+    "graph_sssp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = TestData.read(s, dir, "nation").select(col("n_nationkey").as("k"))
+      val up = n.filter(col("k") > 0).select(
+        (col("k") + TestData.NationBase).as("src"),
+        (expr("(k - 1) div 2") + TestData.NationBase).as("dst"))
+      val edges = up.unionAll(up.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.shortestPaths(edges, Seq(TestData.NationBase))
+        .filter(col("landmark") === TestData.NationBase)
+        .select(col("node"), col("dist"))
+    }),
+
     // time-respecting reachability over a temporal co-activity graph:
     // users interacting (events within 60s of each other) form timed
     // edges; which users does user 0 reach through increasing-time paths?
@@ -106,6 +121,16 @@ object GraphQueries {
       """WITH sz AS (SELECT n_regionkey, COUNT(*) AS k FROM nation GROUP BY n_regionkey)
          SELECT n_nationkey, CAST((k-1) * (k-2) / 2 AS INT) AS triangles
          FROM nation JOIN sz USING (n_regionkey)""",
+    "graph_sssp" ->
+      """WITH RECURSIVE d AS (
+           SELECT 0 AS k, 0 AS dist
+           UNION ALL
+           SELECT n.n_nationkey AS k, d.dist + 1
+           FROM nation n JOIN d
+             ON CAST(floor((n.n_nationkey - 1) / 2.0) AS BIGINT) = d.k
+           WHERE n.n_nationkey > 0
+         )
+         SELECT 2000000000 + k AS node, dist FROM d""",
     // 2-hop unrolling of the time-respecting reachability: hop-1
     // arrivals from user 0, hop-2 expansion through strictly later
     // edges, min arrival per node (source pinned at Long.MinValue).
