@@ -57,6 +57,33 @@ object FactStream {
       .outputMode("append")
       .start()
 
+  /** Continuous ingestion WITH periodic index maintenance — the
+    * transactor+indexer loop: every micro-batch appends to the durable
+    * log; every `compactEvery` batches the resolved snapshot re-bases
+    * (FactLogIO.writeSnapshotBase), so snapshot readers keep paying
+    * live-set + tail cost no matter how long the stream runs. The
+    * compaction is a batch job INSIDE foreachBatch — serialized with
+    * ingestion, so no concurrent-writer coordination is needed (the
+    * single-writer paradigm the reference's transactor queue gives). */
+  def ingestWithCompaction(facts: DataFrame, path: String, checkpoint: String,
+                           attrTypes: Map[String, String],
+                           cardMany: Set[String] = Set.empty,
+                           compactEvery: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("append").partitionBy("a").parquet(s"$path/facts")
+        graft.sources.FactLogIO.writeMeta(spark, path, attrTypes, cardMany,
+          versioned = true)
+        if ((batchId + 1) % compactEvery == 0) {
+          val db = graft.sources.FactLogIO.read(spark, path)
+          val watermark = db.log.agg(max(col("tx"))).head().getLong(0)
+          graft.sources.FactLogIO.writeSnapshotBase(db, path, watermark)
+        }
+      }
+      .start()
+
   /** Streaming exact dedup — the streaming counterpart of
     * pipeline.Dedup.exact for continuous ingestion: normalize + hash the
     * content, emit only first-seen documents. State is bounded by the

@@ -81,6 +81,35 @@ class StreamingSpec extends SparkSpec {
     assert(latest.toSeq.map(r => (r.getLong(0), r.getDouble(1))) === Seq((107L, 9.0)))
   }
 
+  test("continuous ingestion with periodic compaction keeps snapshots correct") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val facts = FactStream.eventFacts(events, userBase = 0L, txBase = 0L)
+    val q = FactStream.ingestWithCompaction(facts, dir, s"$dir/ckpt",
+      attrTypes = Map("last_value" -> "vdbl", "last_type" -> "vstr"),
+      compactEvery = 2)
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((1L, t(1), 7L, "click", 1.0))    // batch 0: append only
+    q.processAllAvailable()
+    input.addData((2L, t(2), 7L, "view", 2.0))     // batch 1: append + compact
+    q.processAllAvailable()
+    input.addData((3L, t(3), 7L, "purchase", 9.0)) // batch 2: tail past the base
+    q.processAllAvailable()
+    q.stop()
+    assert(new java.io.File(s"$dir/base").exists(), "base segment written")
+    val db = graft.sources.FactLogIO.read(spark, dir)
+    val compacted = graft.sources.FactLogIO.withSnapshotBase(spark, dir, db)
+    // latest-wins across base + tail: tx 3 (purchase, 9.0) supersedes
+    val latest = compacted.snapshot().filter(col("a") === "last_value")
+      .select("vdbl").collect().map(_.getDouble(0)).toSeq
+    assert(latest === Seq(9.0))
+    // and matches a full-log resolution
+    assert(db.snapshot().filter(col("a") === "last_value")
+      .select("vdbl").head().getDouble(0) === 9.0)
+  }
+
   test("eventFacts emits fact-log rows on batch and streaming frames alike") {
     val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
