@@ -140,6 +140,25 @@ object GraphOps {
     spark.createDataFrame(rows).toDF("node", "landmark", "dist")
   }
 
+  /** Weighted single-source shortest paths via GraphX Pregel
+    * (Bellman-Ford relaxation): `edgeDf` = (src, dst, w double).
+    * Returns (node, dist) for reachable nodes. */
+  def weightedSssp(edgeDf: DataFrame, source: Long)
+                  (implicit spark: SparkSession): DataFrame = {
+    val edgeRdd: RDD[Edge[Double]] = edgeDf
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("double"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph.fromEdges(edgeRdd, Double.PositiveInfinity)
+      .mapVertices((id, _) => if (id == source) 0.0 else Double.PositiveInfinity)
+    val sp = g.pregel(Double.PositiveInfinity)(
+      (_, dist, msg) => math.min(dist, msg),
+      t => if (t.srcAttr + t.attr < t.dstAttr) Iterator((t.dstId, t.srcAttr + t.attr))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+    spark.createDataFrame(sp.vertices.filter(!_._2.isInfinity))
+      .toDF("node", "dist")
+  }
+
   /** Per-node triangle count via GraphX (input must be symmetric+simple;
     * canonicalOrientation handles that). */
   def triangleCounts(edgeDf: DataFrame)(implicit spark: SparkSession): DataFrame = {

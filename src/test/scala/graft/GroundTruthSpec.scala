@@ -189,6 +189,28 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("weightedSssp matches driver-side Dijkstra") {
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0),
+      (2L, 4L, 7.0), (4L, 5L, 1.0), (6L, 5L, 1.0)) // 6 unreachable from 1
+    val actual = GraphOps.weightedSssp(edges.toDF("src", "dst", "w"), source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Dijkstra on the driver
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val dist = collection.mutable.Map(1L -> 0.0)
+    val pq = collection.mutable.PriorityQueue((0.0, 1L))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d <= dist.getOrElse(u, Double.PositiveInfinity))
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (d + w < dist.getOrElse(v, Double.PositiveInfinity)) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+    }
+    assert(actual === dist.toMap) // node 6 absent from both
+  }
+
   test("pageRank matches driver-side power iteration (GraphX static semantics)") {
     // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in only)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
