@@ -301,9 +301,30 @@ object Compiler {
     * per-frame rule re-application (query.clj:260-274), which re-enters
     * the interpreter once per candidate frame.
     */
+  /** Rules whose materialization is currently on the call stack —
+    * detects mutual recursion (rule cycles spanning >1 name), which
+    * neither the semi-naive fixpoint here nor the reference interpreter
+    * terminates on. Self-recursion never re-enters (the fixpoint binds
+    * the rule's own name to the delta in the cache). Thread-local:
+    * compilation is single-threaded per query. */
+  private val materializing = new ThreadLocal[collection.mutable.Set[String]] {
+    override def initialValue(): collection.mutable.Set[String] =
+      collection.mutable.Set.empty[String]
+  }
+
   private def ruleRelation(db: Db, name: String, rules: Map[String, Seq[Rule]],
                            cache: collection.mutable.Map[String, DataFrame])
                           (implicit spark: SparkSession): DataFrame = {
+    require(materializing.get.add(name),
+      s"mutually recursive rules involving '$name' are not supported; " +
+        "fold the cycle into one self-recursive rule")
+    try ruleRelationImpl(db, name, rules, cache)
+    finally materializing.get.remove(name)
+  }
+
+  private def ruleRelationImpl(db: Db, name: String, rules: Map[String, Seq[Rule]],
+                               cache: collection.mutable.Map[String, DataFrame])
+                              (implicit spark: SparkSession): DataFrame = {
     val defs = rules.getOrElse(name,
       throw new IllegalArgumentException(s"unknown rule $name"))
     val params = defs.head.params.map(_.name)

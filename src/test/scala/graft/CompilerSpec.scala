@@ -90,6 +90,21 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() === 6) // 1->2,3,4; 2->3,4; 3->4
   }
 
+  test("mutually recursive rules fail with a clear error, not divergence") {
+    val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
+    val err = intercept[IllegalArgumentException] {
+      Compiler.run(db, Query(
+        find = Seq(FVar(V("x"), "x"), FVar(V("y"), "y")),
+        where = RuleApp("a", V("x"), V("y")),
+        rules = Seq(
+          Rule("a", Seq(V("p"), V("q")), Pattern(V("p"), C("last_value"), V("q"))),
+          Rule("a", Seq(V("p"), V("q")), RuleApp("b", V("p"), V("q"))),
+          Rule("b", Seq(V("p"), V("q")), Pattern(V("p"), C("last_type"), V("q"))),
+          Rule("b", Seq(V("p"), V("q")), RuleApp("a", V("p"), V("q"))))))(spark)
+    }
+    assert(err.getMessage.contains("mutually recursive"))
+  }
+
   test("recursive rule terminates on a cyclic graph (closure of a 3-cycle)") {
     // 0→1→2→0: semi-naive must stop when the delta empties, not loop —
     // the anti-join against the accumulated closure is what terminates it.
