@@ -35,11 +35,17 @@ object Bench {
       headline.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a throwing query must NOT contribute its time-to-exception as
+        // a (fast!) timing sample — mark the sample invalid instead
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.NaN
+        }
       }
     }
     def median(xs: Seq[Double]): Double = {
+      if (xs.exists(_.isNaN)) return -1.0 // failed query: unmistakable in the report
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }

@@ -142,9 +142,14 @@ object GraphOps {
 
   /** Weighted single-source shortest paths via GraphX Pregel
     * (Bellman-Ford relaxation): `edgeDf` = (src, dst, w double).
-    * Returns (node, dist) for reachable nodes. */
+    * Returns (node, dist) for reachable nodes. Weights must be
+    * non-negative — a negative-weight cycle would relax forever, so
+    * the precondition is checked up front (one cheap probe). */
   def weightedSssp(edgeDf: DataFrame, source: Long)
                   (implicit spark: SparkSession): DataFrame = {
+    require(edgeDf.filter(col("w") < 0).isEmpty,
+      "weightedSssp requires non-negative edge weights " +
+        "(negative cycles never reach a fixpoint)")
     val edgeRdd: RDD[Edge[Double]] = edgeDf
       .select(col("src").cast("long"), col("dst").cast("long"), col("w").cast("double"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))

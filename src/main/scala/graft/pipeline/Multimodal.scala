@@ -80,7 +80,11 @@ object Multimodal {
         Row.fromSeq(r.toSeq.updated(mediaIdx, outBytes).updated(metaIdx, newMeta))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    val out = spark.createDataFrame(rdd, schema)
+    // keep derived columns consistent with the truncated payload
+    if (schema.fieldNames.contains("n_bytes"))
+      out.withColumn("n_bytes", octet_length(col("media")))
+    else out
   }
 
   /** Frame sampling: treat the payload as `frameSize`-byte frames and
@@ -90,6 +94,7 @@ object Multimodal {
     * embedding stages inherit the input partitioning. */
   def frameSample(withMedia: DataFrame, frameSize: Int, stride: Int): DataFrame =
     withMedia
+      .filter(octet_length(col("media")) > 0) // empty payload = zero frames
       .select(col("doc_id"),
         posexplode(split_binary_frames(col("media"), frameSize)).as(Seq("frame_idx", "frame")))
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)

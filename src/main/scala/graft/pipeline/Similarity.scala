@@ -123,29 +123,36 @@ object Similarity {
       when(d > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** A built ANN index: the (id, vec, bucket) assignment plus the
+    * plane count it was built with — carried IN the artifact (like
+    * IvfIndex's centroids) so the query side cannot probe with a
+    * mismatched signature width. */
+  final case class AnnIndex(assigned: DataFrame, planes: Int)
+
   /** The ANN index: (id, vec, bucket) with the sign-LSH signature
     * computed ONCE over the corpus. At scale this is a persisted
     * sidecar column (parquet partitioned by bucket, cf. FactLogIO's
     * layout) written at ingest; queries read it instead of recomputing
     * signatures per probe. */
   def annIndex(emb: DataFrame, idCol: String, vecCol: String,
-               planes: Int = 8): DataFrame =
-    emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigOf(col(vecCol), planes).as("bucket"))
+               planes: Int = 8): AnnIndex =
+    AnnIndex(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      sigOf(col(vecCol), planes).as("bucket")), planes)
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors — plan-time
     * constants), exact rescoring of the surviving candidates only. The
     * corpus-side plan is a pure bucket-semijoin over the index: no
     * signature computation per query. */
-  def annTopKIndexed(index: DataFrame, probe: Seq[Double], k: Int,
-                     planes: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+  def annTopKIndexed(index: AnnIndex, probe: Seq[Double], k: Int,
+                     excludeId: Option[Long] = None): DataFrame = {
+    val planes = index.planes
     val probeCol = array(probe.map(lit): _*)
     val probeSig = sigOf(probeCol, planes)
     val bucketCols = probeSig +: (0 until planes).map(b => probeSig.bitwiseXOR(lit(1L << b)))
-    val probeBuckets = index.sparkSession.range(1)
+    val probeBuckets = index.assigned.sparkSession.range(1)
       .select(explode(array(bucketCols: _*)).as("bucket")).distinct()
-    val cands = index.join(broadcast(probeBuckets), "bucket")
+    val cands = index.assigned.join(broadcast(probeBuckets), "bucket")
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
@@ -159,10 +166,11 @@ object Similarity {
     * a fixed 1-bit ring gets wrong when planes is sized for a much
     * larger corpus (sparse buckets → starved top-k). All probe buckets
     * stay plan-time constants; the corpus-side plan is unchanged. */
-  def annTopKAdaptive(index: DataFrame, corpusSize: Long, probe: Seq[Double],
-                      k: Int, planes: Int = 8, minCandidates: Int = 1000,
+  def annTopKAdaptive(index: AnnIndex, corpusSize: Long, probe: Seq[Double],
+                      k: Int, minCandidates: Int = 1000,
                       excludeId: Option[Long] = None): DataFrame = {
-    val perBucket = math.max(corpusSize.toDouble / (1L << planes), 1e-9)
+    val planes = index.planes
+    val perBucket = math.max(corpusSize.toDouble / math.pow(2.0, planes), 1e-9)
     def choose(n: Int, r: Int): Long =
       (0 until r).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
     var buckets = 1L
@@ -174,12 +182,16 @@ object Similarity {
     val maxFlips = flips
     val probeCol = array(probe.map(lit): _*)
     val probeSig = sigOf(probeCol, planes)
-    val masks = (0 until (1 << planes))
-      .filter(m => Integer.bitCount(m) <= maxFlips).map(_.toLong)
-    val probeBuckets = index.sparkSession.range(1)
+    // enumerate masks BY COMBINATION of flipped bit positions — never
+    // the 2^planes range (which overflows Int past 30 planes and
+    // materializes hundreds of millions of candidates on the driver
+    // in the mid-20s)
+    val masks = (0 to maxFlips).flatMap(r =>
+      (0 until planes).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val probeBuckets = index.assigned.sparkSession.range(1)
       .select(explode(array(masks.map(m => probeSig.bitwiseXOR(lit(m))): _*)).as("bucket"))
       .distinct()
-    val cands = index.join(broadcast(probeBuckets), "bucket")
+    val cands = index.assigned.join(broadcast(probeBuckets), "bucket")
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
@@ -190,5 +202,5 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               probe: Seq[Double], k: Int, planes: Int = 8,
               excludeId: Option[Long] = None): DataFrame =
-    annTopKIndexed(annIndex(emb, idCol, vecCol, planes), probe, k, planes, excludeId)
+    annTopKIndexed(annIndex(emb, idCol, vecCol, planes), probe, k, excludeId)
 }

@@ -26,11 +26,12 @@ object PipelineQueries {
     * deployment writes at ingest. Query plans over it are a pure
     * bucket-semijoin scan: no per-query signature computation. */
   private val annIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def annIdx(s: SparkSession, dir: String): DataFrame =
-    annIdxCache.getOrElseUpdate((s, dir),
-      Similarity.annIndex(emb(s, dir), "vec_id", "vec", planes = 8)
-        .localCheckpoint(true))
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.AnnIndex]
+  private def annIdx(s: SparkSession, dir: String): Similarity.AnnIndex =
+    annIdxCache.getOrElseUpdate((s, dir), {
+      val idx = Similarity.annIndex(emb(s, dir), "vec_id", "vec", planes = 8)
+      idx.copy(assigned = idx.assigned.localCheckpoint(true))
+    })
 
   /** IVF index (k-means model + cell assignments) trained once per
     * (session, dir) — the in-memory stand-in for the persisted
@@ -64,7 +65,7 @@ object PipelineQueries {
 
     "sim_ann" -> ((s, dir) =>
       Similarity.annTopKIndexed(annIdx(s, dir), probeVec(s, dir), 10,
-        planes = 8, excludeId = Some(0L))),
+        excludeId = Some(0L))),
 
     "sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(ivfIdx(s, dir), probeVec(s, dir), 10,

@@ -73,7 +73,13 @@ object FactStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        batch.write.mode("append").partitionBy("a").parquet(s"$path/facts")
+        // idempotent under micro-batch RETRY: each batch owns a
+        // batch=<id> partition directory and overwrites only it — a
+        // re-delivered batch replaces its own files instead of
+        // appending duplicates (the readers' column projection drops
+        // the extra partition column).
+        batch.write.mode("overwrite").partitionBy("a")
+          .parquet(s"$path/facts/batch=$batchId")
         graft.sources.FactLogIO.writeMeta(spark, path, attrTypes, cardMany,
           versioned = true)
         if ((batchId + 1) % compactEvery == 0) {

@@ -110,7 +110,7 @@ class GroundTruthSpec extends SparkSpec {
     val exact = Similarity.topK(emb, "id", "vec", probe, 10)
       .collect().map(_.getLong(0)).toSet
     val index = Similarity.annIndex(emb, "id", "vec", planes = 6)
-    val ann = Similarity.annTopKIndexed(index, probe, 10, planes = 6)
+    val ann = Similarity.annTopKIndexed(index, probe, 10)
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect ann).size / 10.0
     assert(recall >= 0.6, s"ANN recall $recall; exact=$exact ann=$ann")
@@ -127,10 +127,10 @@ class GroundTruthSpec extends SparkSpec {
     val index = Similarity.annIndex(emb, "id", "vec", planes = 10)
     val exact = Similarity.topK(emb, "id", "vec", probe, 10)
       .collect().map(_.getLong(0)).toSet
-    val fixed = Similarity.annTopKIndexed(index, probe, 10, planes = 10)
+    val fixed = Similarity.annTopKIndexed(index, probe, 10)
       .collect().map(_.getLong(0)).toSet
     val adaptive = Similarity.annTopKAdaptive(index, 200L, probe, 10,
-        planes = 10, minCandidates = 100)
+        minCandidates = 100)
       .collect().map(_.getLong(0)).toSet
     assert(adaptive.size === 10)
     val fixedRecall = (exact intersect fixed).size
