@@ -124,6 +124,40 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** PII scrubbing: mask email addresses, long digit runs (phone /
+    * account numbers), and SSN-shaped patterns — the standard redaction
+    * gate before training-data release. Pure regexp_replace chain
+    * (codegen'd, no shuffle); emits the scrubbed text + a flag for
+    * routing docs that contained PII to quarantine. */
+  def redact(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val digits = "\\b[0-9]{7,}\\b"
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      email, "[EMAIL]"), ssn, "[SSN]"), digits, "[NUMBER]")
+    docs.select(col("doc_id"), scrubbed.as("clean_text"),
+      (scrubbed =!= col("text")).as("had_pii"))
+  }
+
+  /** Overlapping token-window chunking: split each document into
+    * `size`-token windows advancing by `step` (overlap = size - step) —
+    * the doc→training-sample fan-out. One generate per row, no
+    * shuffle; chunk ordinals are deterministic. */
+  def chunk(docs: DataFrame, winSize: Int = 64, step: Int = 48): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(((size(col("toks")) - 1) / lit(step)).cast("int"), lit(0))),
+          i => slice(col("toks"), i * step + 1, lit(winSize))))
+          .as(Seq("chunk_idx", "chunk")))
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

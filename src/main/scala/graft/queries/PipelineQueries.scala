@@ -88,6 +88,10 @@ object PipelineQueries {
 
     "text_hashvec" -> ((s, dir) => TextAnalysis.hashVectors(docs(s, dir), dims = 64)),
 
+    "text_redact" -> ((s, dir) => TextAnalysis.redact(docs(s, dir))),
+
+    "text_chunk" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir), winSize = 64, step = 48)),
+
     // End-to-end curation pipeline — the composition a real training-data
     // run executes: language gate -> quality gate -> exact-dedup
     // survivors. One pass over the corpus, one hash shuffle (the dedup
@@ -219,6 +223,27 @@ object PipelineQueries {
           SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
           FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
           WHERE pred_lang = 'en' AND quality_score >= 0.5""",
+    "text_redact" ->
+      """SELECT doc_id, clean_text, clean_text <> text AS had_pii
+         FROM (
+           SELECT doc_id, text,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                    '\b[0-9]{7,}\b', '[NUMBER]', 'g') AS clean_text
+           FROM documents) t""",
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+              w AS (SELECT doc_id, toks,
+                           unnest(range(0, CAST(floor((len(toks) - 1) / 48.0) AS BIGINT) + 1)) AS i
+                    FROM t)
+         SELECT doc_id, i AS chunk_idx,
+                len(toks[(i*48 + 1):(i*48 + 64)]) AS n_tokens,
+                array_to_string(toks[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+         FROM w WHERE len(toks[(i*48 + 1):(i*48 + 64)]) > 0""",
     "text_hashvec" ->
       """SELECT doc_id,
                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,

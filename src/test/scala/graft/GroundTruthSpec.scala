@@ -139,6 +139,30 @@ class GroundTruthSpec extends SparkSpec {
     assert(adaptiveRecall >= 6, s"adaptive recall $adaptiveRecall/10")
   }
 
+  test("redact masks planted emails, SSNs, and long digit runs") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+      (2L, "ssn 123-45-6789 and phone 14155551234 leaked"),
+      (3L, "clean text with a short number 42")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._1 === "contact me at [EMAIL] for details" && out(1L)._2)
+    assert(out(2L)._1 === "ssn [SSN] and phone [NUMBER] leaked" && out(2L)._2)
+    assert(out(3L)._1 === "clean text with a short number 42" && !out(3L)._2)
+  }
+
+  test("chunk produces overlapping token windows with exact boundaries") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, winSize = 4, step = 3).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    // windows at token offsets 0,3,6,9: [t1..t4][t4..t7][t7..t10][t10]
+    assert(chunks.toSeq === Seq(
+      (0, 4, "t1 t2 t3 t4"), (1, 4, "t4 t5 t6 t7"),
+      (2, 4, "t7 t8 t9 t10"), (3, 1, "t10")))
+  }
+
   test("winnow matches an independent sliding-window implementation") {
     val k = 5; val w = 4
     val docs = Seq(
