@@ -124,6 +124,84 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All-k MinHash signatures in ONE pass over a document's token array:
+  * sig[i] = min over tokens of xxhash64(i, token) — bit-identical to
+  * the explode + groupBy(64 × min) formulation (same seed chain as
+  * Spark's XxHash64: fold int i, then the token bytes, from seed 42),
+  * but computed per-row with no explode, no shuffle, and full
+  * whole-stage codegen. Turns the signature stage of MinHash dedup
+  * from a corpus-wide exchange into a map-only pass. */
+case class MinHashSigs(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    // seed chain parity with xxhash64(lit(i), tok): int literals hash
+    // through the 4-byte path (hashInt), then the token bytes
+    val seeds = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val seeds = ctx.addMutableState("long[]", "graftMinhashSeeds",
+      v => s"""$v = new long[$k];
+               |for (int i = 0; i < $k; i++) $v[i] = $xxh.hashInt(i, 42L);
+             """.stripMargin)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |        $s.numBytes(), $seeds[$i]);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigs =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column-API entry point for the codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
@@ -132,6 +210,10 @@ object VectorExpressions {
   /** Fused one-pass cosine similarity (native expression). */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** One-pass all-k MinHash signature (native expression). */
+  def minhashSigs(tokens: Column, k: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(tokens), k))
 
   /** Register `graft_dot` into a session's SQL function registry so
     * `spark.sql("SELECT graft_dot(a, b)")` works. (For cluster deploys

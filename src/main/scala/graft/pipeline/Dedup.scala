@@ -69,14 +69,15 @@ object Dedup {
   }
 
   /** MinHash signatures: k permutations h_i(s) = xxhash64(i, token),
-    * signature[i] = min over tokens. One explode + one grouped agg
-    * (map-side combinable). */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i"))
-    tokDf.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
-  }
+    * signature[i] = min over tokens — computed by the native one-pass
+    * expression (functions.MinHashSigs): per-document, map-only, fully
+    * codegen'd. The previous explode + k-min-aggregates formulation
+    * shuffled every token of the corpus; this shuffles NOTHING (the
+    * signature stage of 100 TB dedup becomes embarrassingly parallel).
+    * Output is bit-identical (spec-pinned). */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorExpressions.minhashSigs(toks(col("text")), k).as("sig"))
 
   /** MinHash+LSH near-dup detection with estimated Jaccard (fraction of
     * agreeing signature positions) >= `estThreshold`. Returns

@@ -46,6 +46,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(0) - 1000.0) < 1e-9)
   }
 
+  test("one-pass minhash signature matches the explode+groupBy formulation bit-for-bit") {
+    val k = 16
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "zz yy xx"), (3L, "single"))
+      .toDF("doc_id", "text")
+    val toks = array_distinct(split(trim(col("text")), "\\s+"))
+    // old formulation: explode + k min-aggregates
+    val tokDf = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i"))
+    val old = tokDf.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val fused = docs.select(col("doc_id"),
+        VectorExpressions.minhashSigs(toks, k).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fused === old)
+  }
+
+  test("one-pass minhash survives whole-stage codegen (many rows)") {
+    val wide = spark.range(500).select(col("id"),
+      split(concat_ws(" ", col("id").cast("string"), lit("alpha beta")), " ").as("toks"))
+    val sigs = wide.select(VectorExpressions.minhashSigs(col("toks"), 8).as("sig"))
+    assert(sigs.count() === 500)
+    // deterministic: same tokens -> same signature across runs
+    val a = sigs.collect().map(_.getSeq[Long](0).toSeq)
+    val b = sigs.collect().map(_.getSeq[Long](0).toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
