@@ -135,18 +135,13 @@ object Dedup {
     docs.join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
 
   /** 64-bit SimHash per doc: per-bit +1/-1 votes from each token's
-    * xxhash64, sign of the vote sum becomes the bit. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
-    tokDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+    * xxhash64, sign of the vote sum becomes the bit — computed by the
+    * native one-pass expression (functions.SimHashSig): map-only,
+    * codegen'd, no token explode/shuffle (bit-identical to the
+    * 64-sum-aggregates formulation it replaces, spec-pinned). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.VectorExpressions.simhashSig(toks(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= `maxHamming`,
     * star-collapsed (same pattern as minhashLsh): identical signatures

@@ -74,6 +74,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("one-pass simhash matches the vote-aggregate formulation bit-for-bit") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "zz yy xx"), (3L, "single"))
+      .toDF("doc_id", "text")
+    val toks = array_distinct(split(trim(col("text")), "\\s+"))
+    val tokDf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val old = tokDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = docs.select(col("doc_id"),
+        VectorExpressions.simhashSig(toks).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === old)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
