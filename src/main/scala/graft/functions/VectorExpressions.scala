@@ -277,6 +277,81 @@ case class SimHashSig(child: Expression)
     copy(child = c)
 }
 
+/** One-pass sign-LSH signature over a double vector: bit p of the
+  * result is the sign of the dot product with pseudo-random hyperplane
+  * p, whose component j is `pmod(xxhash64(p, j), 2000001)/1e6 - 1`
+  * (hash-derived in [-1,1], reproducible anywhere). Bit-identical to
+  * the aggregate(zip_with(...)) formulation it replaces — same seed
+  * chain (42 → hashInt(p) → hashInt(j)), same sequential accumulation —
+  * with no per-plane intermediate arrays. */
+case class SignLshSig(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_lsh"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val seed = XXH64.hashInt(p, 42L)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashInt(j, seed)
+        val m = ((h % 2000001L) + 2000001L) % 2000001L
+        acc += v.getDouble(j) * (m / 1000000.0 - 1.0)
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, v => {
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val seed = ctx.freshName("seed")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $v.numElements();
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  long $seed = $xxh.hashInt($p, 42L);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $h = $xxh.hashInt($j, $seed);
+         |    long $m = (($h % 2000001L) + 2000001L) % 2000001L;
+         |    $acc += $v.getDouble($j) * ($m / 1000000.0 - 1.0);
+         |  }
+         |  if ($acc > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignLshSig =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** Column-API entry point for the codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
@@ -293,6 +368,10 @@ object VectorExpressions {
   /** One-pass 64-bit SimHash signature (native expression). */
   def simhashSig(tokens: Column): Column =
     Bridge.column(SimHashSig(Bridge.expression(tokens)))
+
+  /** One-pass sign-LSH bucket signature (native expression). */
+  def signLsh(vec: Column, planes: Int): Column =
+    Bridge.column(SignLshSig(Bridge.expression(vec), planes))
 
   /** Register `graft_dot` into a session's SQL function registry so
     * `spark.sql("SELECT graft_dot(a, b)")` works. (For cluster deploys

@@ -202,14 +202,9 @@ object Dedup {
       }
     val v = col(vecCol)
     // deterministic pseudo-random hyperplanes: component j of plane p is
-    // a hash-derived value in [-1, 1] — reproducible on any cluster.
-    def planeDot(p: Int): Column =
-      aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-    val sig = (0 until nPlanes).map(p => when(planeDot(p) > 0, 1L << p).otherwise(0L))
-      .reduce(_ + _)
+    // a hash-derived value in [-1, 1] — reproducible on any cluster;
+    // computed by the native one-pass SignLshSig expression.
+    val sig = graft.functions.VectorExpressions.signLsh(v, nPlanes)
     val dotFn = graft.functions.VectorExpressions.dot _
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

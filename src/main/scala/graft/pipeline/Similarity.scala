@@ -114,14 +114,10 @@ object Similarity {
 
   /** Sign-LSH signature of `vec` over `planes` deterministic
     * pseudo-random hyperplanes (hash-derived components in [-1,1] —
-    * reproducible on any cluster). */
+    * reproducible on any cluster). Native one-pass expression
+    * (functions.SignLshSig) — no per-plane intermediate arrays. */
   private def sigOf(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val d = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.VectorExpressions.signLsh(vec, planes)
 
   /** A built ANN index: the (id, vec, bucket) assignment plus the
     * plane count it was built with — carried IN the artifact (like

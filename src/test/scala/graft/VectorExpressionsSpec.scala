@@ -94,6 +94,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(fused === old)
   }
 
+  test("one-pass sign-LSH matches the aggregate/zip_with formulation bit-for-bit") {
+    val planes = 10
+    val vecs = Seq((1L, Seq(0.3, -1.2, 0.8, 2.1)), (2L, Seq(-0.5, 0.0, 1.5, -2.0)))
+      .toDF("id", "vec")
+    val old = vecs.select(col("id"),
+        (0 until planes).map { p =>
+          val d = aggregate(zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+            (x, j) => x * (pmod(xxhash64(lit(p), j), lit(2000001L)) / 1000000.0 - 1.0)),
+            lit(0.0), (acc, x) => acc + x)
+          when(d > 0, 1L << p).otherwise(0L)
+        }.reduce(_ + _).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = vecs.select(col("id"),
+        VectorExpressions.signLsh(col("vec"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === old)
+  }
+
   test("GraftExtensions injects without error") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions().apply(ext)
