@@ -158,6 +158,29 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage === "Unbound variable voops")
   }
 
+  test("melt is source-format agnostic: JSON lines ingest to facts and query") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/rows.json"),
+      """{"uid": 1, "name": "ada", "score": 9.5}
+        |{"uid": 2, "name": "bob", "score": 3.25}
+        |""".stripMargin)
+    val df = spark.read.json(s"$dir/rows.json")
+      .select(col("uid"), col("name"), col("score")) // stable column order
+    val db = graft.core.FactDb(
+      graft.core.FactStore.melt(df, col("uid"), base = 500L, tx = 1L),
+      graft.core.FactStore.attrTypes(df), versioned = false)
+    val out = graft.datalog.Compiler.run(graft.datalog.Compiler.Db(db),
+      graft.datalog.Query(
+        find = Seq(graft.datalog.FVar(graft.datalog.V("n"), "n")),
+        where = graft.datalog.And(
+          graft.datalog.Pattern(graft.datalog.V("e"), graft.datalog.C("score"),
+            graft.datalog.V("s")),
+          graft.datalog.Pred(">", graft.datalog.V("s"), graft.datalog.C(5.0)),
+          graft.datalog.Pattern(graft.datalog.V("e"), graft.datalog.C("name"),
+            graft.datalog.V("n")))))(spark)
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("ada"))
+  }
+
   test("salted skew join equals the plain join") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // key 1 is hot
