@@ -432,6 +432,8 @@ object Compiler {
     case "contains" => cs(0).contains(cs(1))
     case "starts-with" => cs(0).startsWith(cs(1))
     case "ends-with" => cs(0).endsWith(cs(1))
+    case "even" => pmod(cs.head, lit(2)) === 0
+    case "odd" => pmod(cs.head, lit(2)) === 1
     case other => throw new IllegalArgumentException(s"Unknown predicate $other")
   }
 
@@ -459,6 +461,9 @@ object Compiler {
     case "substr" => cs.head.substr(cs(1), cs(2)) // (substr ?s pos len), 1-based
     case "trim" => trim(cs.head)
     case "date-diff" => datediff(cs.head, cs(1)).cast(LongType) // days, end - start
+    case "min" | "least" => least(cs: _*)
+    case "max" | "greatest" => greatest(cs: _*)
+    case "neg" => -cs.head
     case other => throw new IllegalArgumentException(s"Unknown function $other")
   }
 }

@@ -66,6 +66,20 @@ class CompilerSpec extends SparkSpec {
     assert(row.getLong(0) === 3L && row.getLong(1) === 125000L)
   }
 
+  test("registry: even/odd predicates and least/greatest/neg binding fns") {
+    val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
+    val out = Compiler.run(db, Query(
+      find = Seq(FVar(V("b"), "b"), FAgg("count", V("b"), "n")),
+      where = And(
+        Pattern(V("u"), C("purchase_bucket"), V("b")),
+        Pred("even", V("b")),
+        FnBind("greatest", V("g"), V("b"), C(2L)),
+        FnBind("neg", V("ng"), V("g")),
+        Pred("<=", V("ng"), C(-2L)))))(spark)
+      .collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.forall(b => b % 2 == 0 && math.max(b, 2L) >= 2))
+  }
+
   test("global aggregate without group keys") {
     val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
     val out = Compiler.run(db, Query(
