@@ -158,6 +158,22 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** Deterministic stratified sampling: within each stratum, rank rows
+    * by a content-independent hash of their id (md5 — reproducible in
+    * any engine) and keep the first `perStratum`. Unlike Bernoulli
+    * sampleBy this gives EXACT quota sizes and bit-reproducible
+    * selections across engines/runs — the auditability a training-data
+    * freeze needs. One shuffle on the stratum key. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

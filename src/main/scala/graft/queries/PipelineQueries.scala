@@ -90,6 +90,14 @@ object PipelineQueries {
 
     "text_redact" -> ((s, dir) => TextAnalysis.redact(docs(s, dir))),
 
+    // reproducible stratified sample: 20 docs per predicted language,
+    // ranked by an engine-neutral id hash (md5) — exact quotas,
+    // bit-identical selection in Spark and the DuckDB oracle.
+    "sample_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(
+          TextAnalysis.langId(docs(s, dir)), "pred_lang", "doc_id", perStratum = 20)
+        .select(col("doc_id"), col("pred_lang"))),
+
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir), winSize = 64, step = 48)),
 
     // End-to-end curation pipeline — the composition a real training-data
@@ -223,6 +231,35 @@ object PipelineQueries {
           SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
           FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
           WHERE pred_lang = 'en' AND quality_score >= 0.5""",
+    "sample_stratified" ->
+      s"""WITH lang AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                        WHEN s_de = m AND m > 0 THEN 'de'
+                        WHEN s_en = m AND m > 0 THEN 'en'
+                        WHEN s_es = m AND m > 0 THEN 'es'
+                        WHEN s_fr = m AND m > 0 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM (
+              SELECT doc_id, text,
+                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
+                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
+                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
+                     greatest(
+                       len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
+                       len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
+                       len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
+                       len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
+              FROM (SELECT doc_id, text,
+                           string_split_regex(lower(trim(text)), '\\s+') AS lt
+                    FROM documents) x) t)
+          SELECT doc_id, pred_lang FROM (
+            SELECT doc_id, pred_lang,
+                   row_number() OVER (PARTITION BY pred_lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM lang) r
+          WHERE rn <= 20""",
     "text_redact" ->
       """SELECT doc_id, clean_text, clean_text <> text AS had_pii
          FROM (
