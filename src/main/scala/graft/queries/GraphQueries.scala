@@ -121,6 +121,30 @@ object GraphQueries {
       """WITH sz AS (SELECT n_regionkey, COUNT(*) AS k FROM nation GROUP BY n_regionkey)
          SELECT n_nationkey, CAST((k-1) * (k-2) / 2 AS INT) AS triangles
          FROM nation JOIN sz USING (n_regionkey)""",
+    // 10 fixed power iterations of GraphX's staticPageRank semantics
+    // (rank = 0.15 + 0.85 * Σ in-neighbor rank/outdeg, init 1.0) as a
+    // recursive CTE with an iteration counter; round(6) absorbs
+    // summation-order ulps.
+    "graph_pagerank" ->
+      """WITH RECURSIVE
+          e AS (SELECT 2000000000 + a.n_nationkey AS src, 2000000000 + b.n_nationkey AS dst
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+          deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          pr AS (
+            SELECT 2000000000 + n_nationkey AS node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it
+            FROM nation
+            UNION ALL
+            SELECT p.node,
+                   0.15 + 0.85 * COALESCE((
+                     SELECT sum(p2.rank / d.outdeg)
+                     FROM e JOIN pr p2 ON e.src = p2.node AND p2.it = p.it
+                     JOIN deg d ON d.src = e.src
+                     WHERE e.dst = p.node), 0.0),
+                   p.it + 1
+            FROM pr p WHERE p.it < 10
+          )
+         SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 10""",
     "graph_sssp" ->
       """WITH RECURSIVE d AS (
            SELECT 0 AS k, 0 AS dist
