@@ -130,6 +130,32 @@ object PipelineQueries {
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB SELECT producing (doc_id, pred_lang) — ONE definition shared
+    * by every language-gated oracle (text_langid, pipeline_e2e,
+    * sample_stratified) so the heuristic cannot drift between them. */
+  private val langIdSql: String =
+    s"""SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                    WHEN s_de = m AND m > 0 THEN 'de'
+                    WHEN s_en = m AND m > 0 THEN 'en'
+                    WHEN s_es = m AND m > 0 THEN 'es'
+                    WHEN s_fr = m AND m > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang
+        FROM (
+          SELECT doc_id, text,
+                 len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+                 len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
+                 len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
+                 len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
+                 greatest(
+                   len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
+                   len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
+                   len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
+                   len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
+          FROM (SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS lt
+                FROM documents) x) t"""
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
@@ -168,51 +194,9 @@ object PipelineQueries {
                    CAST(length(text) AS DOUBLE)
                      / CAST(len($toksSql) AS DOUBLE) AS mean_word_len
             FROM documents) t""",
-    "text_langid" ->
-      s"""SELECT doc_id,
-                 CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                      WHEN s_de = m AND m > 0 THEN 'de'
-                      WHEN s_en = m AND m > 0 THEN 'en'
-                      WHEN s_es = m AND m > 0 THEN 'es'
-                      WHEN s_fr = m AND m > 0 THEN 'fr'
-                      ELSE 'und' END AS pred_lang
-          FROM (
-            SELECT doc_id, text,
-                   len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
-                   len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
-                   len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
-                   len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
-                   greatest(
-                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
-                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
-                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
-                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
-            FROM (SELECT doc_id, text,
-                         string_split_regex(lower(trim(text)), '\\s+') AS lt
-                  FROM documents) x) t""",
+    "text_langid" -> langIdSql,
     "pipeline_e2e" ->
-      s"""WITH lang AS (
-            SELECT doc_id,
-                   CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                        WHEN s_de = m AND m > 0 THEN 'de'
-                        WHEN s_en = m AND m > 0 THEN 'en'
-                        WHEN s_es = m AND m > 0 THEN 'es'
-                        WHEN s_fr = m AND m > 0 THEN 'fr'
-                        ELSE 'und' END AS pred_lang
-            FROM (
-              SELECT doc_id, text,
-                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
-                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
-                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
-                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
-                     greatest(
-                       len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
-                       len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
-                       len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
-                       len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
-              FROM (SELECT doc_id, text,
-                           string_split_regex(lower(trim(text)), '\\s+') AS lt
-                    FROM documents) x) t),
+      s"""WITH lang AS ($langIdSql),
           qual AS (
             SELECT doc_id, n_tokens,
                    least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
@@ -232,28 +216,7 @@ object PipelineQueries {
           FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
           WHERE pred_lang = 'en' AND quality_score >= 0.5""",
     "sample_stratified" ->
-      s"""WITH lang AS (
-            SELECT doc_id,
-                   CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                        WHEN s_de = m AND m > 0 THEN 'de'
-                        WHEN s_en = m AND m > 0 THEN 'en'
-                        WHEN s_es = m AND m > 0 THEN 'es'
-                        WHEN s_fr = m AND m > 0 THEN 'fr'
-                        ELSE 'und' END AS pred_lang
-            FROM (
-              SELECT doc_id, text,
-                     len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
-                     len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
-                     len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
-                     len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr,
-                     greatest(
-                       len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))),
-                       len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
-                       len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
-                       len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
-              FROM (SELECT doc_id, text,
-                           string_split_regex(lower(trim(text)), '\\s+') AS lt
-                    FROM documents) x) t)
+      s"""WITH lang AS ($langIdSql)
           SELECT doc_id, pred_lang FROM (
             SELECT doc_id, pred_lang,
                    row_number() OVER (PARTITION BY pred_lang
