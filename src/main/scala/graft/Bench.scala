@@ -54,8 +54,22 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n}""")
+    // min/max across the n runs, per query: lets a reader attribute a
+    // round-over-round drift to box noise vs a real regression without
+    // re-running the bench.
+    val spread = headline.zipWithIndex.map { case (name, i) =>
+      val xs = samples.map(_(i)).filterNot(_.isNaN)
+      val (lo, hi) = if (xs.isEmpty) (-1.0, -1.0) else (xs.min, xs.max)
+      "\"" + name + f"""\":[$lo%.3f,$hi%.3f]"""
+    }.mkString("{", ",", "}")
+    // a failed query (-1.0 sentinel) must never make the headline total
+    // LOOK faster than a passing run: failures are excluded from the sum
+    // and reported by name, and any failure flips the total negative.
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val passSum = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = if (failed.isEmpty) passSum else -passSum
+    val failedJson = failed.mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir","n":$n}""")
     spark.stop()
   }
 }

@@ -137,7 +137,12 @@ object Compiler {
         eval(db, neg, rules, cache, Some(keys)) match {
           case None => Some(f)
           case Some(matched) =>
-            val survivors = matched.select(shared.map(col): _*).distinct()
+            // Re-alias every column: `matched` derives from `f` (via
+            // `keys`), so its attributes carry the SAME expression ids —
+            // a join condition built from them is trivially true
+            // (ambiguous-self-join hazard). Alias() mints fresh ids.
+            val survivors = matched
+              .select(shared.map(c => col(c).as(c)): _*).distinct()
             Some(f.join(survivors, joinCond(f, survivors, shared), "left_anti"))
         }
       }

@@ -70,7 +70,11 @@ case class DotProduct(left: Expression, right: Expression)
   * loop over the arrays (the separate-dot formulation walks them three
   * times). Each accumulator runs in sequential index order, so results
   * are bit-identical to the composed form it replaces — oracle
-  * comparisons unaffected. */
+  * comparisons unaffected. The cross term runs over min(len) like
+  * DotProduct, but each norm runs over ITS OWN array's full length, so
+  * unequal-length inputs still get true norms (identical to the
+  * composed dot(a,b)/(√dot(a,a)·√dot(b,b)) form; equal lengths — the
+  * only shape the pipelines produce — never enter the tail loops). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -89,7 +93,8 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.min(nx, ny)
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
@@ -97,6 +102,9 @@ case class CosineSim(left: Expression, right: Expression)
       xy += xi * yi; xx += xi * xi; yy += yi * yi
       i += 1
     }
+    while (i < nx) { val xi = x.getDouble(i); xx += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = y.getDouble(i); yy += yi * yi; i += 1 }
     xy / (math.sqrt(xx) * math.sqrt(yy))
   }
 
@@ -109,13 +117,19 @@ case class CosineSim(left: Expression, right: Expression)
       val yy = ctx.freshName("yy")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
          |  double $xi = $x.getDouble($i); double $yi = $y.getDouble($i);
          |  $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
          |}
+         |for (; $i < $nx; $i++) { double $xi = $x.getDouble($i); $xx += $xi * $xi; }
+         |for ($i = $n; $i < $ny; $i++) { double $yi = $y.getDouble($i); $yy += $yi * $yi; }
          |${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
        """.stripMargin
     })

@@ -130,7 +130,17 @@ object Dedup {
     * side (`b`) of a near-dup pair, keeping representatives — the
     * consumer step after any of the pair generators here (their star
     * shape makes this the greedy one-survivor-per-cluster policy).
-    * One anti-join, no driver-side state. */
+    * One anti-join, no driver-side state.
+    *
+    * RECALL NOTE for star-collapsed generators (minhashLsh /
+    * simhashPairs / embeddingNearDup): each bucket tests members only
+    * against the bucket's min-id representative, so two near-dups B and
+    * C sharing a bucket whose rep A is far from both produce NO pair —
+    * both survive here as undetected duplicates. In particular
+    * simhashPairs does NOT inherit the pigeonhole's "all pairs within
+    * hamming <= 3" completeness. For strict dedup, iterate: run the
+    * generator over the survivors again until no pairs remain (each
+    * round removes >= 1 doc per unresolved cluster, so it terminates). */
   def keepSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
 
@@ -190,14 +200,19 @@ object Dedup {
     * 10^10 rows).
     *
     * `planes <= 0` auto-scales the signature width with corpus size
-    * (targeting ~64 vectors per bucket, one count job) — the knob a
-    * fixed default gets wrong at 1000× the data. */
+    * (targeting ~64 vectors per bucket) — the knob a fixed default gets
+    * wrong at 1000× the data. Pass `corpusSize` (a known row count —
+    * ingest pipelines have it) to keep this side-effect-free plan
+    * construction; with `planes <= 0` AND `corpusSize <= 0` an EAGER
+    * `emb.count()` job runs here, at plan-build time, to size the
+    * signature. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, planes: Int = 0): DataFrame = {
+                       threshold: Double, planes: Int = 0,
+                       corpusSize: Long = 0L): DataFrame = {
     val nPlanes =
       if (planes > 0) planes
       else {
-        val n = emb.count().max(1L)
+        val n = (if (corpusSize > 0) corpusSize else emb.count()).max(1L)
         math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
       }
     val v = col(vecCol)

@@ -167,11 +167,26 @@ object Similarity {
                       excludeId: Option[Long] = None): DataFrame = {
     val planes = index.planes
     val perBucket = math.max(corpusSize.toDouble / math.pow(2.0, planes), 1e-9)
-    def choose(n: Int, r: Int): Long =
-      (0 until r).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+    // Hard cap on enumerated probe buckets, INDEPENDENT of the
+    // expected-candidate heuristic: when corpusSize < minCandidates the
+    // widening loop would otherwise run to flips == planes and the mask
+    // enumeration would materialize up to 2^planes combinations on the
+    // driver (hang/OOM for planes ≳ 25). 10k broadcast keys is plenty
+    // of recall and always driver-safe.
+    val maxProbeBuckets = 10000L
+    def choose(n: Int, r: Int): Long = {
+      var acc = 1L; var i = 0
+      while (i < r) {
+        acc = acc * (n - i) / (i + 1)
+        if (acc > maxProbeBuckets) return acc // saturated: only compared vs the cap
+        i += 1
+      }
+      acc
+    }
     var buckets = 1L
     var flips = 0
-    while (buckets * perBucket < minCandidates && flips < planes) {
+    while (buckets * perBucket < minCandidates && flips < planes &&
+           buckets + choose(planes, flips + 1) <= maxProbeBuckets) {
       flips += 1
       buckets += choose(planes, flips)
     }
