@@ -13,20 +13,20 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object DatalogQueries {
 
-  private def static(s: SparkSession, dir: String): Db =
-    Db(TestData.staticDb(s, dir))
-  private def temporal(s: SparkSession, dir: String): Db =
-    Db(TestData.eventsDb(s, dir))
-
-  /** events fact log written once per (session, dir) to the bucketed
-    * catalog layout and read back — entity-hash co-location makes the
-    * snapshot windows Exchange-free. */
+  /** Fact logs served from the bucketed catalog layout, written once
+    * per (session, dir) and read back: entity-hash co-location makes
+    * snapshot windows and entity-joins Exchange-free. The static log
+    * additionally partitions by attribute, so each pattern clause
+    * prunes to its attribute's directory — the AVET+EAVT layout every
+    * static dl_* conjunction runs on. */
   private val bucketedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.core.FactDb]
-  private def bucketedEventsDb(s: SparkSession, dir: String): graft.core.FactDb =
-    bucketedCache.getOrElseUpdate((s, dir), {
-      val db = TestData.eventsDb(s, dir)
-      val table = "graft_events_bucketed_" + math.abs(dir.hashCode.toLong)
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), graft.core.FactDb]
+  private def bucketedDb(s: SparkSession, dir: String, kind: String,
+                         build: => graft.core.FactDb,
+                         partitionByAttr: Boolean): graft.core.FactDb =
+    bucketedCache.getOrElseUpdate((s, dir, kind), {
+      val db = build
+      val table = s"graft_${kind}_bucketed_" + math.abs(dir.hashCode.toLong)
       // idempotent across sessions: a previous run's warehouse directory
       // survives the (session-scoped) catalog entry — clear both.
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -37,9 +37,21 @@ object DatalogQueries {
           f.delete(): Unit
         }
       rm(new java.io.File(s"$wh/$table"))
-      graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8)
-      db.copy(log = s.table(table))
+      graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8,
+        partitionByAttr = partitionByAttr)
+      // partitionBy moves `a` to the tail of the catalog schema —
+      // restore canonical fact-log column order.
+      val log = s.table(table)
+        .select(graft.core.FactStore.factSchema.fieldNames.toIndexedSeq.map(col): _*)
+      db.copy(log = log)
     })
+  private def bucketedEventsDb(s: SparkSession, dir: String): graft.core.FactDb =
+    bucketedDb(s, dir, "events", TestData.eventsDb(s, dir), partitionByAttr = false)
+
+  private def static(s: SparkSession, dir: String): Db =
+    Db(bucketedDb(s, dir, "static", TestData.staticDb(s, dir), partitionByAttr = true))
+  private def temporal(s: SparkSession, dir: String): Db =
+    Db(TestData.eventsDb(s, dir))
 
   /** Rebase a user entity id back to the raw user_id for output. */
   private val userId = FnBind("-", V("user_id"), V("u"), C(TestData.UserBase))

@@ -47,11 +47,25 @@ object FactLogIO {
   /** Bucketed-table variant: hash(e) buckets recorded in the catalog, so
     * entity-entity joins between fact tables (or self-joins of pattern
     * scans) are CO-LOCATED — Spark plans them with no Exchange. This is
-    * the cluster answer to the reference's EAVT index locality. */
-  def writeBucketedTable(db: FactDb, table: String, buckets: Int = 8): Unit =
-    db.log.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "e").sortBy("e", "a", "tx")
-      .format("parquet").saveAsTable(table)
+    * the cluster answer to the reference's EAVT index locality.
+    *
+    * `partitionByAttr` additionally lays the log out one directory per
+    * attribute (the AVET-index role): an attribute-constant pattern
+    * scan then PRUNES to its attribute's directory instead of filtering
+    * the full log, while hash(e) bucketing still co-locates the
+    * entity-joins between those pattern scans. This is the layout a
+    * multi-pattern datalog conjunction wants at 100 TB: each clause
+    * reads only its attribute, and the conjunction joins plan with no
+    * Exchange. */
+  def writeBucketedTable(db: FactDb, table: String, buckets: Int = 8,
+                         partitionByAttr: Boolean = false): Unit = {
+    val w = db.log.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "e").format("parquet")
+    // `a` is constant inside an attribute directory, so the sort key
+    // drops it there (Spark rejects sortBy ∩ partitionBy).
+    if (partitionByAttr) w.sortBy("e", "tx").partitionBy("a").saveAsTable(table)
+    else w.sortBy("e", "a", "tx").saveAsTable(table)
+  }
 
   /** Index compaction (the reference's B-tree index-build analogue,
     * Datomic-style log+index): materialize the RESOLVED snapshot at

@@ -38,6 +38,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("\nSort "), s"expected no global Sort:\n$p")
   }
 
+  test("dl_join: pattern scans prune to attribute dirs over the bucketed static log") {
+    val p = SparkEntry.queries("dl_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every pattern clause reads ONLY its attribute's directory of the
+    // attr-partitioned, e-bucketed catalog layout (the AVET+EAVT shape)
+    assert(p.contains("Bucketed: true"), s"expected bucketed scans:\n$p")
+    Seq("r_name", "n_regionkey_ref", "c_nationkey_ref", "c_name", "n_name")
+      .foreach(a => assert(p.contains(s"= $a)"),
+        s"expected partition pruning to a=$a:\n$p"))
+    // the conjunction itself shuffles nothing: the only allowed
+    // hash-partitioning Exchange is the final find-var distinct
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected at most the final-distinct Exchange:\n$p")
+  }
+
   test("sim_ann: corpus side is the precomputed index scan, not a signature pass") {
     val p = plan("sim_ann")
     // the index is a checkpointed RDD scan; the signature expression
