@@ -91,9 +91,33 @@ object Dedup {
     * grouped version is bounded by distinct-content volume, which is
     * the quantity dedup is shrinking in the first place. */
   def minhashLsh(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                 estThreshold: Double = 0.6): DataFrame = {
+                 estThreshold: Double = 0.6): DataFrame =
+    minhashLshFromSigs(minhashSignatures(docs, k).localCheckpoint(true),
+      k, bands, estThreshold)
+
+  /** Signature sidecar written once at ingest: (doc_id, sig) as a
+    * catalog table BUCKETED by doc_id — the persisted artifact a
+    * cluster deployment co-locates with the corpus. Joins keyed on
+    * doc_id over the returned relation (the candidate-verify stage of
+    * [[minhashLshFromSigs]]) plan with no Exchange on the signature
+    * side: the verify cost at 100 TB is then the candidate pairs, not a
+    * corpus reshuffle. Caller is responsible for table lifecycle
+    * (graft.sources.Catalog.recreate). */
+  def writeMinHashSidecar(docs: DataFrame, table: String, k: Int = 64,
+                          buckets: Int = 8): DataFrame = {
+    minhashSignatures(docs, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    docs.sparkSession.table(table)
+  }
+
+  /** The LSH + verify pass of [[minhashLsh]] over a precomputed
+    * (doc_id, sig) relation — typically the doc_id-bucketed sidecar
+    * from [[writeMinHashSidecar]]. */
+  def minhashLshFromSigs(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+                         estThreshold: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k).localCheckpoint(true)
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .localCheckpoint(true)

@@ -27,18 +27,10 @@ object DatalogQueries {
     bucketedCache.getOrElseUpdate((s, dir, kind), {
       val db = build
       val table = s"graft_${kind}_bucketed_" + math.abs(dir.hashCode.toLong)
-      // idempotent across sessions: a previous run's warehouse directory
-      // survives the (session-scoped) catalog entry — clear both.
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit =
-        if (f.exists()) {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-      rm(new java.io.File(s"$wh/$table"))
-      graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8,
-        partitionByAttr = partitionByAttr)
+      graft.sources.Catalog.recreate(s, table) {
+        graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8,
+          partitionByAttr = partitionByAttr)
+      }
       // partitionBy moves `a` to the tail of the catalog schema —
       // restore canonical fact-log column order.
       val log = s.table(table)

@@ -45,13 +45,29 @@ object PipelineQueries {
       idx.copy(assigned = idx.assigned.localCheckpoint(true))
     })
 
+  /** MinHash signature sidecar written once per (session, dir) to the
+    * doc_id-bucketed catalog layout (Dedup.writeMinHashSidecar) — the
+    * candidate-verify joins of dedup_minhash then plan with no Exchange
+    * on the signature side (PlanAuditSpec). */
+  private val mhSidecarCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def mhSidecar(s: SparkSession, dir: String): DataFrame =
+    mhSidecarCache.getOrElseUpdate((s, dir), {
+      val table = "graft_minhash_sidecar_" + math.abs(dir.hashCode.toLong)
+      graft.sources.Catalog.recreate(s, table) {
+        Dedup.writeMinHashSidecar(docs(s, dir), table, k = 64): Unit
+      }
+      s.table(table)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.8)),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), k = 64, bands = 16, estThreshold = 0.8)),
+      Dedup.minhashLshFromSigs(mhSidecar(s, dir), k = 64, bands = 16,
+        estThreshold = 0.8)),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
 

@@ -53,6 +53,56 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most the final-distinct Exchange:\n$p")
   }
 
+  test("dedup_minhash: verify joins never reshuffle the bucketed signature sidecar") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wraps the plan in an opaque adaptive node; disable it here so
+    // the static tree is walkable (the partitioning property is the same)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = PipelineQueries.queries("dedup_minhash")(spark, sf)
+        .queryExecution.executedPlan
+      def sidecarScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_minhash_sidecar")) => f }
+      val scans = sidecarScans(plan)
+      // the candidate-verify stage fetches both pair sides' signatures
+      // from the persisted sidecar (no signature recomputation)...
+      assert(scans.size === 2, s"expected 2 sidecar scans:\n$plan")
+      // ...and no shuffle Exchange ever sits above a sidecar scan: the
+      // corpus-sized signature relation is joined in place (candidates
+      // move to IT), which is the 100 TB verify shape. (At test scale
+      // the planner broadcasts the candidates and rightly skips
+      // bucketed reading; the SMJ case below pins the bucketed path.)
+      val reshuffled = plan.collect { case sh: ShuffleExchangeExec => sh }
+        .flatMap(sh => sidecarScans(sh.child))
+      assert(reshuffled.isEmpty, s"sidecar scan under a shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("minhash sidecar: a sort-merge verify join reads the buckets, shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // when candidates are too big to broadcast (the 100 TB case, forced
+    // here with a merge hint) the doc_id-bucketed sidecar joins with a
+    // Sort but NO Exchange on the signature side
+    val table = "graft_minhash_sidecar_spec"
+    graft.sources.Catalog.recreate(spark, table) {
+      graft.pipeline.Dedup.writeMinHashSidecar(
+        graft.core.TestData.read(spark, sf, "documents"), table, k = 64): Unit
+    }
+    val sidecar = spark.table(table)
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a", "b")
+    val joined = pairs.join(
+      sidecar.select(col("doc_id").as("a"), col("sig").as("sa")).hint("merge"), "a")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(p.contains("Bucketed: true"), s"expected bucketed sidecar scan:\n$p")
+    // exactly one shuffle: the pairs side moving TO the sidecar's buckets
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the pairs-side Exchange only:\n$p")
+  }
+
   test("sim_ann: corpus side is the precomputed index scan, not a signature pass") {
     val p = plan("sim_ann")
     // the index is a checkpointed RDD scan; the signature expression
