@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * columns + typed metadata structs, with batch decode/feature-extract
   * as per-partition operators.
   *
-  * The decode step itself is STUBBED (no image/audio libs in this
-  * container): `fakeDecode` derives deterministic pseudo-metadata from
-  * the bytes. Everything around it — the binary column, the metadata
-  * struct schema, the mapPartitions batch shape (one decoder init per
-  * partition, streamed rows), partition sizing — is the real Spark
-  * plumbing a production decode (JNI/FFmpeg/JPEG) would plug into.
+  * PNG/JPEG/GIF/BMP decode and resize are REAL, via the JDK's
+  * javax.imageio (zero extra dependencies): decode sniffs the format
+  * and reads dimensions from the header (no full pixel decode);
+  * resize renders through Graphics2D and re-encodes. Payloads ImageIO
+  * cannot sniff (e.g. audio/video codecs, or the text-as-bytes test
+  * harness) fall back to deterministic pseudo-metadata, keeping the
+  * surrounding plumbing — binary column, metadata struct, the
+  * mapPartitions batch shape (one decoder init per partition, streamed
+  * rows) — exercised end-to-end either way; a production audio/video
+  * decoder plugs into the same fallback site.
   */
 object Multimodal {
 
@@ -28,20 +32,52 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .withColumn("n_bytes", octet_length(col("media")))
 
-  /** Batch "decode": mapPartitions so a real decoder would be
-    * initialized once per partition, not per row. The stub derives
-    * width/height/format deterministically from the payload hash. */
+  /** Header-only image probe: sniff the container format and read the
+    * dimensions WITHOUT decoding pixels (an ImageReader reads just the
+    * header for getWidth/getHeight — the right cost model when decode
+    * is only fetching metadata for millions of images). */
+  private[graft] def probeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0),
+            reader.getFormatName.toLowerCase))
+        } catch { case _: java.io.IOException => None }
+        finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Deterministic pseudo-metadata for payloads ImageIO cannot sniff
+    * (non-image media; the text-bytes test harness). */
+  private def pseudoMeta(bytes: Array[Byte]): Row = {
+    val h = java.util.Arrays.hashCode(bytes)
+    Row(math.abs(h % 1920) + 1, math.abs(h % 1080) + 1,
+      Seq("jpeg", "png", "webp")(math.abs(h % 3)))
+  }
+
+  /** Batch decode: mapPartitions so decoder state is initialized once
+    * per partition, not per row. PNG/JPEG/GIF/BMP read their real
+    * header metadata via ImageIO; unsniffable payloads fall back to
+    * deterministic pseudo-metadata. */
   def decode(withMedia: DataFrame): DataFrame = {
     val spark = withMedia.sparkSession
     val outSchema = StructType(withMedia.schema.fields :+ StructField("meta", MetaSchema))
     val rdd = withMedia.rdd.mapPartitions { rows =>
-      // real pipeline: val decoder = NativeDecoder.open() — once per task
+      // once per task: no disk-backed ImageIO cache files on executors
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media")
-        // ??? <- real decode goes here; deterministic fake below
-        val h = java.util.Arrays.hashCode(bytes)
-        val meta = Row(math.abs(h % 1920) + 1, math.abs(h % 1080) + 1,
-          Seq("jpeg", "png", "webp")(math.abs(h % 3)))
+        val meta = probeImage(bytes) match {
+          case Some((w, h, fmt)) => Row(w, h, fmt)
+          case None => pseudoMeta(bytes)
+        }
         Row.fromSeq(r.toSeq :+ meta)
       }
     }
@@ -56,32 +92,61 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         i => pmod(xxhash64(col("doc_id"), i), lit(1000L)) / 1000.0))
 
-  /** Batch "resize" to a bounding box: same mapPartitions shape as
-    * decode (one scaler per task). The stub clamps the metadata to the
-    * box preserving aspect ratio and truncates the payload
-    * proportionally — a real implementation swaps in the native scaler
-    * at the marked line and everything else stands. */
+  /** Real rescale of one image payload: decode pixels, render into the
+    * scaled bounding box via Graphics2D (bilinear), re-encode in the
+    * source format. JPEG has no alpha channel, so it renders into RGB;
+    * everything else keeps ARGB. */
+  private[graft] def rescaleImage(bytes: Array[Byte], fmt: String,
+                                     newW: Int, newH: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val imgType =
+        if (fmt == "jpeg" || fmt == "jpg" || fmt == "bmp")
+          java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_INT_ARGB
+      val out = new java.awt.image.BufferedImage(newW, newH, imgType)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, newW, newH, null): Unit
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      if (javax.imageio.ImageIO.write(out, fmt, baos)) Some(baos.toByteArray)
+      else None
+    }
+  }
+
+  /** Batch resize to a bounding box, aspect-ratio preserving: same
+    * mapPartitions shape as decode (scaler state per task, not per
+    * row). Image payloads are REALLY rescaled and re-encoded via
+    * ImageIO/Graphics2D; unsniffable payloads keep the deterministic
+    * stand-in (truncate proportionally to the pixel-count scale). */
   def resize(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = decoded.sparkSession
     val schema = decoded.schema
     val mediaIdx = schema.fieldIndex("media")
     val metaIdx = schema.fieldIndex("meta")
     val rdd = decoded.rdd.mapPartitions { rows =>
-      // real pipeline: val scaler = NativeScaler.open(maxW, maxH) — per task
+      javax.imageio.ImageIO.setUseCache(false) // once per task
       rows.map { r =>
         val meta = r.getStruct(metaIdx)
         val (w, h) = (meta.getInt(0), meta.getInt(1))
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (newW, newH) =
+          (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        // ??? <- real rescale goes here; deterministic stand-in below
-        val outBytes = bytes.take(math.max(1, (bytes.length * scale * scale).toInt))
-        val newMeta = Row(math.max(1, (w * scale).toInt),
-          math.max(1, (h * scale).toInt), meta.getString(2))
+        val outBytes =
+          if (scale >= 1.0) bytes // already inside the box: no re-encode
+          else rescaleImage(bytes, meta.getString(2), newW, newH)
+            .getOrElse(bytes.take(math.max(1, (bytes.length * scale * scale).toInt)))
+        val newMeta = Row(newW, newH, meta.getString(2))
         Row.fromSeq(r.toSeq.updated(mediaIdx, outBytes).updated(metaIdx, newMeta))
       }
     }
     val out = spark.createDataFrame(rdd, schema)
-    // keep derived columns consistent with the truncated payload
+    // keep derived columns consistent with the re-encoded payload
     if (schema.fieldNames.contains("n_bytes"))
       out.withColumn("n_bytes", octet_length(col("media")))
     else out

@@ -77,6 +77,45 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0, 2, 4))
   }
 
+  test("multimodal: real PNG/JPEG decode via ImageIO, resize re-encodes true pixels") {
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val imgType =
+        if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+        else java.awt.image.BufferedImage.TYPE_INT_ARGB
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) | 0xff000000)))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, encode(320, 200, "png")),
+      (2L, encode(64, 48, "jpeg")),
+      (3L, "not an image at all".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val decoded = Multimodal.decode(media)
+    val metas = decoded.select(col("doc_id"), col("meta.*")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // real header metadata for the real images...
+    assert(metas(1L) === ((320, 200, "png")))
+    assert(metas(2L) === ((64, 48, "jpeg")))
+    // ...deterministic fallback (not a crash) for the non-image payload
+    assert(metas(3L)._1 >= 1 && metas(3L)._2 >= 1)
+
+    val resized = Multimodal.resize(decoded, maxW = 100, maxH = 100)
+    val out = resized.select(col("doc_id"), col("media"), col("meta.*")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // aspect-preserving fit: 320x200 -> 100x62
+    assert(out(1L)._2 === 100 && out(1L)._3 === 62)
+    // the RESIZED PAYLOAD is a real PNG of the new dimensions
+    assert(Multimodal.probeImage(out(1L)._1) === Some((100, 62, "png")))
+    // already inside the box: payload untouched
+    assert(out(2L)._2 === 64 && out(2L)._3 === 48)
+    assert(java.util.Arrays.equals(out(2L)._1,
+      media.filter(col("doc_id") === 2L).head().getAs[Array[Byte]]("media")))
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
