@@ -35,6 +35,39 @@ final case class FnBind(fn: String, out: V, args: Term*) extends Clause
 /** Application of a named rule. */
 final case class RuleApp(name: String, args: Term*) extends Clause
 
+/** Rest-pattern sugar over the sub-entity collection encoding — the
+  * ergonomic equivalent of the reference's `[?h & ?t]` unification
+  * against a collection value in one fact (reference
+  * src/unifydb/unify.clj:85, test/unifydb/query_test.clj:178-250).
+  *
+  * graft's typed-column value model stores a queryable collection as a
+  * sub-entity whose positional components are attributes (SURVEY §4):
+  * `[?e :address [?town & ?rest]]` becomes
+  * `RestPattern(V("e"), C("address"), Seq("addr/town", "addr/street1",
+  * "addr/street2", "addr/number"), head = V("town"),
+  * tail = Seq(V("s1"), V("s2"), V("n")))`.
+  * `head` unifies with the first component; `tail` unifies positionally
+  * with the rest (use `W` to skip a component, mirroring a wildcard in
+  * the reference's list pattern). Desugars to plain patterns, so the
+  * compiled plan is the same join pipeline the hand-written encoding
+  * produces — this is AST-level sugar, not a new operator. */
+final case class RestPattern(e: Term, attr: Term, fields: Seq[String],
+                             head: Term, tail: Seq[Term]) extends Clause {
+  require(fields.nonEmpty, "rest-pattern needs at least one component field")
+  require(tail.length == fields.length - 1,
+    s"rest-pattern tail arity ${tail.length} != ${fields.length - 1} (fields: $fields)")
+  /** The equivalent plain-pattern conjunction. The sub-entity join
+    * variable gets a content-derived name: deterministic, and distinct
+    * for distinct rest-patterns in one query. */
+  def desugared: Clause = {
+    val sub = V(s"__rest$$${java.lang.Integer.toHexString(hashCode)}")
+    And(Pattern(e, attr, sub) +:
+      fields.zip(head +: tail).collect {
+        case (f, t) if t != W => Pattern(sub, C(f), t)
+      }: _*)
+  }
+}
+
 /** A named deductive rule: head params + body (reference rules,
   * query.clj:260-274; recursion supported via semi-naive fixpoint). */
 final case class Rule(name: String, params: Seq[V], body: Clause)

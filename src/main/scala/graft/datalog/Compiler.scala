@@ -157,6 +157,7 @@ object Compiler {
       if (f.columns.contains(out.name)) Some(f.filter(col(out.name) === value)) // unify
       else Some(f.withColumn(out.name, value))
     case p: Pattern => Some(merge(frames, pattern(db, p)))
+    case rp: RestPattern => eval(db, rp.desugared, rules, cache, frames)
     case RuleApp(name, args @ _*) if rules(name).forall(d => !hasPattern(d.body)) =>
       // Filter-only rules (e.g. the reference's `[(:same ?x ?x)]`,
       // query_test.clj:140) have no finite relation to materialize —
@@ -259,6 +260,7 @@ object Compiler {
       case Pred(_, args @ _*) => termVars(args)
       case FnBind(_, out, args @ _*) => termVars(args) + out.name
       case RuleApp(_, args @ _*) => termVars(args)
+      case rp: RestPattern => clauseVars(rp.desugared)
     }
   }
 
@@ -268,6 +270,7 @@ object Compiler {
     case Or(cs @ _*) => cs.exists(hasPattern)
     case Not(n) => hasPattern(n)
     case _: RuleApp => true // conservatively non-inlinable
+    case _: RestPattern => true
     case _ => false
   }
 
@@ -288,6 +291,7 @@ object Compiler {
         FnBind(fn, st(out).asInstanceOf[V], args.map(st): _*)
       case Pattern(e, a, v, tx, ad) => Pattern(st(e), st(a), st(v), st(tx), st(ad))
       case RuleApp(n, args @ _*) => RuleApp(n, args.map(st): _*)
+      case rp: RestPattern => substitute(rp.desugared, sub, fresh)
     }
   }
 

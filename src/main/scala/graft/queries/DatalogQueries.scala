@@ -212,6 +212,19 @@ object DatalogQueries {
 
     // Flagship compound query: TPC-H Q5 expressed entirely in datalog —
     // deductive rule, graph ref-traversal, the same-nation constraint
+    // Rest-pattern sugar (reference `[?h & ?t]` over a collection
+    // value, query_test.clj:178-250): an order's customer record reads
+    // as the positional collection [name & [acctbal]] through its
+    // sub-entity ref — `[?o :customer [?cn & ?bal]]`. Desugars to the
+    // plain patterns of the hand-written encoding (Ast.RestPattern).
+    "dl_rest" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name"), FVar(V("bal"), "c_acctbal")),
+      where = And(
+        Pattern(V("o"), C("o_orderpriority"), C("1-URGENT")),
+        RestPattern(V("o"), C("o_custkey_ref"),
+          fields = Seq("c_name", "c_acctbal"),
+          head = V("cn"), tail = Seq(V("bal")))))),
+
     // as a shared variable, binding functions, exact aggregation, sort.
     "dl_q5" -> q(static, Query(
       find = Seq(FVar(V("nname"), "n_name"), FAgg("sum$exact", V("rev"), "rev")),
@@ -325,6 +338,10 @@ object DatalogQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'""",
+    "dl_rest" ->
+      """SELECT DISTINCT c_name, c_acctbal FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderpriority = '1-URGENT'""",
     "dl_or" ->
       "SELECT DISTINCT n_name FROM nation WHERE n_regionkey IN (0, 4)",
     "dl_not" ->

@@ -84,14 +84,16 @@ class CollectionsParitySpec extends SparkSpec {
   private def run(q: Query, asOf: Long = Long.MaxValue): DataFrame =
     Compiler.run(Db(fixture._1, asOf = asOf), q)(spark)
 
-  test("positional unification: [?e :job [:computer ?what]] via sub-entity patterns") {
+  private val jobFields = Seq("job/field", "job/title")
+  private val addrFields =
+    Seq("addr/town", "addr/street1", "addr/street2", "addr/number")
+
+  test("positional unification: [?e :job [:computer ?what]] via RestPattern sugar") {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(
       find = Seq(FVar(V("e"), "e"), FVar(V("what"), "what")),
-      where = And(
-        Pattern(V("e"), C("job"), V("j")),
-        Pattern(V("j"), C("job/field"), C("computer")),
-        Pattern(V("j"), C("job/title"), V("what")))))
+      where = RestPattern(V("e"), C("job"), jobFields,
+        head = C("computer"), tail = Seq(V("what")))))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows === Set((ben, "wizard"), (alyssa, "programmer")))
   }
@@ -100,9 +102,8 @@ class CollectionsParitySpec extends SparkSpec {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(
       find = Seq(FVar(V("e"), "e")),
-      where = And(
-        Pattern(V("e"), C("job"), V("j")),
-        Pattern(V("j"), C("job/field"), C("computer")))))
+      where = RestPattern(V("e"), C("job"), jobFields,
+        head = C("computer"), tail = Seq(W))))
       .collect().map(_.getLong(0)).toSet
     assert(rows === Set(ben, alyssa))
   }
@@ -112,12 +113,8 @@ class CollectionsParitySpec extends SparkSpec {
     val rows = run(Query(
       find = Seq(FVar(V("town"), "town"), FVar(V("s1"), "s1"),
         FVar(V("s2"), "s2"), FVar(V("n"), "n")),
-      where = And(
-        Pattern(C(ben), C("address"), V("a")),
-        Pattern(V("a"), C("addr/town"), V("town")),
-        Pattern(V("a"), C("addr/street1"), V("s1")),
-        Pattern(V("a"), C("addr/street2"), V("s2")),
-        Pattern(V("a"), C("addr/number"), V("n")))))
+      where = RestPattern(C(ben), C("address"), addrFields,
+        head = V("town"), tail = Seq(V("s1"), V("s2"), V("n")))))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(rows.toSeq === Seq(("slumerville", "ridge", "road", 10L)))
   }
@@ -126,10 +123,8 @@ class CollectionsParitySpec extends SparkSpec {
     val (_, _, alyssa, _, txBoth) = fixture
     val q = Query(
       find = Seq(FVar(V("town"), "town"), FVar(V("n"), "n")),
-      where = And(
-        Pattern(C(alyssa), C("address"), V("a")),
-        Pattern(V("a"), C("addr/town"), V("town")),
-        Pattern(V("a"), C("addr/number"), V("n"))))
+      where = RestPattern(C(alyssa), C("address"), addrFields,
+        head = V("town"), tail = Seq(W, W, V("n"))))
     val atTx = run(q, asOf = txBoth).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(atTx.toSeq === Seq(("cambridge", 78L)))
     assert(run(q).collect().isEmpty) // latest: retraction cancels
@@ -139,12 +134,8 @@ class CollectionsParitySpec extends SparkSpec {
     val (_, _, _, cy, _) = fixture
     val rows = run(Query(
       find = Seq(FVar(V("s1"), "s1"), FVar(V("s2"), "s2"), FVar(V("n"), "n")),
-      where = And(
-        Pattern(V("who"), C("address"), V("a")),
-        Pattern(V("a"), C("addr/town"), C("slumerville")),
-        Pattern(V("a"), C("addr/street1"), V("s1")),
-        Pattern(V("a"), C("addr/street2"), V("s2")),
-        Pattern(V("a"), C("addr/number"), V("n")))))
+      where = RestPattern(V("who"), C("address"), addrFields,
+        head = C("slumerville"), tail = Seq(V("s1"), V("s2"), V("n")))))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(rows === Set(("ridge", "road", 10L), ("davis", "square", 42L)))
     assert(cy > 0) // fixture sanity
