@@ -363,7 +363,16 @@ object Compiler {
 
     if (recDefs.isEmpty) {
       baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
-    } else {
+    } else fixpointCache.getOrElseUpdate(
+      // A fixpoint's result is a union of checkpointed deltas — already
+      // materialized, so it is safely shareable ACROSS queries in the
+      // session. Key: db identity (fact logs are session-cached
+      // objects), the rule's name, and the full definition set of the
+      // rule + its transitive dependencies (structural equality on the
+      // AST) — a query redefining any involved rule computes its own.
+      (spark, db, name,
+        (ruleDeps(defs.map(_.body)) + name).toSeq.sorted
+          .flatMap(n => rules.getOrElse(n, Nil))), {
       require(baseDefs.nonEmpty, s"recursive rule $name needs a base case")
       // Materialize sibling rule relations (e.g. the non-recursive
       // `parent` inside `anc`'s body) ONCE before iterating: each hop
@@ -407,8 +416,16 @@ object Compiler {
       }
       require(n == 0, s"rule $name did not reach fixpoint in $maxIter iterations")
       total
-    }
+    })
   }
+
+  /** Cross-query cache of materialized recursive-rule relations (e.g.
+    * `anc` rebuilt per query in a session was SURVEY §7's round-3
+    * candidate). Only fixpoint outputs are cached: non-recursive rule
+    * relations deliberately stay unmaterialized plans so they fuse into
+    * the enclosing query for pushdown. */
+  private val fixpointCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Db, String, Seq[Rule]), DataFrame]
 
   /** Names of rules applied anywhere in `bodies`. */
   private def ruleDeps(bodies: Seq[Clause]): Set[String] = {

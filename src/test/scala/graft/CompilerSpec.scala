@@ -104,6 +104,49 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() === 6) // 1->2,3,4; 2->3,4; 3->4
   }
 
+  test("recursive rule relation is shared across queries: no fixpoint jobs on reuse") {
+    val chain = mkDb(Seq(
+      r(10, "parent", 11), r(11, "parent", 12), r(12, "parent", 13),
+      s(10, "name", "root")),
+      Map("parent" -> "vref", "name" -> "vstr"))
+    val ancRules = Seq(
+      Rule("anc", Seq(V("x"), V("y")), Pattern(V("x"), C("parent"), V("y"))),
+      Rule("anc", Seq(V("x"), V("y")), And(
+        Pattern(V("x"), C("parent"), V("m")),
+        RuleApp("anc", V("m"), V("y")))))
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(1500) } // let the async listener bus drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    val first = jobsDuring {
+      assert(Compiler.run(chain, Query(
+        find = Seq(FVar(V("a"), "a"), FVar(V("b"), "b")),
+        where = RuleApp("anc", V("a"), V("b")),
+        rules = ancRules)).count() === 6)
+    }
+    // a DIFFERENT query over the SAME rule set + db: the materialized
+    // fixpoint is reused — only the query's own action runs jobs
+    val second = jobsDuring {
+      assert(Compiler.run(chain, Query(
+        find = Seq(FVar(V("b"), "b")),
+        where = And(RuleApp("anc", C(10L), V("b"))),
+        rules = ancRules)).count() === 3)
+    }
+    // first run: base + one checkpoint-and-count pair per hop (>= 6
+    // jobs for a 3-hop chain); reuse: just the count's own jobs (AQE
+    // splits a count over the cached relation into up to 3)
+    assert(first >= 6, s"expected fixpoint jobs on first run, got $first")
+    assert(second <= 3, s"expected no fixpoint jobs on reuse, got $second")
+  }
+
   test("mutually recursive rules fail with a clear error, not divergence") {
     val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
     val err = intercept[IllegalArgumentException] {
