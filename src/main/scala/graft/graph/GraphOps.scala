@@ -120,6 +120,63 @@ object GraphOps {
     spark.createDataFrame(cc).toDF("node", "component")
   }
 
+  /** DataFrame-native connected components: alternating large-star /
+    * small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Component = min node id, same
+    * contract as [[connectedComponents]].
+    *
+    * This is the 100×-scale path: O(log n) rounds of plain
+    * groupBy/join shuffles that stay inside Tungsten codegen and AQE
+    * (skew-join splitting, runtime partition coalescing), where
+    * GraphX's RDD Pregel leaves both behind and iterates O(diameter)
+    * times. Same one-materializing-job-per-round structure as [[bfs]]:
+    * only the current edge set is checkpointed; the convergence check
+    * is an anti-join count on the just-checkpointed rounds. */
+  def ccDataFrame(edgeDf: DataFrame, maxIter: Int = 50)
+                 (implicit spark: SparkSession): DataFrame = {
+    val input = edgeDf.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))
+    // canonical undirected form (u = hi, v = lo), self-loops dropped
+    def canon(df: DataFrame): DataFrame = df.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    var edges = canon(input).localCheckpoint(true)
+    var prevCount = edges.count()
+    var converged = prevCount == 0
+    var i = 0
+    while (!converged && i < maxIter) {
+      i += 1
+      // large-star: every neighbor v > u links to u's neighborhood min
+      val nbrs = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: all smaller neighbors (and u itself) link to the min
+      val sCanon = canon(large)
+      val smins = sCanon.groupBy("u").agg(min(col("v")).as("m"))
+      val small = sCanon.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(smins.select(col("u"), col("m").as("v")))
+      val next = canon(small).localCheckpoint(true)
+      val nextCount = next.count()
+      // star-contraction is monotone: the canonical edge set is stable
+      // iff sizes match and nothing left the old set
+      converged = nextCount == prevCount &&
+        edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      prevCount = nextCount
+    }
+    require(converged, s"ccDataFrame did not converge in $maxIter rounds")
+    // at convergence the edge set is a forest of stars (member -> root)
+    val nodes = input.select(col("u").as("node"))
+      .unionAll(input.select(col("v").as("node"))).distinct()
+    nodes.join(edges.select(col("u").as("node"), col("v").as("component")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** PageRank via GraphX (fixed #iterations for determinism). */
   def pageRank(edgeDf: DataFrame, iters: Int = 10)(implicit spark: SparkSession): DataFrame = {
     val pr = toGraphX(edgeDf).staticPageRank(iters).vertices

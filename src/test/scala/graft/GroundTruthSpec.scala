@@ -235,6 +235,32 @@ class GroundTruthSpec extends SparkSpec {
     assert(actual === dist.toMap) // node 6 absent from both
   }
 
+  test("ccDataFrame matches GraphX on the graph_cc fixture") {
+    val e = GraphOps.edges(graft.core.TestData.staticDb(spark, "/root/testdata/sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("label") === "n_regionkey_ref")
+    val viaGraphX = GraphOps.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = GraphOps.ccDataFrame(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf === viaGraphX)
+  }
+
+  test("ccDataFrame: planted 10^5-edge path forest resolves in O(log n) rounds") {
+    import org.apache.spark.sql.functions._
+    // 100 path components of 1000 nodes each: node i belongs to
+    // component floor(i/1000)*1000 (its min id). Diameter 999 — a
+    // label-propagation CC would need ~999 rounds; large-star /
+    // small-star contracts it within the 50-round default (O(log n)).
+    val edges = spark.range(100000)
+      .filter((col("id") + 1) % 1000 =!= 0)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val cc = GraphOps.ccDataFrame(edges)
+    val wrong = cc.filter(col("component") =!= (col("node") - pmod(col("node"), lit(1000L)))).count()
+    assert(wrong === 0)
+    assert(cc.count() === 100000)
+    assert(cc.select("component").distinct().count() === 100)
+  }
+
   test("pageRank matches driver-side power iteration (GraphX static semantics)") {
     // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in only)
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
