@@ -135,6 +135,25 @@ object Similarity {
     AnnIndex(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
       sigOf(col(vecCol), planes).as("bucket")), planes)
 
+  /** Persist an ANN index as the on-disk sidecar: the (id, vec, bucket)
+    * assignment as parquet plus a one-row JSON meta carrying the plane
+    * count (the artifact owns its parameters, same discipline as
+    * FactLogIO's meta). */
+  def writeAnnIndex(index: AnnIndex, path: String): Unit = {
+    index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    Seq(index.planes).toDF("planes")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/meta")
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
+    AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
+  }
+
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors — plan-time
     * constants), exact rescoring of the surviving candidates only. The

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.FactStore
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -68,7 +68,9 @@ object FactStream {
   def ingestWithCompaction(facts: DataFrame, path: String, checkpoint: String,
                            attrTypes: Map[String, String],
                            cardMany: Set[String] = Set.empty,
-                           compactEvery: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+                           compactEvery: Int = 10,
+                           onCompact: (SparkSession, String) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -86,6 +88,36 @@ object FactStream {
           val db = graft.sources.FactLogIO.read(spark, path)
           val watermark = db.log.agg(max(col("tx"))).head().getLong(0)
           graft.sources.FactLogIO.writeSnapshotBase(db, path, watermark)
+          // index-maintenance hook: derived sidecars (ANN index, stats)
+          // refresh INSIDE the same single-writer cycle — no separate
+          // coordinator (cf. ingestEmbeddingsWithAnnRefresh)
+          onCompact(spark, path)
+        }
+      }
+      .start()
+
+  /** Continuous embedding ingestion WITH ANN-index maintenance — the
+    * §2C↔§2E loop: every micro-batch appends (id, vec) rows to the
+    * corpus (batch-owned partition dirs, idempotent under retry, same
+    * scheme as ingestWithCompaction); every `refreshEvery` batches the
+    * sign-LSH AnnIndex sidecar is rebuilt over the corpus-so-far and
+    * persisted (Similarity.writeAnnIndex), so annTopKIndexed over the
+    * sidecar serves freshly ingested vectors. The rebuild is one
+    * map-only signature pass (the 100 TB shape), serialized with
+    * ingestion in the single-writer foreachBatch loop. */
+  def ingestEmbeddingsWithAnnRefresh(emb: DataFrame, path: String, checkpoint: String,
+                                     planes: Int = 8, refreshEvery: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
+        if ((batchId + 1) % refreshEvery == 0) {
+          val corpus = spark.read.parquet(s"$path/corpus")
+          graft.pipeline.Similarity.writeAnnIndex(
+            graft.pipeline.Similarity.annIndex(corpus, "id", "vec", planes),
+            s"$path/ann")
         }
       }
       .start()

@@ -110,6 +110,31 @@ class StreamingSpec extends SparkSpec {
       .select("vdbl").head().getDouble(0) === 9.0)
   }
 
+  test("streaming ANN maintenance: refreshed sidecar serves newly ingested neighbors") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-refresh").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestEmbeddingsWithAnnRefresh(emb, dir, s"$dir/ckpt",
+      planes = 4, refreshEvery = 2)
+    def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    // batch 0: a background corpus far from the probe direction
+    input.addData((1L, v(1)), (2L, v(2)), (3L, v(3)))
+    q.processAllAvailable()
+    // batch 1 (refresh tick): ingest the probe's true nearest neighbor —
+    // a tiny perturbation of v(9), plus more background
+    val neighbor = v(9).map(_ + 1e-6)
+    input.addData((42L, neighbor), (4L, v(4)))
+    q.processAllAvailable()
+    q.stop()
+    val index = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
+    assert(index.planes === 4)
+    assert(index.assigned.count() === 5) // both micro-batches indexed
+    val top = graft.pipeline.Similarity.annTopKIndexed(index, v(9), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(42L), s"expected the freshly ingested neighbor, got $top")
+  }
+
   test("eventFacts emits fact-log rows on batch and streaming frames alike") {
     val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
