@@ -41,15 +41,20 @@ object GraphOps {
     * localCheckpoint keeps the lineage flat (mandatory for iterative
     * DataFrame algorithms at scale).
     */
-  def bfs(edgeDf: DataFrame, sources: Seq[Long], maxHops: Int)
+  def bfs(edgeDf: DataFrame, sources: Seq[Long], maxHops: Int,
+          materializeEdges: Boolean = true)
          (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     // materialize the edge set once — every iteration re-reads it.
+    // Pass materializeEdges = false when the edge set is already a
+    // cheap pruned scan (e.g. label directories of the bucketed fact
+    // log): re-reading per hop then beats paying one full
+    // materialization up front.
     // One materializing job per hop: only the FRONTIER is checkpointed
     // (needed for the emptiness count anyway); the visited set stays a
     // union tree of checkpointed frontiers, never re-materialized
     // (same restructure as the datalog rule fixpoint).
-    val edges = edgeDf.localCheckpoint(true)
+    val edges = if (materializeEdges) edgeDf.localCheckpoint(true) else edgeDf
     var frontier = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
     val parts = collection.mutable.ArrayBuffer(frontier)
     var visited = frontier

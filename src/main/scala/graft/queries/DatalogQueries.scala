@@ -40,8 +40,14 @@ object DatalogQueries {
   private def bucketedEventsDb(s: SparkSession, dir: String): graft.core.FactDb =
     bucketedDb(s, dir, "events", TestData.eventsDb(s, dir), partitionByAttr = false)
 
+  /** The static fact log on the attr-partitioned bucketed layout —
+    * shared with GraphQueries (edge scans prune to their label's
+    * directory the same way pattern scans do). */
+  private[queries] def bucketedStaticDb(s: SparkSession, dir: String): graft.core.FactDb =
+    bucketedDb(s, dir, "static", TestData.staticDb(s, dir), partitionByAttr = true)
+
   private def static(s: SparkSession, dir: String): Db =
-    Db(bucketedDb(s, dir, "static", TestData.staticDb(s, dir), partitionByAttr = true))
+    Db(bucketedStaticDb(s, dir))
   private def temporal(s: SparkSession, dir: String): Db =
     Db(TestData.eventsDb(s, dir))
 

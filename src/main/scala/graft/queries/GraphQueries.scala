@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2D — graph analytics over fact-derived edges. */
 object GraphQueries {
 
-  private def db(s: SparkSession, dir: String): FactDb = TestData.staticDb(s, dir)
+  /** Edge source = the attr-partitioned, e-bucketed static fact log:
+    * a label-filtered edge scan prunes to its label's directory, so
+    * per-hop re-reads in the iterative algorithms are cheap (no
+    * per-query materialization of the full edge set). */
+  private def db(s: SparkSession, dir: String): FactDb =
+    DatalogQueries.bucketedStaticDb(s, dir)
 
   /** nation<->nation edges: same region (5 cliques of 5) — gives the
     * graph real triangle/community structure. */
@@ -38,7 +43,9 @@ object GraphQueries {
       val e = GraphOps.edges(db(s, dir))
         .filter(col("label").isin("o_custkey_ref", "c_nationkey_ref", "n_regionkey_ref"))
       val startOrder = TestData.OrdersBase + 1L
-      GraphOps.bfs(e, Seq(startOrder), maxHops = 3)
+      // edge scans are label-pruned directories of the bucketed log —
+      // per-hop re-reads beat materializing the full edge set up front
+      GraphOps.bfs(e, Seq(startOrder), maxHops = 3, materializeEdges = false)
         .select(col("node"), col("hops"))
     }),
 
