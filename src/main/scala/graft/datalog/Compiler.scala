@@ -460,6 +460,10 @@ object Compiler {
     case "ends-with" => cs(0).endsWith(cs(1))
     case "even" => pmod(cs.head, lit(2)) === 0
     case "odd" => pmod(cs.head, lit(2)) === 1
+    case "matches" => regexp_like(cs(0), cs(1))
+    case "between" => cs(0).between(cs(1), cs(2))
+    case "null?" => cs.head.isNull
+    case "some?" => cs.head.isNotNull
     case other => throw new IllegalArgumentException(s"Unknown predicate $other")
   }
 
@@ -490,6 +494,17 @@ object Compiler {
     case "min" | "least" => least(cs: _*)
     case "max" | "greatest" => greatest(cs: _*)
     case "neg" => -cs.head
+    case "sqrt" => sqrt(cs.head)
+    case "pow" => pow(cs.head, cs(1))
+    case "ln" => log(cs.head)
+    case "exp" => exp(cs.head)
+    case "ceil" => ceil(cs.head)
+    case "sign" => signum(cs.head).cast(LongType)
+    case "reverse" => reverse(cs.head)
+    case "md5" => md5(cs.head.cast(StringType))
+    case "index-of" => position(cs(1), cs.head).cast(LongType) // 1-based, 0 = absent
+    case "capitalize" => initcap(cs.head)
+    case "replace" => regexp_replace(cs.head, cs(1), cs(2))
     case other => throw new IllegalArgumentException(s"Unknown function $other")
   }
 }

@@ -218,6 +218,28 @@ object DatalogQueries {
 
     // Flagship compound query: TPC-H Q5 expressed entirely in datalog —
     // deductive rule, graph ref-traversal, the same-nation constraint
+    // Widened fn/pred registry (reference resolves any clojure.core fn,
+    // query.clj:70-130; graft keeps a closed registry for distributed
+    // safety and grows it fn by fn): regex match, between, position,
+    // md5, sqrt, sign, reverse — each oracle-checked against DuckDB.
+    "dl_fn_more" -> q(static, Query(
+      find = Seq(FVar(V("nm"), "c_name"), FVar(V("pos"), "pos"),
+        FVar(V("dig"), "digest"), FVar(V("rt"), "rt"),
+        FVar(V("rv"), "rev_name"), FVar(V("sg"), "sgn"), FVar(V("lg"), "lg")),
+      where = And(
+        Pattern(V("c"), C("c_name"), V("nm")),
+        Pattern(V("c"), C("c_acctbal"), V("bal")),
+        Pred("matches", V("nm"), C("[02468]$")),
+        Pred("between", V("bal"), C(-500.0), C(8000.0)),
+        FnBind("index-of", V("pos"), V("nm"), C("#")),
+        FnBind("md5", V("dig"), V("nm")),
+        FnBind("abs", V("ab"), V("bal")),
+        FnBind("sqrt", V("rt"), V("ab")),
+        FnBind("+", V("ab1"), V("ab"), C(1.0)),
+        FnBind("ln", V("lg"), V("ab1")),
+        FnBind("reverse", V("rv"), V("nm")),
+        FnBind("sign", V("sg"), V("bal"))))),
+
     // Rest-pattern sugar (reference `[?h & ?t]` over a collection
     // value, query_test.clj:178-250): an order's customer record reads
     // as the positional collection [name & [acctbal]] through its
@@ -344,6 +366,15 @@ object DatalogQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'""",
+    "dl_fn_more" ->
+      """SELECT DISTINCT c_name, instr(c_name, '#') AS pos,
+                md5(c_name) AS digest, sqrt(abs(c_acctbal)) AS rt,
+                reverse(c_name) AS rev_name,
+                CAST(sign(c_acctbal) AS BIGINT) AS sgn,
+                ln(abs(c_acctbal) + 1.0) AS lg
+         FROM customer
+         WHERE regexp_matches(c_name, '[02468]$')
+           AND c_acctbal BETWEEN -500 AND 8000""",
     "dl_rest" ->
       """SELECT DISTINCT c_name, c_acctbal FROM orders
          JOIN customer ON o_custkey = c_custkey

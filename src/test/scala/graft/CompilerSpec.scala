@@ -80,6 +80,26 @@ class CompilerSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(b => b % 2 == 0 && math.max(b, 2L) >= 2))
   }
 
+  test("registry: pow/ceil/exp/capitalize/replace fns and null?/some? predicates") {
+    val out = Compiler.run(employees, Query(
+      find = Seq(FVar(V("n2"), "n2"), FVar(V("p"), "p"), FVar(V("c"), "c"),
+        FVar(V("cap"), "cap")),
+      where = And(
+        Pattern(V("e"), C("salary"), V("sal")),
+        Pred("some?", V("sal")),
+        FnBind("pow", V("p"), C(2.0), C(10.0)),
+        FnBind("ceil", V("c"), C(1.2)),
+        FnBind("exp", V("ex"), C(0.0)),
+        Pred("=", V("ex"), C(1.0)),
+        FnBind("capitalize", V("cap"), C("ben bitdiddle")),
+        FnBind("replace", V("n2"), C("a-b-c"), C("-"), C("+")))))
+      .collect()
+    assert(out.length === 1)
+    val r0 = out.head
+    assert(r0.getString(0) === "a+b+c" && r0.getDouble(1) === 1024.0 &&
+      r0.getLong(2) === 2L && r0.getString(3) === "Ben Bitdiddle")
+  }
+
   test("global aggregate without group keys") {
     val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
     val out = Compiler.run(db, Query(
