@@ -12,7 +12,7 @@ object Bench {
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "sim_topk", "text_quality",
     "text_tfidf", "pipeline_e2e",
-    "graph_reach", "graph_pagerank")
+    "graph_reach", "graph_pagerank", "graph_cc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,27 +28,30 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
-    * word length, and a blended score — the standard cheap quality
-    * filters applied before expensive model-based scoring. */
-  def quality(docs: DataFrame): DataFrame = {
+  /** The quality metric columns over a `text` column — exposed as
+    * column builders so multi-gate pipelines can fuse them with other
+    * per-row stages into ONE corpus pass (see langQuality). */
+  private def qualityMetricCols: Seq[Column] = {
     val toks = split(trim(col("text")), "\\s+")
     val nToks = size(toks).cast("double")
     val nChars = length(col("text")).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
     val stops = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
-    docs.select(
-      col("doc_id"),
-      nChars.as("n_chars"),
-      nToks.as("n_tokens"),
-      (punct / nChars).as("punct_ratio"),
-      (stops / nToks).as("stop_ratio"),
+    Seq(nChars.as("n_chars"), nToks.as("n_tokens"),
+      (punct / nChars).as("punct_ratio"), (stops / nToks).as("stop_ratio"),
       (nChars / nToks).as("mean_word_len"))
-      .withColumn("quality_score",
-        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
-          col("stop_ratio") * 0.3 +
-          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.2)
   }
+  private def qualityScoreCol: Column =
+    least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+      col("stop_ratio") * 0.3 +
+      (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * 0.2
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * word length, and a blended score — the standard cheap quality
+    * filters applied before expensive model-based scoring. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: qualityMetricCols: _*)
+      .withColumn("quality_score", qualityScoreCol)
 
   /** Stopword profiles per language for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with alphabetical tie-break. */
@@ -58,26 +61,33 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "que", "por", "una"),
     "fr" -> Seq("le", "les", "et", "une", "est", "pas"))
 
-  /** Language ID: count marker-stopword hits per language, emit the
-    * argmax (ties broken by language code order); CJK characters force
-    * "zh". */
-  def langId(docs: DataFrame): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(toks, t => t.isin(markers: _*))))
+  /** The language-ID expression over a `text` column: count
+    * marker-stopword hits per language, argmax with deterministic
+    * tie-break (language code order); CJK characters force "zh". */
+  private def predLangCol(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
-    // argmax with deterministic tie-break: walk languages in order, keep
-    // the first one achieving the running max.
-    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
-    val pick = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
-      when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    // walk languages in order, keep the first one achieving the max
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, sc)) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
     }
-    scored.withColumn("pred_lang",
-      when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick))
-      .select(col("doc_id"), col("pred_lang"))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh")).otherwise(pick)
   }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), predLangCol(col("text")).as("pred_lang"))
+
+  /** All row-wise gate columns — language id + quality metrics — in a
+    * SINGLE projection: at 100 TB the corpus is scanned once for every
+    * per-row gate; joins are reserved for the genuinely relational
+    * steps (dedup). pipeline_e2e runs on this. */
+  def langQuality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+        predLangCol(col("text")).as("pred_lang") +: qualityMetricCols: _*)
+      .withColumn("quality_score", qualityScoreCol)
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): rolling
     * k-gram hashes, minimum per sliding window, distinct sorted set.

@@ -122,8 +122,10 @@ object PipelineQueries {
     // groupBy); the gates are pushed-down scans feeding it.
     "pipeline_e2e" -> ((s, dir) => {
       val d = docs(s, dir)
-      val gated = TextAnalysis.langId(d).filter(col("pred_lang") === "en")
-        .join(TextAnalysis.quality(d).filter(col("quality_score") >= 0.5), "doc_id")
+      // ONE corpus pass for the per-row gates (language + quality
+      // fused), one shuffle for the relational step (exact dedup)
+      val gated = TextAnalysis.langQuality(d)
+        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.5)
       val survivors = Dedup.exact(d).select(col("doc_id"))
       gated.join(survivors, "doc_id")
         .select(col("doc_id"), col("n_tokens"), round(col("quality_score"), 6).as("quality_score"))
