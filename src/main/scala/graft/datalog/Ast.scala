@@ -56,11 +56,18 @@ final case class RestPattern(e: Term, attr: Term, fields: Seq[String],
   require(fields.nonEmpty, "rest-pattern needs at least one component field")
   require(tail.length == fields.length - 1,
     s"rest-pattern tail arity ${tail.length} != ${fields.length - 1} (fields: $fields)")
-  /** The equivalent plain-pattern conjunction. The sub-entity join
-    * variable gets a content-derived name: deterministic, and distinct
-    * for distinct rest-patterns in one query. */
+  /** The sub-entity join variable: content-derived name — deterministic,
+    * distinct (w.h.p.) across rest-patterns in one query, and purely
+    * INTERNAL: the compiler drops it from the frame right after this
+    * clause evaluates, so it never leaks into :or column-set checks,
+    * :not keying, or the find surface. Bind the sub-entity with plain
+    * patterns if you need it. */
+  private[datalog] def subVar: String =
+    s"__rest$$${java.lang.Integer.toHexString(hashCode)}"
+
+  /** The equivalent plain-pattern conjunction. */
   def desugared: Clause = {
-    val sub = V(s"__rest$$${java.lang.Integer.toHexString(hashCode)}")
+    val sub = V(subVar)
     And(Pattern(e, attr, sub) +:
       fields.zip(head +: tail).collect {
         case (f, t) if t != W => Pattern(sub, C(f), t)

@@ -157,7 +157,11 @@ object Compiler {
       if (f.columns.contains(out.name)) Some(f.filter(col(out.name) === value)) // unify
       else Some(f.withColumn(out.name, value))
     case p: Pattern => Some(merge(frames, pattern(db, p)))
-    case rp: RestPattern => eval(db, rp.desugared, rules, cache, frames)
+    case rp: RestPattern =>
+      // the synthetic sub-entity var is internal: drop it so :or
+      // disjuncts with different rest-patterns still bind identical
+      // column sets and :not keys only on user-visible vars
+      eval(db, rp.desugared, rules, cache, frames).map(_.drop(rp.subVar))
     case RuleApp(name, args @ _*) if rules(name).forall(d => !hasPattern(d.body)) =>
       // Filter-only rules (e.g. the reference's `[(:same ?x ?x)]`,
       // query_test.clj:140) have no finite relation to materialize —
@@ -260,7 +264,7 @@ object Compiler {
       case Pred(_, args @ _*) => termVars(args)
       case FnBind(_, out, args @ _*) => termVars(args) + out.name
       case RuleApp(_, args @ _*) => termVars(args)
-      case rp: RestPattern => clauseVars(rp.desugared)
+      case rp: RestPattern => clauseVars(rp.desugared) - rp.subVar
     }
   }
 
@@ -363,15 +367,16 @@ object Compiler {
 
     if (recDefs.isEmpty) {
       baseDefs.map(evalDef(_, None)).reduce(_ unionAll _).distinct()
-    } else fixpointCache.getOrElseUpdate(
+    } else fixpointCached(
       // A fixpoint's result is a union of checkpointed deltas — already
       // materialized, so it is safely shareable ACROSS queries in the
       // session. Key: db identity (fact logs are session-cached
       // objects), the rule's name, and the full definition set of the
-      // rule + its transitive dependencies (structural equality on the
-      // AST) — a query redefining any involved rule computes its own.
+      // rule + its TRANSITIVE dependencies (structural equality on the
+      // AST) — a query redefining any involved rule, at any depth,
+      // computes its own.
       (spark, db, name,
-        (ruleDeps(defs.map(_.body)) + name).toSeq.sorted
+        (ruleDepsTransitive(defs.map(_.body), rules) + name).toSeq.sorted
           .flatMap(n => rules.getOrElse(n, Nil))), {
       require(baseDefs.nonEmpty, s"recursive rule $name needs a base case")
       // Materialize sibling rule relations (e.g. the non-recursive
@@ -423,9 +428,37 @@ object Compiler {
     * `anc` rebuilt per query in a session was SURVEY §7's round-3
     * candidate). Only fixpoint outputs are cached: non-recursive rule
     * relations deliberately stay unmaterialized plans so they fuse into
-    * the enclosing query for pushdown. */
+    * the enclosing query for pushdown.
+    *
+    * Bounded: dropping an entry releases the only strong reference to
+    * its checkpointed RDD chain, letting the ContextCleaner reclaim the
+    * blocks — so a long-lived session querying evolving snapshots
+    * cannot pin storage without bound. */
+  private val fixpointCacheMax = 64
   private val fixpointCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Db, String, Seq[Rule]), DataFrame]
+  private def fixpointCached(key: (SparkSession, Db, String, Seq[Rule]),
+                             build: => DataFrame): DataFrame =
+    fixpointCache.getOrElseUpdate(key, {
+      if (fixpointCache.size >= fixpointCacheMax)
+        fixpointCache.keys.take(fixpointCache.size - fixpointCacheMax + 1)
+          .foreach(fixpointCache.remove)
+      build
+    })
+
+  /** Transitive closure of rule names applied from `bodies`: the names
+    * whose definitions can influence a fixpoint built over them. */
+  private def ruleDepsTransitive(bodies: Seq[Clause],
+                                 rules: Map[String, Seq[Rule]]): Set[String] = {
+    var seen = Set.empty[String]
+    var frontier = ruleDeps(bodies)
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.flatMap(n =>
+        rules.get(n).fold(Set.empty[String])(ds => ruleDeps(ds.map(_.body)))) -- seen
+    }
+    seen
+  }
 
   /** Names of rules applied anywhere in `bodies`. */
   private def ruleDeps(bodies: Seq[Clause]): Set[String] = {

@@ -39,19 +39,24 @@ object Multimodal {
   private[graft] def probeImage(bytes: Array[Byte]): Option[(Int, Int, String)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    try {
+    if (iis == null) None // no usable stream SPI for this payload
+    else try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
         val reader = readers.next()
+        // NonFatal, not just IOException: JDK readers throw
+        // IllegalArgumentException / ArrayIndexOutOfBounds on fuzzed
+        // headers whose magic bytes matched — one malformed payload
+        // must never kill a 10^9-row decode job
         try {
           reader.setInput(iis, true, true)
           Some((reader.getWidth(0), reader.getHeight(0),
             reader.getFormatName.toLowerCase))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally reader.dispose()
       }
-    } finally if (iis != null) iis.close()
+    } finally iis.close()
   }
 
   /** Deterministic pseudo-metadata for payloads ImageIO cannot sniff
@@ -97,7 +102,8 @@ object Multimodal {
     * source format. JPEG has no alpha channel, so it renders into RGB;
     * everything else keeps ARGB. */
   private[graft] def rescaleImage(bytes: Array[Byte], fmt: String,
-                                     newW: Int, newH: Int): Option[Array[Byte]] = {
+                                     newW: Int, newH: Int): Option[Array[Byte]] =
+  try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
@@ -116,6 +122,11 @@ object Multimodal {
       if (javax.imageio.ImageIO.write(out, fmt, baos)) Some(baos.toByteArray)
       else None
     }
+  } catch {
+    // decode/encode failures on corrupt-but-sniffable payloads
+    // (truncated pixel data, CMYK JPEG, …) fall back like unsniffable
+    // ones — a single bad image must never fail the resize job
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Batch resize to a bounding box, aspect-ratio preserving: same

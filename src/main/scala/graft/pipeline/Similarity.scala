@@ -138,20 +138,37 @@ object Similarity {
   /** Persist an ANN index as the on-disk sidecar: the (id, vec, bucket)
     * assignment as parquet plus a one-row JSON meta carrying the plane
     * count (the artifact owns its parameters, same discipline as
-    * FactLogIO's meta). */
-  def writeAnnIndex(index: AnnIndex, path: String): Unit = {
+    * FactLogIO's meta).
+    *
+    * Refresh-safe: each write lands in its own `v<version>` directory
+    * and only then does an ATOMIC pointer-file move publish it —
+    * readers either see the previous complete index or the new
+    * complete one, never a half-written mix of new assignments with a
+    * stale plane count. (Pointer move is atomic on local/HDFS
+    * filesystems; an object-store deployment swaps in its own commit
+    * protocol at this one seam.) */
+  def writeAnnIndex(index: AnnIndex, path: String, version: Long = 0L): Unit = {
+    val dir = s"$path/v$version"
     index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/assigned")
+      .parquet(s"$dir/assigned")
     val spark = index.assigned.sparkSession
     import spark.implicits._
     Seq(index.planes).toDF("planes")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .json(s"$path/meta")
+      .json(s"$dir/meta")
+    val ptrTmp = java.nio.file.Paths.get(path, "LATEST.tmp")
+    java.nio.file.Files.write(ptrTmp, version.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(ptrTmp, java.nio.file.Paths.get(path, "LATEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
-    val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
-    AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
+    val version = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "LATEST")), "UTF-8").trim.toLong
+    val dir = s"$path/v$version"
+    val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
+    AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
   }
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the

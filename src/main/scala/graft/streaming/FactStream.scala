@@ -115,9 +115,23 @@ object FactStream {
         batch.write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
         if ((batchId + 1) % refreshEvery == 0) {
           val corpus = spark.read.parquet(s"$path/corpus")
+          // versioned by batch id + atomic pointer swap: probes running
+          // against the previous index keep their complete snapshot
           graft.pipeline.Similarity.writeAnnIndex(
             graft.pipeline.Similarity.annIndex(corpus, "id", "vec", planes),
-            s"$path/ann")
+            s"$path/ann", version = batchId)
+          // retire versions older than the previous one (in-flight
+          // readers of version N-1 stay valid through the swap)
+          val annDir = new java.io.File(s"$path/ann")
+          def rm(f: java.io.File): Unit =
+            if (f.exists()) {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+          Option(annDir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.matches("v\\d+") &&
+              f.getName.drop(1).toLong < batchId - refreshEvery)
+            .foreach(rm)
         }
       }
       .start()

@@ -141,6 +141,23 @@ class CollectionsParitySpec extends SparkSpec {
     assert(cy > 0) // fixture sanity
   }
 
+  test("rest-patterns compose in :or — synthetic sub-entity vars never leak") {
+    // [?who :address [:slumerville & ?r]] OR [?who :address [:cambridge & ?r]]:
+    // the two RestPatterns desugar with DIFFERENT internal sub-entity
+    // vars, which the compiler drops — disjuncts bind identical
+    // user-visible sets. (Alyssa's cambridge address is retracted at
+    // latest, so only the two slumerville numbers remain.)
+    val rows = run(Query(
+      find = Seq(FVar(V("n"), "n")),
+      where = Or(
+        RestPattern(V("who"), C("address"), addrFields,
+          head = C("slumerville"), tail = Seq(W, W, V("n"))),
+        RestPattern(V("who"), C("address"), addrFields,
+          head = C("cambridge"), tail = Seq(W, W, V("n"))))))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(10L, 42L))
+  }
+
   test("collection membership: [(some #{:computer} ?job)] via cardinality-many tags") {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(

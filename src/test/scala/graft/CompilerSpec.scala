@@ -142,8 +142,16 @@ class CompilerSpec extends SparkSpec {
           n.incrementAndGet(): Unit
       }
       spark.sparkContext.addSparkListener(listener)
-      try { body; Thread.sleep(1500) } // let the async listener bus drain
-      finally spark.sparkContext.removeSparkListener(listener)
+      // drain the async listener bus: poll until the count is stable
+      // for a full second (bounded), instead of one fixed sleep
+      try {
+        body
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 4 && waited < 15000) {
+          Thread.sleep(250); waited += 250
+          if (n.get() == last) stable += 1 else { stable = 0; last = n.get() }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
       n.get()
     }
     val first = jobsDuring {
@@ -165,6 +173,29 @@ class CompilerSpec extends SparkSpec {
     // splits a count over the cached relation into up to 3)
     assert(first >= 6, s"expected fixpoint jobs on first run, got $first")
     assert(second <= 3, s"expected no fixpoint jobs on reuse, got $second")
+  }
+
+  test("fixpoint cache distinguishes redefined TRANSITIVE rule dependencies") {
+    val db = mkDb(Seq(
+      r(20, "parent", 21), r(21, "parent", 22), r(20, "mother", 29)),
+      Map("parent" -> "vref", "mother" -> "vref"))
+    // anc -> mid -> step: anc's own bodies never mention step, so a
+    // direct-deps-only cache key would alias the two queries below
+    def rules(stepAttr: String) = Seq(
+      Rule("step", Seq(V("sx"), V("sy")), Pattern(V("sx"), C(stepAttr), V("sy"))),
+      Rule("mid", Seq(V("mx"), V("my")), RuleApp("step", V("mx"), V("my"))),
+      Rule("anc", Seq(V("x"), V("y")), RuleApp("mid", V("x"), V("y"))),
+      Rule("anc", Seq(V("x"), V("y")), And(
+        RuleApp("mid", V("x"), V("m")),
+        RuleApp("anc", V("m"), V("y")))))
+    def closure(stepAttr: String) = Compiler.run(db, Query(
+      find = Seq(FVar(V("a"), "a"), FVar(V("b"), "b")),
+      where = RuleApp("anc", V("a"), V("b")),
+      rules = rules(stepAttr))).count()
+    assert(closure("parent") === 3) // 20->21,22; 21->22
+    // same anc/mid definitions, step redefined two levels down: must
+    // NOT be served the parent closure from the cache
+    assert(closure("mother") === 1) // 20->29
   }
 
   test("mutually recursive rules fail with a clear error, not divergence") {
