@@ -156,19 +156,50 @@ object Similarity {
     Seq(index.planes).toDF("planes")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$dir/meta")
+    publishVersion(path, version)
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val dir = s"$path/v${readLatestVersion(path)}"
+    val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
+    AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
+  }
+
+  /** Atomic publish/lookup of a versioned index directory (shared by
+    * the ANN and IVF sidecars). */
+  private[pipeline] def publishVersion(path: String, version: Long): Unit = {
     val ptrTmp = java.nio.file.Paths.get(path, "LATEST.tmp")
     java.nio.file.Files.write(ptrTmp, version.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(ptrTmp, java.nio.file.Paths.get(path, "LATEST"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
-
-  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
-    val version = new String(java.nio.file.Files.readAllBytes(
+  private[pipeline] def readLatestVersion(path: String): Long =
+    new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "LATEST")), "UTF-8").trim.toLong
+
+  /** Persist an IVF index: cell assignments as parquet + the centroid
+    * model as parquet rows (cell, vec) — full double precision, the
+    * artifact owns its parameters. Same versioned-directory + atomic
+    * pointer publish as writeAnnIndex. */
+  def writeIvfIndex(index: IvfIndex, path: String, version: Long = 0L): Unit = {
     val dir = s"$path/v$version"
-    val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
-    AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
+    index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/centroids")
+    publishVersion(path, version)
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val dir = s"$path/v${readLatestVersion(path)}"
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)
   }
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the

@@ -102,6 +102,23 @@ class GroundTruthSpec extends SparkSpec {
     assert(indexed === inline)
   }
 
+  test("IVF index round-trips through the persisted sidecar bit-identically") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    val idx = Similarity.ivfIndex(emb, "id", "vec", dim, nlist = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sidecar").toString
+    Similarity.writeIvfIndex(idx, dir, version = 7)
+    val back = Similarity.readIvfIndex(spark, dir)
+    assert(back.centroids === idx.centroids) // full double precision
+    val live = Similarity.ivfTopKIndexed(idx, probe, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val persisted = Similarity.ivfTopKIndexed(back, probe, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted === live)
+  }
+
   test("annTopKIndexed recall vs exact brute-force top-k") {
     val dim = 8
     val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
