@@ -60,6 +60,23 @@ object PipelineQueries {
       s.table(table)
     })
 
+  /** Embeddings served from a vec_id-bucketed catalog table — the
+    * co-bucketed corpus layout: the rep-vector fetch join in
+    * dedup_embed's verify stage never reshuffles the corpus
+    * (PlanAuditSpec pins the SMJ shape). */
+  private val embBucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def embBucketed(s: SparkSession, dir: String): DataFrame =
+    embBucketedCache.getOrElseUpdate((s, dir), {
+      val table = "graft_emb_bucketed_" + math.abs(dir.hashCode.toLong)
+      graft.sources.Catalog.recreate(s, table) {
+        emb(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(8, "vec_id").sortBy("vec_id")
+          .format("parquet").saveAsTable(table)
+      }
+      s.table(table)
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
@@ -72,8 +89,11 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
 
     "dedup_embed" -> ((s, dir) =>
-      // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale path)
-      Dedup.embeddingNearDup(emb(s, dir), "vec_id", "vec", threshold = 0.4, planes = 0)),
+      // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale
+      // path); corpus from the vec_id-bucketed layout so the verify
+      // stage's rep-vector fetch joins the corpus in place
+      Dedup.embeddingNearDup(embBucketed(s, dir), "vec_id", "vec", threshold = 0.4,
+        planes = 0)),
 
     "sim_topk" -> ((s, dir) =>
       Similarity.topK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,

@@ -103,6 +103,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pairs-side Exchange only:\n$p")
   }
 
+  test("embeddings sidecar: rep-vector fetch joins the bucketed corpus shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // dedup_embed's verify stage fetches rep vectors by id; over the
+    // vec_id-bucketed corpus a merge join sorts but never reshuffles
+    // the corpus side (candidate pairs move to it)
+    PipelineQueries.queries("dedup_embed")(spark, sf) // builds the bucketed table
+    val table = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_emb_bucketed")).get
+    val corpus = spark.table(table)
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("rep", "id")
+    val joined = pairs.join(
+      corpus.select(col("vec_id").as("rep"), col("vec").as("rvec")).hint("merge"), "rep")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(p.contains("Bucketed: true"), s"expected bucketed corpus scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the pairs-side Exchange only:\n$p")
+  }
+
   test("sim_ann: corpus side is the precomputed index scan, not a signature pass") {
     val p = plan("sim_ann")
     // the index is a checkpointed RDD scan; the signature expression
