@@ -35,7 +35,7 @@ object Bench {
     // noise rather than a constant first-run build cost.
     headline.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
-      catch { case _: Throwable => () } // failures surface in the timed runs
+      catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs
     }
     // n runs per query, report the per-query MEDIAN: single runs are
     // ±30% box-noisy and one GC pause misgrades a whole round.

@@ -435,16 +435,28 @@ object Compiler {
     * blocks — so a long-lived session querying evolving snapshots
     * cannot pin storage without bound. */
   private val fixpointCacheMax = 64
+  // access-ordered LRU: alternating between hot rule sets must never
+  // evict the hottest entry (removeEldestEntry drops true LRU)
   private val fixpointCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Db, String, Seq[Rule]), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, Db, String, Seq[Rule]), DataFrame](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Db, String, Seq[Rule]), DataFrame])
+          : Boolean = size() > fixpointCacheMax
+    }
   private def fixpointCached(key: (SparkSession, Db, String, Seq[Rule]),
-                             build: => DataFrame): DataFrame =
-    fixpointCache.getOrElseUpdate(key, {
-      if (fixpointCache.size >= fixpointCacheMax)
-        fixpointCache.keys.take(fixpointCache.size - fixpointCacheMax + 1)
-          .foreach(fixpointCache.remove)
-      build
-    })
+                             build: => DataFrame): DataFrame = {
+    fixpointCache.synchronized(Option(fixpointCache.get(key))) match {
+      case Some(rel) => rel
+      case None =>
+        // build OUTSIDE the lock (a fixpoint can run many jobs; other
+        // queries' cache lookups must not block on it); a concurrent
+        // duplicate build is benign — last put wins
+        val rel = build
+        fixpointCache.synchronized(fixpointCache.put(key, rel)): Unit
+        rel
+    }
+  }
 
   /** Transitive closure of rule names applied from `bodies`: the names
     * whose definitions can influence a fixpoint built over them. */

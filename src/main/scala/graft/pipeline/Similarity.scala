@@ -140,63 +140,90 @@ object Similarity {
     * count (the artifact owns its parameters, same discipline as
     * FactLogIO's meta).
     *
-    * Refresh-safe: each write lands in its own `v<version>` directory
-    * and only then does an ATOMIC pointer-file move publish it —
-    * readers either see the previous complete index or the new
-    * complete one, never a half-written mix of new assignments with a
-    * stale plane count. (Pointer move is atomic on local/HDFS
-    * filesystems; an object-store deployment swaps in its own commit
-    * protocol at this one seam.) */
+    * Refresh-safe: every write lands in a FRESH uniquely-named
+    * `v<version>-<nonce>` directory (re-publishing the same version —
+    * a retried micro-batch, a periodic rebuild with the default
+    * version — never rewrites a directory a reader may hold open) and
+    * only then does an atomic pointer-file rename publish it. Readers
+    * see the previous complete index or the new complete one, never a
+    * half-written mix of new assignments with a stale plane count.
+    * Pointer I/O goes through the path's own Hadoop filesystem, so
+    * hdfs:// paths work and rename is atomic there; object stores
+    * swap in their own commit protocol at this one seam. */
   def writeAnnIndex(index: AnnIndex, path: String, version: Long = 0L): Unit = {
-    val dir = s"$path/v$version"
+    val spark = index.assigned.sparkSession
+    val dirName = freshVersionDir(version)
+    val dir = s"$path/$dirName"
     index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/assigned")
-    val spark = index.assigned.sparkSession
     import spark.implicits._
     Seq(index.planes).toDF("planes")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$dir/meta")
-    publishVersion(path, version)
+    publishVersion(spark, path, dirName)
   }
 
-  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
-    val dir = s"$path/v${readLatestVersion(path)}"
-    val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
-    AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
-  }
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
+    readLatestVersion(spark, path) match {
+      case Some(dirName) =>
+        val dir = s"$path/$dirName"
+        val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
+        AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
+      case None => // pre-versioning flat layout
+        val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
+        AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
+    }
 
   /** Atomic publish/lookup of a versioned index directory (shared by
-    * the ANN and IVF sidecars). */
-  private[pipeline] def publishVersion(path: String, version: Long): Unit = {
-    val ptrTmp = java.nio.file.Paths.get(path, "LATEST.tmp")
-    java.nio.file.Files.write(ptrTmp, version.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(ptrTmp, java.nio.file.Paths.get(path, "LATEST"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    * the ANN and IVF sidecars). The pointer names the directory; the
+    * version prefix orders directories for retention. */
+  private def freshVersionDir(version: Long): String =
+    s"v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+  private[graft] def publishVersion(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, dirName: String): Unit = {
+    val ptr = new org.apache.hadoop.fs.Path(path, "LATEST")
+    val tmp = new org.apache.hadoop.fs.Path(path, s"LATEST.tmp-$dirName")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(tmp, true)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"failed to publish index pointer $ptr")
   }
-  private[pipeline] def readLatestVersion(path: String): Long =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "LATEST")), "UTF-8").trim.toLong
+  private[graft] def readLatestVersion(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(path, "LATEST")
+    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
 
   /** Persist an IVF index: cell assignments as parquet + the centroid
     * model as parquet rows (cell, vec) — full double precision, the
     * artifact owns its parameters. Same versioned-directory + atomic
     * pointer publish as writeAnnIndex. */
   def writeIvfIndex(index: IvfIndex, path: String, version: Long = 0L): Unit = {
-    val dir = s"$path/v$version"
+    val spark = index.assigned.sparkSession
+    val dirName = freshVersionDir(version)
+    val dir = s"$path/$dirName"
     index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/assigned")
-    val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "vec")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/centroids")
-    publishVersion(path, version)
+    publishVersion(spark, path, dirName)
   }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val dir = s"$path/v${readLatestVersion(path)}"
+    val dirName = readLatestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no published IVF index at $path (missing LATEST)"))
+    val dir = s"$path/$dirName"
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
     IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)

@@ -45,37 +45,37 @@ object PipelineQueries {
       idx.copy(assigned = idx.assigned.localCheckpoint(true))
     })
 
-  /** MinHash signature sidecar written once per (session, dir) to the
-    * doc_id-bucketed catalog layout (Dedup.writeMinHashSidecar) — the
-    * candidate-verify joins of dedup_minhash then plan with no Exchange
-    * on the signature side (PlanAuditSpec). */
-  private val mhSidecarCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def mhSidecar(s: SparkSession, dir: String): DataFrame =
-    mhSidecarCache.getOrElseUpdate((s, dir), {
-      val table = "graft_minhash_sidecar_" + math.abs(dir.hashCode.toLong)
-      graft.sources.Catalog.recreate(s, table) {
-        Dedup.writeMinHashSidecar(docs(s, dir), table, k = 64): Unit
-      }
+  /** Session-scoped bucketed catalog artifacts, built once per
+    * (session, dir) via Catalog.recreate. */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def sessionTable(s: SparkSession, dir: String, kind: String)
+                          (write: String => Unit): DataFrame =
+    tableCache.getOrElseUpdate((s, dir, kind), {
+      val table = s"graft_${kind}_" + math.abs(dir.hashCode.toLong)
+      graft.sources.Catalog.recreate(s, table)(write(table))
       s.table(table)
     })
+
+  /** MinHash signature sidecar on the doc_id-bucketed catalog layout
+    * (Dedup.writeMinHashSidecar) — the candidate-verify joins of
+    * dedup_minhash then plan with no Exchange on the signature side
+    * (PlanAuditSpec). */
+  private def mhSidecar(s: SparkSession, dir: String): DataFrame =
+    sessionTable(s, dir, "minhash_sidecar") { table =>
+      Dedup.writeMinHashSidecar(docs(s, dir), table, k = 64): Unit
+    }
 
   /** Embeddings served from a vec_id-bucketed catalog table — the
     * co-bucketed corpus layout: the rep-vector fetch join in
     * dedup_embed's verify stage never reshuffles the corpus
     * (PlanAuditSpec pins the SMJ shape). */
-  private val embBucketedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def embBucketed(s: SparkSession, dir: String): DataFrame =
-    embBucketedCache.getOrElseUpdate((s, dir), {
-      val table = "graft_emb_bucketed_" + math.abs(dir.hashCode.toLong)
-      graft.sources.Catalog.recreate(s, table) {
-        emb(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .bucketBy(8, "vec_id").sortBy("vec_id")
-          .format("parquet").saveAsTable(table)
-      }
-      s.table(table)
-    })
+    sessionTable(s, dir, "emb_bucketed") { table =>
+      emb(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .format("parquet").saveAsTable(table)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),

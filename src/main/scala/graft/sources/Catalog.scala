@@ -13,13 +13,17 @@ object Catalog {
     * managed table over an existing location. */
   def recreate(spark: SparkSession, table: String)(write: => Unit): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit =
-      if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-    rm(new java.io.File(s"$wh/$table"))
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    deleteRecursive(spark, s"$wh/$table")
     write
+  }
+
+  /** Recursive delete through the path's own Hadoop filesystem — works
+    * for local, hdfs://, and object-store paths alike (shared by table
+    * recreation and sidecar-version retention). */
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true): Unit
   }
 }

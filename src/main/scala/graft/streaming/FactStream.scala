@@ -121,17 +121,18 @@ object FactStream {
             graft.pipeline.Similarity.annIndex(corpus, "id", "vec", planes),
             s"$path/ann", version = batchId)
           // retire versions older than the previous one (in-flight
-          // readers of version N-1 stay valid through the swap)
-          val annDir = new java.io.File(s"$path/ann")
-          def rm(f: java.io.File): Unit =
-            if (f.exists()) {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-          Option(annDir.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName.matches("v\\d+") &&
-              f.getName.drop(1).toLong < batchId - refreshEvery)
-            .foreach(rm)
+          // readers of version N-1 stay valid through the swap);
+          // dir names are v<version>-<nonce>, ordered by version prefix
+          val annDir = new org.apache.hadoop.fs.Path(s"$path/ann")
+          val fs = annDir.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(annDir))
+            fs.listStatus(annDir).toSeq
+              .filter { st =>
+                val n = st.getPath.getName
+                n.matches("v\\d+-.*") &&
+                  n.drop(1).takeWhile(_.isDigit).toLong < batchId - refreshEvery
+              }
+              .foreach(st => fs.delete(st.getPath, true): Unit)
         }
       }
       .start()
