@@ -119,6 +119,30 @@ class GroundTruthSpec extends SparkSpec {
     assert(persisted === live)
   }
 
+  test("index sidecar publish: same-version re-publish and legacy-layout fallback") {
+    val dim = 8
+    val emb = (0 until 50).map(i => (i.toLong, clusterVec(i % 5, i / 5, dim)))
+      .toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-publish").toString
+    val idx = Similarity.annIndex(emb, "id", "vec", planes = 4)
+    Similarity.writeAnnIndex(idx, dir) // default version twice: a
+    Similarity.writeAnnIndex(idx, dir) // periodic rebuild / retried batch
+    val back = Similarity.readAnnIndex(spark, dir)
+    assert(back.planes === 4 && back.assigned.count() === 50)
+    // two distinct uniquely-named version dirs exist (no in-place rewrite)
+    val vDirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("v\\d+-.*"))
+    assert(vDirs.length === 2, s"expected 2 fresh version dirs, got ${vDirs.toSeq}")
+
+    // pre-versioning flat layout (assigned/ + meta/ at the root, no
+    // LATEST pointer) still reads
+    val flat = java.nio.file.Files.createTempDirectory("graft-ann-flat").toString
+    idx.assigned.write.parquet(s"$flat/assigned")
+    Seq(4).toDF("planes").coalesce(1).write.json(s"$flat/meta")
+    val legacy = Similarity.readAnnIndex(spark, flat)
+    assert(legacy.planes === 4 && legacy.assigned.count() === 50)
+  }
+
   test("annTopKIndexed recall vs exact brute-force top-k") {
     val dim = 8
     val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
