@@ -276,6 +276,24 @@ class GroundTruthSpec extends SparkSpec {
     assert(actual === dist.toMap) // node 6 absent from both
   }
 
+  test("graph time-travel: edge set as-of a tx reflects later retraction") {
+    // SURVEY §2D claim: every graph algorithm composes with as-of for
+    // free because edges() derives from FactDb.snapshot(asOfTx).
+    val T = graft.transact.Transactor
+    val sess = T.emptySession(spark)
+    val r1 = sess.transact(Seq(
+      T.MapForm(Seq("name" -> "a"), tempId = Some("a")),
+      T.MapForm(Seq("name" -> "b"), tempId = Some("b"))))
+    val (a, b) = (r1.tempIds("a"), r1.tempIds("b"))
+    val r2 = sess.transact(Seq(T.Add(a, "follows", sess.EntityRef(b))))
+    sess.transact(Seq(T.Retract(a, "follows", sess.EntityRef(b))))
+    def edgePairs(asOf: Long) =
+      GraphOps.edges(sess.db, asOf).select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgePairs(r2.txId) === Set((a, b))) // visible as-of the assert tx
+    assert(edgePairs(Long.MaxValue) === Set.empty) // retraction cancels at latest
+  }
+
   test("ccDataFrame matches GraphX on the graph_cc fixture") {
     val e = GraphOps.edges(graft.core.TestData.staticDb(spark, "/root/testdata/sf0.001"))
       .filter(org.apache.spark.sql.functions.col("label") === "n_regionkey_ref")
