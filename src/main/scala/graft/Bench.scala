@@ -38,7 +38,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs
     }
     // n runs per query, report the per-query MEDIAN: single runs are
-    // ±30% box-noisy and one GC pause misgrades a whole round.
+    // ±30% box-noisy and one GC pause misgrades a whole round. Samples
+    // are interleaved round-robin across queries (pass 1 of every
+    // query, then pass 2, ...): a transient noise window on the box
+    // inflates ONE sample of many queries — recoverable by the
+    // median — instead of every sample of a few queries.
     val samples: Seq[Seq[Double]] = (1 to n).map { _ =>
       headline.map { name =>
         val fn = SparkEntry.queries(name)
@@ -77,7 +81,15 @@ object Bench {
     val passSum = results.collect { case (_, v) if v >= 0 => v }.sum
     val total = if (failed.isEmpty) passSum else -passSum
     val failedJson = failed.mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir","n":$n}""")
+    // Contention self-diagnosis: min_total = sum of per-query MINIMA —
+    // the box's achievable floor. A healthy run has value ≈ min_total;
+    // value >> min_total means the medians were inflated by external
+    // load and the run should be repeated, no judge rerun needed.
+    val minTotal = headline.indices.map { i =>
+      val xs = samples.map(_(i)).filterNot(_.isNaN)
+      if (xs.isEmpty) 0.0 else xs.min
+    }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir","n":$n}""")
     spark.stop()
   }
 }

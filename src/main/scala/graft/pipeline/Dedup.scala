@@ -109,15 +109,42 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
+    // the artifact owns its parameters (same discipline as AnnIndex /
+    // IvfIndex): persist k so readers can't slice band boundaries with
+    // a mismatched signature width
+    docs.sparkSession.sql(
+      s"ALTER TABLE $table SET TBLPROPERTIES ('graft.minhash.k' = '$k')")
     docs.sparkSession.table(table)
+  }
+
+  /** Read a [[writeMinHashSidecar]] table back WITH its persisted
+    * signature width: (sigs relation, k). Callers pass the returned k
+    * to [[minhashLshFromSigs]] instead of re-supplying their own. */
+  def readMinHashSidecar(spark: org.apache.spark.sql.SparkSession,
+                         table: String): (DataFrame, Int) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val k = props.getOrElse("graft.minhash.k",
+      throw new IllegalStateException(
+        s"$table has no graft.minhash.k property — not a MinHash sidecar?")).toInt
+    (spark.table(table), k)
   }
 
   /** The LSH + verify pass of [[minhashLsh]] over a precomputed
     * (doc_id, sig) relation — typically the doc_id-bucketed sidecar
     * from [[writeMinHashSidecar]]. */
-  def minhashLshFromSigs(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+  def minhashLshFromSigs(sigsIn: DataFrame, k: Int = 64, bands: Int = 16,
                          estThreshold: Double = 0.6): DataFrame = {
     val rows = k / bands
+    // Guard against a caller-supplied k that disagrees with the actual
+    // signature width (a persisted sidecar read back with the wrong
+    // parameter would silently slice wrong band boundaries — wrong
+    // recall, no error). Per-row codegen'd check, no extra job.
+    val sigs = sigsIn.select(col("doc_id"),
+      when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+        lit("minhash signature width "), size(col("sig")).cast("string"),
+        lit(s" != k=$k — read the sidecar's own k (readMinHashSidecar)"))))
+        .as("sig"))
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .localCheckpoint(true)

@@ -181,24 +181,70 @@ object Similarity {
     s"v$version-${java.util.UUID.randomUUID.toString.take(8)}"
   private[graft] def publishVersion(spark: org.apache.spark.sql.SparkSession,
                                     path: String, dirName: String): Unit = {
-    val ptr = new org.apache.hadoop.fs.Path(path, "LATEST")
-    val tmp = new org.apache.hadoop.fs.Path(path, s"LATEST.tmp-$dirName")
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val ptr = fs.makeQualified(new org.apache.hadoop.fs.Path(path, "LATEST"))
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(path, s"LATEST.tmp-$dirName"))
     val out = fs.create(tmp, true)
     try out.write(dirName.getBytes("UTF-8")) finally out.close()
-    fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"failed to publish index pointer $ptr")
+    // Atomic swap where the filesystem supports it: FileContext.rename
+    // with OVERWRITE replaces the pointer in one namespace operation on
+    // HDFS-like filesystems (and the local FS), so a concurrent reader
+    // sees the old pointer or the new one — never a missing file. On
+    // filesystems without a FileContext binding, fall back to
+    // delete+rename; readLatestVersion covers the tiny no-pointer
+    // window there by retrying and falling back to the newest
+    // versioned directory.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(ptr, false)
+        require(fs.rename(tmp, ptr), s"failed to publish index pointer $ptr")
+    }
   }
+  private def versionOf(dirName: String): Long =
+    dirName.drop(1).takeWhile(_.isDigit).toLong
   private[graft] def readLatestVersion(spark: org.apache.spark.sql.SparkSession,
                                        path: String): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val ptr = new org.apache.hadoop.fs.Path(path, "LATEST")
-    val fs = ptr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
+    def readPtr(): Option[String] =
+      if (!fs.exists(ptr)) None
+      else {
+        val in = fs.open(ptr)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    readPtr().orElse {
+      // Pointer absent. Two legitimate states: a pre-versioning flat
+      // layout (no v* dirs — report None so callers take their legacy
+      // branch) or a publisher mid-swap on a filesystem whose pointer
+      // replace is delete+rename. In the latter case versioned dirs
+      // exist: retry briefly, then serve the newest versioned
+      // directory — a complete, immutable index (at worst one refresh
+      // stale), never an unrelated-error failure.
+      val versionDirs =
+        if (!fs.exists(base)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(base).filter(st =>
+          st.isDirectory && st.getPath.getName.matches("v\\d+-.*"))
+      if (versionDirs.isEmpty) None
+      else {
+        var retried = readPtr()
+        var attempts = 0
+        while (retried.isEmpty && attempts < 5) {
+          Thread.sleep(20L << attempts) // 20..320 ms backoff
+          attempts += 1
+          retried = readPtr()
+        }
+        retried.orElse(Some(versionDirs
+          .maxBy(st => (versionOf(st.getPath.getName), st.getModificationTime))
+          .getPath.getName))
+      }
     }
   }
 

@@ -49,10 +49,12 @@ object PipelineQueries {
     * (session, dir) via Catalog.recreate. */
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def tableName(dir: String, kind: String): String =
+    s"graft_${kind}_" + math.abs(dir.hashCode.toLong)
   private def sessionTable(s: SparkSession, dir: String, kind: String)
                           (write: String => Unit): DataFrame =
     tableCache.getOrElseUpdate((s, dir, kind), {
-      val table = s"graft_${kind}_" + math.abs(dir.hashCode.toLong)
+      val table = tableName(dir, kind)
       graft.sources.Catalog.recreate(s, table)(write(table))
       s.table(table)
     })
@@ -60,11 +62,15 @@ object PipelineQueries {
   /** MinHash signature sidecar on the doc_id-bucketed catalog layout
     * (Dedup.writeMinHashSidecar) — the candidate-verify joins of
     * dedup_minhash then plan with no Exchange on the signature side
-    * (PlanAuditSpec). */
-  private def mhSidecar(s: SparkSession, dir: String): DataFrame =
-    sessionTable(s, dir, "minhash_sidecar") { table =>
+    * (PlanAuditSpec). Read back WITH its persisted signature width:
+    * the artifact owns k, the query never re-supplies it. */
+  private def mhSidecar(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val t = sessionTable(s, dir, "minhash_sidecar") { table =>
       Dedup.writeMinHashSidecar(docs(s, dir), table, k = 64): Unit
     }
+    val (_, k) = Dedup.readMinHashSidecar(s, tableName(dir, "minhash_sidecar"))
+    (t, k)
+  }
 
   /** Embeddings served from a vec_id-bucketed catalog table — the
     * co-bucketed corpus layout: the rep-vector fetch join in
@@ -82,9 +88,10 @@ object PipelineQueries {
 
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.8)),
 
-    "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshFromSigs(mhSidecar(s, dir), k = 64, bands = 16,
-        estThreshold = 0.8)),
+    "dedup_minhash" -> ((s, dir) => {
+      val (sigs, k) = mhSidecar(s, dir)
+      Dedup.minhashLshFromSigs(sigs, k = k, bands = 16, estThreshold = 0.8)
+    }),
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
 
