@@ -163,16 +163,122 @@ object Similarity {
     publishVersion(spark, path, dirName)
   }
 
+  /** Read the latest published index. Serves both layouts: a
+    * single-dir version (writeAnnIndex) and a segmented version
+    * (writeAnnSegment + publishAnnVersion), whose assigned set is the
+    * union of its immutable segments.
+    *
+    * Staleness bound: the returned index is pinned to the version the
+    * pointer named at resolution time. Under concurrent refresh with
+    * retention (`retireAnnVersions(keep = N)`), that version — and
+    * every segment it references — stays on disk for at least N-1
+    * subsequent refresh cycles; readers older than that must
+    * re-resolve. */
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
     readLatestVersion(spark, path) match {
       case Some(dirName) =>
         val dir = s"$path/$dirName"
-        val planes = spark.read.json(s"$dir/meta").head().getAs[Long]("planes").toInt
-        AnnIndex(spark.read.parquet(s"$dir/assigned"), planes)
+        val meta = spark.read.json(s"$dir/meta")
+        val row = meta.head()
+        val planes = row.getAs[Long]("planes").toInt
+        val assigned =
+          if (meta.columns.contains("segments"))
+            spark.read.parquet(row.getAs[scala.collection.Seq[String]]("segments")
+              .map(s => s"$path/segments/$s").toSeq: _*)
+          else spark.read.parquet(s"$dir/assigned")
+        AnnIndex(assigned, planes)
       case None => // pre-versioning flat layout
         val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
         AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
     }
+
+  /** Segmented ANN sidecar — the incremental-refresh layout. Each
+    * refresh signs ONLY the new corpus rows into a fresh immutable
+    * segment under `segments/`, and a published version is a tiny meta
+    * file LISTING the segments it comprises plus the plane count and
+    * the covered ingest watermark. The "merge" with the prior index is
+    * metadata-level (prior segment list + one new name) — no
+    * corpus-sized rewrite per refresh, so refresh cost is O(new rows)
+    * while every version stays a complete immutable index
+    * (log-structured index maintenance; the full rebuild resets the
+    * chain as the compaction/repair path). */
+  final case class AnnMeta(planes: Int, segments: Seq[String], covered: Long)
+
+  /** Write one immutable signed segment; returns its name (to be
+    * referenced from a published version's meta). */
+  def writeAnnSegment(assigned: DataFrame, path: String): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID.toString.take(8)}"
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/segments/$seg")
+    seg
+  }
+
+  /** Publish a segmented version: write its meta under a fresh
+    * versioned dir, then the same atomic pointer swap as writeAnnIndex. */
+  def publishAnnVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                        meta: AnnMeta, version: Long): Unit = {
+    val dirName = freshVersionDir(version)
+    import spark.implicits._
+    Seq((meta.planes, meta.segments, meta.covered))
+      .toDF("planes", "segments", "covered")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/$dirName/meta")
+    publishVersion(spark, path, dirName)
+  }
+
+  /** Meta of the latest published version IF it is segmented — None for
+    * an unpublished path or a single-dir-layout latest (callers then
+    * take the full-rebuild path). */
+  def readAnnMeta(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[AnnMeta] =
+    readLatestVersion(spark, path).flatMap(readAnnMeta0(spark, path, _))
+
+  /** Retention for a versioned index path: keep the newest `keep`
+    * version dirs (an in-flight reader's resolved version therefore
+    * survives at least keep-1 refresh cycles — the staleness bound
+    * documented on readAnnIndex), then garbage-collect segments no
+    * retained version references (which also reaps segments orphaned
+    * by a crash between segment write and publish). */
+  def retireAnnVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        keep: Int): Unit = {
+    require(keep >= 1, s"retention must keep at least the published version, got $keep")
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    val versions = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+-.*"))
+      .sortBy(st => (versionOf(st.getPath.getName), st.getModificationTime))
+    val (dropped, retained) = versions.splitAt(math.max(versions.length - keep, 0))
+    val referenced: Set[String] = retained.flatMap { st =>
+      readAnnMeta0(spark, path, st.getPath.getName).map(_.segments).getOrElse(Nil)
+    }.toSet
+    dropped.foreach(st => fs.delete(st.getPath, true): Unit)
+    val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
+    if (fs.exists(segBase))
+      fs.listStatus(segBase)
+        .filter(st => !referenced.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true): Unit)
+  }
+
+  /** readAnnMeta for a NAMED version dir (retention walks all retained
+    * versions, not just the pointer's). */
+  private def readAnnMeta0(spark: org.apache.spark.sql.SparkSession, path: String,
+                           dirName: String): Option[AnnMeta] = {
+    val metaPath = s"$path/$dirName/meta"
+    val fs = new org.apache.hadoop.fs.Path(metaPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaPath))) None
+    else {
+      val meta = spark.read.json(metaPath)
+      if (!meta.columns.contains("segments")) None
+      else {
+        val row = meta.head()
+        Some(AnnMeta(row.getAs[Long]("planes").toInt,
+          row.getAs[scala.collection.Seq[String]]("segments").toSeq,
+          row.getAs[Long]("covered")))
+      }
+    }
+  }
 
   /** Atomic publish/lookup of a versioned index directory (shared by
     * the ANN and IVF sidecars). The pointer names the directory; the

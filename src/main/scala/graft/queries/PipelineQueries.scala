@@ -21,29 +21,37 @@ object PipelineQueries {
   private def probeVec(s: SparkSession, dir: String): Seq[Double] =
     emb(s, dir).filter(col("vec_id") === 0).head().getSeq[Double](1)
 
-  /** ANN index built ONCE per (session, dir) and materialized — the
-    * in-memory stand-in for the persisted signature sidecar a cluster
-    * deployment writes at ingest. Query plans over it are a pure
-    * bucket-semijoin scan: no per-query signature computation. */
-  private val annIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.AnnIndex]
-  private def annIdx(s: SparkSession, dir: String): Similarity.AnnIndex =
-    annIdxCache.getOrElseUpdate((s, dir), {
-      val idx = Similarity.annIndex(emb(s, dir), "vec_id", "vec", planes = 8)
-      idx.copy(assigned = idx.assigned.localCheckpoint(true))
+  /** ANN/IVF indexes are PERSISTED sidecars, not in-memory stand-ins:
+    * built and written ONCE per (session, dir) via writeAnnIndex /
+    * writeIvfIndex (versioned dir + atomic pointer publish), then every
+    * query resolves the pointer and reads the artifact back — so
+    * correctness runs and Bench measure the real round-trip a cluster
+    * deployment pays: Scan parquet over the published version dir, no
+    * per-query signature/centroid computation. */
+  private lazy val idxRoot: String =
+    java.nio.file.Files.createTempDirectory("graft-index").toString
+  private val idxWritten =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private def annIdx(s: SparkSession, dir: String): Similarity.AnnIndex = {
+    val path = idxWritten.getOrElseUpdate((s, dir, "ann"), {
+      val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/ann"
+      Similarity.writeAnnIndex(
+        Similarity.annIndex(emb(s, dir), "vec_id", "vec", planes = 8), p)
+      p
     })
+    Similarity.readAnnIndex(s, path)
+  }
 
-  /** IVF index (k-means model + cell assignments) trained once per
-    * (session, dir) — the in-memory stand-in for the persisted
-    * cell-partitioned sidecar + centroid artifact. */
-  private val ivfIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Similarity.IvfIndex]
-  private def ivfIdx(s: SparkSession, dir: String): Similarity.IvfIndex =
-    ivfIdxCache.getOrElseUpdate((s, dir), {
-      val idx = Similarity.ivfIndex(emb(s, dir), "vec_id", "vec",
-        dim = probeVec(s, dir).length, nlist = 8, iters = 2)
-      idx.copy(assigned = idx.assigned.localCheckpoint(true))
+  private def ivfIdx(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val path = idxWritten.getOrElseUpdate((s, dir, "ivf"), {
+      val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/ivf"
+      Similarity.writeIvfIndex(
+        Similarity.ivfIndex(emb(s, dir), "vec_id", "vec",
+          dim = probeVec(s, dir).length, nlist = 8, iters = 2), p)
+      p
     })
+    Similarity.readIvfIndex(s, path)
+  }
 
   /** Session-scoped bucketed catalog artifacts, built once per
     * (session, dir) via Catalog.recreate. */

@@ -100,13 +100,25 @@ object FactStream {
     * §2C↔§2E loop: every micro-batch appends (id, vec) rows to the
     * corpus (batch-owned partition dirs, idempotent under retry, same
     * scheme as ingestWithCompaction); every `refreshEvery` batches the
-    * sign-LSH AnnIndex sidecar is rebuilt over the corpus-so-far and
-    * persisted (Similarity.writeAnnIndex), so annTopKIndexed over the
-    * sidecar serves freshly ingested vectors. The rebuild is one
-    * map-only signature pass (the 100 TB shape), serialized with
-    * ingestion in the single-writer foreachBatch loop. */
+    * sign-LSH AnnIndex sidecar refreshes INCREMENTALLY: the plane
+    * count is pinned in the published index meta, so the refresh signs
+    * ONLY the corpus batches past the covered watermark into one fresh
+    * immutable segment and publishes a version whose meta references
+    * the prior segments plus the new one (Similarity.writeAnnSegment /
+    * publishAnnVersion — a metadata-level merge). Refresh cost is
+    * O(new rows) per cycle, not O(corpus) — the property that keeps
+    * index maintenance affordable under continuous 100 TB ingest. The
+    * bootstrap (no published index yet) and rebuildAnnIndex (the
+    * explicit repair/compaction path) are the only full corpus passes.
+    * Retention keeps the newest `keepVersions` versions, so a reader's
+    * resolved snapshot survives at least keepVersions-1 refresh
+    * cycles (readAnnIndex documents the bound). Everything is
+    * serialized with ingestion in the single-writer foreachBatch loop,
+    * and a retried refresh batch is a no-op (the covered watermark
+    * already equals its batch id — nothing new to sign). */
   def ingestEmbeddingsWithAnnRefresh(emb: DataFrame, path: String, checkpoint: String,
-                                     planes: Int = 8, refreshEvery: Int = 2)
+                                     planes: Int = 8, refreshEvery: Int = 2,
+                                     keepVersions: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpoint)
@@ -114,28 +126,61 @@ object FactStream {
         val spark = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
         if ((batchId + 1) % refreshEvery == 0) {
-          val corpus = spark.read.parquet(s"$path/corpus")
-          // versioned by batch id + atomic pointer swap: probes running
-          // against the previous index keep their complete snapshot
-          graft.pipeline.Similarity.writeAnnIndex(
-            graft.pipeline.Similarity.annIndex(corpus, "id", "vec", planes),
-            s"$path/ann", version = batchId)
-          // retire versions older than the previous one (in-flight
-          // readers of version N-1 stay valid through the swap);
-          // dir names are v<version>-<nonce>, ordered by version prefix
-          val annDir = new org.apache.hadoop.fs.Path(s"$path/ann")
-          val fs = annDir.getFileSystem(spark.sessionState.newHadoopConf())
-          if (fs.exists(annDir))
-            fs.listStatus(annDir).toSeq
-              .filter { st =>
-                val n = st.getPath.getName
-                n.matches("v\\d+-.*") &&
-                  n.drop(1).takeWhile(_.isDigit).toLong < batchId - refreshEvery
+          import graft.pipeline.Similarity
+          val annPath = s"$path/ann"
+          Similarity.readAnnMeta(spark, annPath) match {
+            case Some(prior) =>
+              val newDirs = corpusBatchDirs(spark, s"$path/corpus")
+                .collect { case (id, p) if id > prior.covered => p }
+              if (newDirs.nonEmpty) {
+                val newRows = spark.read.parquet(newDirs: _*)
+                val seg = Similarity.writeAnnSegment(
+                  Similarity.annIndex(newRows, "id", "vec", prior.planes).assigned,
+                  annPath)
+                Similarity.publishAnnVersion(spark, annPath,
+                  Similarity.AnnMeta(prior.planes, prior.segments :+ seg,
+                    covered = batchId),
+                  version = batchId)
               }
-              .foreach(st => fs.delete(st.getPath, true): Unit)
+            case None =>
+              rebuildAnnIndex(spark, path, planes, coveredThrough = batchId)
+          }
+          Similarity.retireAnnVersions(spark, annPath, keepVersions)
         }
       }
       .start()
+
+  /** The corpus's batch-owned partition dirs as (batchId, path). */
+  private def corpusBatchDirs(spark: SparkSession,
+                              corpusPath: String): Seq[(Long, String)] = {
+    val base = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("batch=\\d+"))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong,
+        st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** Full-rebuild repair/compaction path for the streaming ANN
+    * sidecar: re-sign the ENTIRE corpus into one fresh segment and
+    * publish a version referencing only it — resetting the segment
+    * chain. Use after a suspected corruption, to change the plane
+    * count, or to compact a long segment chain; the incremental loop
+    * resumes from the published watermark afterwards. */
+  def rebuildAnnIndex(spark: SparkSession, path: String, planes: Int,
+                      coveredThrough: Long = -1L): Unit = {
+    import graft.pipeline.Similarity
+    val dirs = corpusBatchDirs(spark, s"$path/corpus")
+    if (dirs.isEmpty) return
+    val covered = if (coveredThrough >= 0) coveredThrough else dirs.map(_._1).max
+    val corpus = spark.read.parquet(dirs.map(_._2): _*)
+    val seg = Similarity.writeAnnSegment(
+      Similarity.annIndex(corpus, "id", "vec", planes).assigned, s"$path/ann")
+    Similarity.publishAnnVersion(spark, s"$path/ann",
+      Similarity.AnnMeta(planes, Seq(seg), covered), version = covered)
+  }
 
   /** Streaming exact dedup — the streaming counterpart of
     * pipeline.Dedup.exact for continuous ingestion: normalize + hash the

@@ -123,11 +123,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pairs-side Exchange only:\n$p")
   }
 
-  test("sim_ann: corpus side is the precomputed index scan, not a signature pass") {
+  test("sim_ann: corpus side is the persisted index scan, not a signature pass") {
     val p = plan("sim_ann")
-    // the index is a checkpointed RDD scan; the signature expression
-    // (xxhash64-based plane dots) must not appear over the corpus
-    assert(p.contains("Scan ExistingRDD"), s"expected index scan:\n$p")
+    // the index is the PUBLISHED parquet sidecar (versioned dir behind
+    // the atomic pointer); the signature expression (xxhash64-based
+    // plane dots) must not appear over the corpus — only the broadcast
+    // probe-bucket side computes signatures
+    assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
+    assert(p.contains("/ann/v0-"), s"expected the published version dir in the scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k merge:\n$p")
+  }
+
+  test("sim_ivf: served from the persisted cell-assignment sidecar") {
+    val p = plan("sim_ivf")
+    assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
+    assert(p.contains("/ivf/v0-"), s"expected the published version dir in the scan:\n$p")
   }
 }

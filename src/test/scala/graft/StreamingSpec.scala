@@ -135,6 +135,73 @@ class StreamingSpec extends SparkSpec {
     assert(top === Seq(42L), s"expected the freshly ingested neighbor, got $top")
   }
 
+  test("incremental ANN refresh signs only the new batches and equals a full rebuild") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-incr").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestEmbeddingsWithAnnRefresh(emb, dir, s"$dir/ckpt",
+      planes = 4, refreshEvery = 2)
+    def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    // batches 0+1: a large bootstrap corpus — the first refresh (batch 1)
+    // is the full-rebuild path over all 500 rows
+    input.addData((0 until 400).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    input.addData((400 until 500).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    // batches 2+3: a tiny tail — the second refresh (batch 3) must sign
+    // ONLY these 5 rows, never re-reading the 500-row corpus
+    input.addData((500 until 503).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          reads.addAndGet(t.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    input.addData((503 until 505).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    Thread.sleep(1500) // drain the async listener bus
+    spark.sparkContext.removeSparkListener(listener)
+    q.stop()
+    // rows-read gate: the incremental refresh reads the 5 new rows plus
+    // a handful of meta rows — a full rebuild would read 505+
+    assert(reads.get() < 100,
+      s"incremental refresh read ${reads.get()} records — full corpus re-sign?")
+    // the segmented index is EXACTLY a from-scratch rebuild of the corpus
+    val idx = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
+    val fresh = graft.pipeline.Similarity.annIndex(
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (merged, scratch) = (sigs(idx.assigned), sigs(fresh.assigned))
+    assert(merged.size === 505)
+    assert(merged === scratch)
+  }
+
+  test("ANN retention keeps the newest versions; segments live while referenced") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-retain").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestEmbeddingsWithAnnRefresh(emb, dir, s"$dir/ckpt",
+      planes = 4, refreshEvery = 1, keepVersions = 1)
+    def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    (0 until 3).foreach { b => // three refresh cycles: v0, then +seg, +seg
+      input.addData((b * 10 until b * 10 + 4).map(i => (i.toLong, v(i))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val ann = new java.io.File(s"$dir/ann")
+    val versionDirs = ann.listFiles().filter(_.getName.matches("v\\d+-.*"))
+    assert(versionDirs.length === 1, s"keepVersions=1: ${versionDirs.map(_.getName).toSeq}")
+    // all three segments are referenced by the surviving version — none reaped
+    assert(new java.io.File(s"$dir/ann/segments").listFiles().length === 3)
+    val idx = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
+    assert(idx.assigned.count() === 12)
+  }
+
   test("eventFacts emits fact-log rows on batch and streaming frames alike") {
     val batch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.5))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
