@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * by the parent result's entity ids and reassembles maps on the
   * driver. Here each pull level is ONE left join per attribute group
   * against the snapshot (attribute-pruned scans), and nesting recurses
-  * through ref attributes; cardinality-many refs aggregate to an array
-  * of structs (`fix-cardinalities`, pull.clj:150-170). Everything stays
-  * distributed — no driver-side reassembly.
+  * through ref attributes; cardinality-many attrs — scalar AND ref —
+  * aggregate to a sorted array per entity (`fix-cardinalities`,
+  * pull.clj:148-170: the reference vectors ANY card-many attr, not just
+  * refs). Everything stays distributed — no driver-side reassembly.
   */
 object Pull {
 
@@ -28,8 +29,15 @@ object Pull {
     val snap = db.snapshot(asOfTx)
     def level(df: DataFrame, eCol: String, s: Spec): DataFrame = {
       val withAttrs = s.attrs.foldLeft(df) { (acc, attr) =>
-        val vals = snap.filter(col("a") === attr)
+        val base = snap.filter(col("a") === attr)
           .select(col("e").as(eCol), col(db.slot(attr)).as(attr))
+        // card-many scalar attrs come back as ONE sorted array per
+        // entity (pull.clj fix-cardinalities), never duplicated parents
+        val vals =
+          if (db.cardMany.contains(attr))
+            base.groupBy(col(eCol))
+              .agg(sort_array(collect_list(col(attr))).as(attr))
+          else base
         acc.join(vals, Seq(eCol), "left")
       }
       s.refs.foldLeft(withAttrs) { case (acc, (refAttr, sub)) =>
@@ -53,8 +61,13 @@ object Pull {
       var acc = idsDf
       val fields = scala.collection.mutable.ArrayBuffer.empty[Column]
       s.attrs.foreach { attr =>
-        val vals = snap.filter(col("a") === attr)
+        val base = snap.filter(col("a") === attr)
           .select(col("e").as(eCol), col(db.slot(attr)).as(attr))
+        val vals =
+          if (db.cardMany.contains(attr))
+            base.groupBy(col(eCol))
+              .agg(sort_array(collect_list(col(attr))).as(attr))
+          else base
         acc = acc.join(vals, Seq(eCol), "left")
         fields += col(attr)
       }

@@ -329,6 +329,23 @@ object DatalogQueries {
         .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
     }),
 
+    // Pull over a cardinality-MANY SCALAR attribute (reference
+    // fix-cardinalities, pull.clj:148-170: ANY card-many attr comes
+    // back as a vector, not just refs): each user's purchase buckets
+    // pull as ONE sorted array — no duplicated parent rows. Rendered
+    // comma-joined for the oracle's hash compare (the dl_agg_more
+    // trick — array columns defeat the pandas-side sort).
+    "dl_pull_many" -> ((s: SparkSession, dir: String) => {
+      val db = TestData.eventsDb(s, dir)
+      val ids = db.snapshot()
+        .filter(col("a") === "purchase_bucket")
+        .select(col("e")).distinct()
+      Pull.pullFlat(db, ids, Pull.Spec(Seq("last_type", "purchase_bucket")))
+        .select((col("e") - TestData.UserBase).as("user_id"),
+          col("last_type"),
+          expr("array_join(purchase_bucket, ',')").as("buckets"))
+    }),
+
     // Transactor round-trip (reference transact.clj): map-form expansion
     // w/ nested sub-entities + temp ids, then a retraction, queried back
     // through the datalog compiler.
@@ -497,6 +514,17 @@ object DatalogQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE c_acctbal > 9900.0""",
+    "dl_pull_many" ->
+      """SELECT p.user_id, lt.last_type, p.buckets FROM (
+           SELECT user_id,
+                  array_to_string(list_sort(list(DISTINCT CAST(floor(value) AS BIGINT))), ',') AS buckets
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+         JOIN (
+           SELECT user_id, event_type AS last_type FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+             FROM events) t
+           WHERE rn = 1) lt ON p.user_id = lt.user_id""",
     "tx_mapform" ->
       """SELECT DISTINCT c_name, n_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey

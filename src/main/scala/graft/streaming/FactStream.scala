@@ -115,10 +115,19 @@ object FactStream {
     * cycles (readAnnIndex documents the bound). Everything is
     * serialized with ingestion in the single-writer foreachBatch loop,
     * and a retried refresh batch is a no-op (the covered watermark
-    * already equals its batch id — nothing new to sign). */
+    * already equals its batch id — nothing new to sign).
+    *
+    * Compaction: the segment chain is bounded by `maxSegments`. A
+    * refresh that would push the published meta past that bound runs
+    * the full rebuild instead — one corpus pass that resets the chain
+    * to a single segment (the LSM merge step). Without it the chain
+    * grows one parquet dir per refresh forever, and every probe pays
+    * file-listing + small-file overhead across thousands of segments;
+    * with it, amortized refresh cost stays O(new rows) while reads
+    * never union more than maxSegments dirs. */
   def ingestEmbeddingsWithAnnRefresh(emb: DataFrame, path: String, checkpoint: String,
                                      planes: Int = 8, refreshEvery: Int = 2,
-                                     keepVersions: Int = 3)
+                                     keepVersions: Int = 3, maxSegments: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpoint)
@@ -129,7 +138,7 @@ object FactStream {
           import graft.pipeline.Similarity
           val annPath = s"$path/ann"
           Similarity.readAnnMeta(spark, annPath) match {
-            case Some(prior) =>
+            case Some(prior) if prior.segments.length < maxSegments =>
               val newDirs = corpusBatchDirs(spark, s"$path/corpus")
                 .collect { case (id, p) if id > prior.covered => p }
               if (newDirs.nonEmpty) {
@@ -142,6 +151,8 @@ object FactStream {
                     covered = batchId),
                   version = batchId)
               }
+            case Some(prior) => // chain at bound: compact (keep pinned planes)
+              rebuildAnnIndex(spark, path, prior.planes, coveredThrough = batchId)
             case None =>
               rebuildAnnIndex(spark, path, planes, coveredThrough = batchId)
           }

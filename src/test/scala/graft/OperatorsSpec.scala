@@ -139,6 +139,43 @@ class OperatorsSpec extends SparkSpec {
     assert(children === costEnts)
   }
 
+  test("pull vectors card-many SCALAR attrs — one sorted array per entity, no fan-out") {
+    // reference fix-cardinalities (pull.clj:148-170) returns a vector
+    // for ANY card-many attr, scalar or ref; the parent row must not
+    // duplicate per value. Same fact set as the reference's
+    // cardinality test (query_test.clj:150-175): Bob's blue retracted.
+    import org.apache.spark.sql.Row
+    import graft.core.{FactDb, FactStore}
+    val facts = Seq(
+      (2L, "name", "Bob", 0L, true),
+      (2L, "favorite-colors", "red", 0L, true),
+      (2L, "favorite-colors", "green", 0L, true),
+      (2L, "favorite-colors", "blue", 0L, true),
+      (2L, "favorite-colors", "blue", 1L, false),
+      (3L, "name", "Emily", 2L, true),
+      (3L, "favorite-colors", "yellow", 2L, true))
+    val rows = facts.map { case (e, a, v, tx, added) =>
+      Row(e, a, "s", v, null, null, null, null, tx, added)
+    }
+    val db = FactDb(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), FactStore.factSchema),
+      Map("name" -> "vstr", "favorite-colors" -> "vstr"),
+      cardMany = Set("favorite-colors"))
+    val ids = Seq(2L, 3L).toDF("e")
+    val flat = Pull.pullFlat(db, ids, Pull.Spec(Seq("name", "favorite-colors")))
+    assert(flat.count() === 2, "card-many scalar attr must not duplicate parent rows")
+    val byName = flat.collect()
+      .map(r => (r.getString(1), r.getSeq[String](2).toSeq)).toMap
+    assert(byName("Bob") === Seq("green", "red")) // sorted; retracted blue gone
+    assert(byName("Emily") === Seq("yellow"))
+    // nested form: same vectoring inside the pulled struct
+    val nested = Pull.pullNested(db, ids, Pull.Spec(Seq("name", "favorite-colors")))
+    assert(nested.count() === 2)
+    val bob = nested.filter(col("e") === 2L).select("pulled").head().getStruct(0)
+    assert(bob.getString(0) === "Bob")
+    assert(bob.getSeq[String](1).toSeq === Seq("green", "red"))
+  }
+
   test("transactor + nested pull round-trip") {
     val sess = Transactor.emptySession(spark)
     sess.transact(Seq(Transactor.MapForm(Seq(

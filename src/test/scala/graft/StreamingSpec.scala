@@ -180,6 +180,39 @@ class StreamingSpec extends SparkSpec {
     assert(merged === scratch)
   }
 
+  test("ANN segment chain auto-compacts at maxSegments; compacted index == scratch rebuild") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-compact").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestEmbeddingsWithAnnRefresh(emb, dir, s"$dir/ckpt",
+      planes = 4, refreshEvery = 1, maxSegments = 3)
+    def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    val cycles = 8 // chain walks 1,2,3 → compact → 1,2,3 → compact → 1,2
+    (0 until cycles).foreach { b =>
+      input.addData((b * 10 until b * 10 + 3).map(i => (i.toLong, v(i))))
+      q.processAllAvailable()
+      val meta = graft.pipeline.Similarity.readAnnMeta(spark, s"$dir/ann").get
+      assert(meta.segments.length <= 3,
+        s"cycle $b: chain length ${meta.segments.length} exceeds maxSegments=3")
+    }
+    q.stop()
+    // two compactions happened: 8 cycles at one segment per refresh would
+    // be a chain of 8 without the bound — it ends at 2
+    val meta = graft.pipeline.Similarity.readAnnMeta(spark, s"$dir/ann").get
+    assert(meta.segments.length === 2, s"expected post-compaction chain, got $meta")
+    // the compacted index is EXACTLY a from-scratch rebuild of the corpus
+    val idx = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
+    assert(idx.planes === 4) // pinned plane count survives compaction
+    val fresh = graft.pipeline.Similarity.annIndex(
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (merged, scratch) = (sigs(idx.assigned), sigs(fresh.assigned))
+    assert(merged.size === cycles * 3)
+    assert(merged === scratch)
+  }
+
   test("ANN retention keeps the newest versions; segments live while referenced") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-retain").toString
