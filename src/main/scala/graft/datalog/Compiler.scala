@@ -438,22 +438,37 @@ object Compiler {
   // access-ordered LRU: alternating between hot rule sets must never
   // evict the hottest entry (removeEldestEntry drops true LRU)
   private val fixpointCache =
-    new java.util.LinkedHashMap[(SparkSession, Db, String, Seq[Rule]), DataFrame](
-        16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, Db, String, Seq[Rule]),
+        (DataFrame, Seq[Int])](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, Db, String, Seq[Rule]), DataFrame])
+          e: java.util.Map.Entry[(SparkSession, Db, String, Seq[Rule]),
+            (DataFrame, Seq[Int])])
           : Boolean = size() > fixpointCacheMax
     }
+
+  /** Fault tolerance for cache reuse: cached fixpoints are
+    * localCheckpoint-backed — lineage is truncated, so blocks lost to
+    * an executor failure CANNOT be recomputed, and without this check
+    * every later query reusing the entry would fail until LRU
+    * eviction. Validate the entry's checkpoint RDDs still have every
+    * partition's block (driver-side storage metadata — no job); a
+    * stale entry rebuilds and re-puts. */
+  private def blocksHealthy(spark: SparkSession, rddIds: Seq[Int]): Boolean = {
+    lazy val info = spark.sparkContext.getRDDStorageInfo.map(i => i.id -> i).toMap
+    rddIds.forall(id => info.get(id).exists(i =>
+      i.numCachedPartitions == i.numPartitions))
+  }
   private def fixpointCached(key: (SparkSession, Db, String, Seq[Rule]),
                              build: => DataFrame): DataFrame = {
     fixpointCache.synchronized(Option(fixpointCache.get(key))) match {
-      case Some(rel) => rel
-      case None =>
+      case Some((rel, rddIds)) if blocksHealthy(key._1, rddIds) => rel
+      case _ =>
         // build OUTSIDE the lock (a fixpoint can run many jobs; other
         // queries' cache lookups must not block on it); a concurrent
         // duplicate build is benign — last put wins
         val rel = build
-        fixpointCache.synchronized(fixpointCache.put(key, rel)): Unit
+        fixpointCache.synchronized(fixpointCache.put(key,
+          (rel, org.apache.spark.sql.graft.Bridge.checkpointRddIds(rel)))): Unit
         rel
     }
   }

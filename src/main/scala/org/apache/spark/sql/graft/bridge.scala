@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Ids of the materialized RDDs backing a (local)checkpointed frame —
+    * the LogicalRDD leaves of its plan. Lets a cache validate that the
+    * blocks behind a truncated-lineage relation still exist (via
+    * SparkContext.getRDDStorageInfo) WITHOUT running a job. */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
 }

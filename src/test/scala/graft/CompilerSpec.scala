@@ -124,6 +124,27 @@ class CompilerSpec extends SparkSpec {
     assert(out.count() === 6) // 1->2,3,4; 2->3,4; 3->4
   }
 
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // drain the async listener bus: poll until the count is stable
+    // for a full second (bounded), instead of one fixed sleep
+    try {
+      body
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 4 && waited < 15000) {
+        Thread.sleep(250); waited += 250
+        if (n.get() == last) stable += 1 else { stable = 0; last = n.get() }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    n.get()
+  }
+
   test("recursive rule relation is shared across queries: no fixpoint jobs on reuse") {
     val chain = mkDb(Seq(
       r(10, "parent", 11), r(11, "parent", 12), r(12, "parent", 13),
@@ -134,26 +155,6 @@ class CompilerSpec extends SparkSpec {
       Rule("anc", Seq(V("x"), V("y")), And(
         Pattern(V("x"), C("parent"), V("m")),
         RuleApp("anc", V("m"), V("y")))))
-    def jobsDuring(body: => Unit): Int = {
-      val n = new java.util.concurrent.atomic.AtomicInteger
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          n.incrementAndGet(): Unit
-      }
-      spark.sparkContext.addSparkListener(listener)
-      // drain the async listener bus: poll until the count is stable
-      // for a full second (bounded), instead of one fixed sleep
-      try {
-        body
-        var last = -1; var stable = 0; var waited = 0
-        while (stable < 4 && waited < 15000) {
-          Thread.sleep(250); waited += 250
-          if (n.get() == last) stable += 1 else { stable = 0; last = n.get() }
-        }
-      } finally spark.sparkContext.removeSparkListener(listener)
-      n.get()
-    }
     val first = jobsDuring {
       assert(Compiler.run(chain, Query(
         find = Seq(FVar(V("a"), "a"), FVar(V("b"), "b")),
@@ -173,6 +174,35 @@ class CompilerSpec extends SparkSpec {
     // splits a count over the cached relation into up to 3)
     assert(first >= 6, s"expected fixpoint jobs on first run, got $first")
     assert(second <= 3, s"expected no fixpoint jobs on reuse, got $second")
+  }
+
+  test("fixpoint cache recovers when its checkpointed blocks vanish (fault tolerance)") {
+    val chain = mkDb(Seq(
+      r(40, "parent", 41), r(41, "parent", 42), r(42, "parent", 43)),
+      Map("parent" -> "vref"))
+    val ancRules = Seq(
+      Rule("anc", Seq(V("x"), V("y")), Pattern(V("x"), C("parent"), V("y"))),
+      Rule("anc", Seq(V("x"), V("y")), And(
+        Pattern(V("x"), C("parent"), V("m")),
+        RuleApp("anc", V("m"), V("y")))))
+    def run() = Compiler.run(chain, Query(
+      find = Seq(FVar(V("a"), "a"), FVar(V("b"), "b")),
+      where = RuleApp("anc", V("a"), V("b")),
+      rules = ancRules))
+    assert(run().count() === 6) // populates the fixpoint cache
+    // Kill the checkpointed blocks BEHIND the cache's back — the
+    // local-mode stand-in for losing the executor that held them.
+    // localCheckpoint truncates lineage, so the blocks cannot be
+    // recomputed: an unvalidated cache entry would fail every later
+    // query over this rule set until LRU eviction.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // the reuse path must detect staleness and rebuild (fixpoint jobs
+    // run AGAIN — same >= 6 signature as a cold run), then answer
+    val jobs = jobsDuring { assert(run().count() === 6) }
+    assert(jobs >= 6, s"expected a rebuild after block loss, got $jobs jobs")
+    // and the re-put entry serves the NEXT reuse without rebuilding
+    assert(run().count() === 6)
   }
 
   test("fixpoint cache distinguishes redefined TRANSITIVE rule dependencies") {
