@@ -182,11 +182,60 @@ object GraphOps {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
-  /** PageRank via GraphX (fixed #iterations for determinism). */
+  /** PageRank via GraphX (fixed #iterations for determinism). Kept as
+    * the parity reference for [[pageRankDataFrame]] — the served path. */
   def pageRank(edgeDf: DataFrame, iters: Int = 10)(implicit spark: SparkSession): DataFrame = {
     val pr = toGraphX(edgeDf).staticPageRank(iters).vertices
     spark.createDataFrame(pr).toDF("node", "rank")
       .select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** DataFrame-native PageRank — identical static semantics to GraphX's
+    * staticPageRank (rank₀ = 1.0; rank' = resetProb + (1-resetProb) ·
+    * Σ_incoming rank/outdeg with parallel edges counted; then the
+    * SPARK-18847 final correction scaling ranks by n/Σrank, which is
+    * the identity on sink-free graphs and re-injects the mass sinks
+    * leaked otherwise), re-expressed as one join + groupBy shuffle
+    * pair per iteration.
+    *
+    * This is the 100×-scale path (same argument as [[ccDataFrame]]):
+    * the per-iteration work stays inside Tungsten codegen and AQE
+    * (skew-join splitting, runtime coalescing) instead of GraphX's RDD
+    * Pregel. The 1/outdeg edge weights are computed ONCE and
+    * checkpointed — iterations re-join them but never recompute the
+    * degree aggregation. bfs-style checkpoint discipline: only the rank
+    * vector is checkpointed per round (one materializing job each),
+    * keeping lineage flat across iterations. */
+  def pageRankDataFrame(edgeDf: DataFrame, iters: Int = 10,
+                        resetProb: Double = 0.15)
+                       (implicit spark: SparkSession): DataFrame = {
+    val e = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val weighted = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val contribs = weighted.join(ranks, weighted("src") === ranks("node"))
+        .select(col("dst"), (col("rank") * col("w")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("msum"))
+      // every node receives the teleport term, message or not (GraphX
+      // outerJoinVertices semantics)
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(resetProb) + lit(1.0 - resetProb) *
+            coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    // SPARK-18847 sink correction (two scalar aggregates — one tiny job)
+    val agg = ranks.agg(sum(col("rank")), count(lit(1))).head()
+    val factor = agg.getLong(1).toDouble / agg.getDouble(0)
+    ranks.select(col("node"), round(col("rank") * lit(factor), 6).as("rank"))
   }
 
   /** Hop-count shortest paths to a landmark set via GraphX's Pregel

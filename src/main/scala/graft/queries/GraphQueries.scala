@@ -60,7 +60,9 @@ object GraphQueries {
 
     "graph_pagerank" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      GraphOps.pageRank(nationEdges(s, dir), iters = 10)
+      // DataFrame-native power iteration (the 100x-scale path); GraphX
+      // parity is spec-pinned in GroundTruthSpec.
+      GraphOps.pageRankDataFrame(nationEdges(s, dir), iters = 10)
     }),
 
     "graph_triangles" -> ((s, dir) => {

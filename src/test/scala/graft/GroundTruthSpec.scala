@@ -321,8 +321,10 @@ class GroundTruthSpec extends SparkSpec {
   }
 
   test("pageRank matches driver-side power iteration (GraphX static semantics)") {
-    // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in only)
-    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    // asymmetric digraph: 1->2,1->3,2->3,3->1,4->3 (4 is dangling-in
+    // only) + a PARALLEL 2->3 edge (counts twice in 2's outdeg and in
+    // 3's incoming mass — GraphX Graph.fromEdges keeps multi-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val edgeDf = edges.toDF("src", "dst")
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
@@ -337,6 +339,30 @@ class GroundTruthSpec extends SparkSpec {
     nodes.foreach { n =>
       assert(math.abs(actual(n) - rank(n)) < 1e-4,
         s"node $n: graphx=${actual(n)} power-iter=${rank(n)}")
+    }
+    // the served DataFrame-native implementation matches the same truth
+    val viaDf = GraphOps.pageRankDataFrame(edgeDf, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { n =>
+      assert(math.abs(viaDf(n) - rank(n)) < 1e-4,
+        s"node $n: df=${viaDf(n)} power-iter=${rank(n)}")
+    }
+  }
+
+  test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
+    // the bench/oracle edge set: nation ref-graph with parallel edges
+    // (multiple labels between the same pair count separately in the
+    // 1/outdeg weighting — the semantics the parity must preserve)
+    val e = GraphOps.edges(graft.core.TestData.staticDb(spark, "/root/testdata/sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("label")
+        .isin("n_regionkey_ref", "s_nationkey_ref", "c_nationkey_ref"))
+    val viaGraphX = GraphOps.pageRank(e, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDf = GraphOps.pageRankDataFrame(e, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaDf.keySet === viaGraphX.keySet)
+    viaGraphX.foreach { case (n, r) =>
+      assert(math.abs(viaDf(n) - r) < 1e-6, s"node $n: df=${viaDf(n)} graphx=$r")
     }
   }
 }
