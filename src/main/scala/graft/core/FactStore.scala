@@ -102,6 +102,66 @@ object FactStore {
     df.schema.fields.filterNot(_.name.startsWith("__"))
       .map(f => f.name -> slotFor(f.dataType)._1).toMap ++
       refCols.map(c => (c + "_ref") -> "vref").toMap
+
+  /** Melt a Seq-valued column into ORDERED element sub-entity facts —
+    * the ingest path for schema-free / ragged list values, which the
+    * reference stores inside ONE fact as an EDN collection
+    * (unify.clj:66-81). graft's typed-column encoding instead emits,
+    * per element: a cardinality-many ref fact `parent --attr--> elem`
+    * plus `<attr>/idx` (position) and `<attr>/val` (the element) on the
+    * elem sub-entity — no hand-written per-position fields, any list
+    * length. Query back positionally with
+    * [[graft.datalog.IndexedRestPattern]].
+    *
+    * Element entity ids are `elemBase + rawId * stride + idx` —
+    * deterministic and collision-free for lists shorter than `stride`
+    * (guarded per row, codegen'd). One distributed pass (posexplode),
+    * no shuffle. Combine with [[listAttrTypes]] and mark `attr`
+    * cardinality-many in the enclosing FactDb. */
+  def meltList(df: DataFrame, idExpr: Column, parentBase: Long, attr: String,
+               listCol: String, elemBase: Long, tx: Long = 1L,
+               stride: Long = 1L << 20): DataFrame = {
+    val elemType = df.schema(listCol).dataType match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"$listCol is $other — meltList needs an array column")
+    }
+    val (slot, tag) = slotFor(elemType)
+    val exploded = df
+      .select(idExpr.cast(LongType).as("__rawid"),
+        posexplode(col(listCol)).as(Seq("__idx", "__v")))
+      .select(col("__rawid"),
+        when(col("__idx") < stride, col("__idx").cast(LongType))
+          .otherwise(raise_error(concat(
+            lit(s"meltList($attr): list longer than stride=$stride on id "),
+            col("__rawid").cast(StringType)))).as("__idx"),
+        col("__v"))
+    val parentE = (col("__rawid") + lit(parentBase)).as("e")
+    val elemId = lit(elemBase) + col("__rawid") * lit(stride) + col("__idx")
+    val refs = exploded.select(Seq(parentE, lit(attr).as("a"),
+      lit("r").as("vtype")) ++ nullCols("vref") :+ elemId.as("vref"): _*)
+    val idxs = exploded.select(Seq(elemId.as("e"), lit(s"$attr/idx").as("a"),
+      lit("l").as("vtype")) ++ nullCols("vlong") :+ col("__idx").as("vlong"): _*)
+    val vals = exploded.select(Seq(elemId.as("e"), lit(s"$attr/val").as("a"),
+      lit(tag).as("vtype")) ++ nullCols(slot) :+
+        col("__v").cast(factSchema(slot).dataType).as(slot): _*)
+    Seq(refs, idxs, vals).map(_.select(
+        col("e"), col("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
+        lit(tx).as("tx"), lit(true).as("added")))
+      .reduce(_.unionAll(_))
+  }
+
+  /** Attribute -> value-slot map for a [[meltList]]-encoded list
+    * attribute (pair with `cardMany += attr` on the FactDb). */
+  def listAttrTypes(df: DataFrame, attr: String, listCol: String): Map[String, String] = {
+    val elemSlot = df.schema(listCol).dataType match {
+      case ArrayType(et, _) => slotFor(et)._1
+      case other => throw new IllegalArgumentException(
+        s"$listCol is $other — meltList needs an array column")
+    }
+    Map(attr -> "vref", s"$attr/idx" -> "vlong", s"$attr/val" -> elemSlot)
+  }
 }
 
 /** A fact database: the raw log plus attribute metadata.

@@ -75,6 +75,40 @@ final case class RestPattern(e: Term, attr: Term, fields: Seq[String],
   }
 }
 
+/** Rest-pattern sugar over the ORDERED element-list encoding
+  * (graft.core.FactStore.meltList): binds list elements POSITIONALLY by
+  * index instead of by named component fields — the query-side
+  * counterpart of ingesting a ragged/schema-free list. `[?e :phones
+  * [?first & ?second]]` becomes `IndexedRestPattern(V("e"), "phones",
+  * head = V("first"), tail = Seq(V("second")))`: position i unifies
+  * against the element sub-entity with `<attr>/idx` = i via its
+  * `<attr>/val`. `W` skips a position; a list needs at least
+  * `1 + tail.length` elements to match (prefix semantics — the ragged
+  * lists this encoding exists for have no uniform length to pin).
+  * Desugars to plain patterns (one ref + idx + val triple per bound
+  * position), so the compiled plan is the same join pipeline as
+  * [[RestPattern]]'s — AST-level sugar, not a new operator. */
+final case class IndexedRestPattern(e: Term, attr: String,
+                                    head: Term, tail: Seq[Term]) extends Clause {
+  require((head +: tail).exists(_ != W),
+    "indexed rest-pattern needs at least one non-wildcard position")
+  /** Internal per-position sub-entity vars (same discipline as
+    * [[RestPattern.subVar]]: dropped right after the clause evaluates). */
+  private[datalog] def subVar(i: Int): String =
+    s"__elem$$${java.lang.Integer.toHexString(hashCode)}$$$i"
+  private[datalog] def subVars: Seq[String] =
+    (head +: tail).zipWithIndex.collect { case (t, i) if t != W => subVar(i) }
+
+  /** The equivalent plain-pattern conjunction. */
+  def desugared: Clause =
+    And((head +: tail).zipWithIndex.collect { case (t, i) if t != W =>
+      val sub = V(subVar(i))
+      Seq(Pattern(e, C(attr), sub),
+        Pattern(sub, C(s"$attr/idx"), C(i.toLong)),
+        Pattern(sub, C(s"$attr/val"), t))
+    }.flatten: _*)
+}
+
 /** A named deductive rule: head params + body (reference rules,
   * query.clj:260-274; recursion supported via semi-naive fixpoint). */
 final case class Rule(name: String, params: Seq[V], body: Clause)

@@ -162,6 +162,8 @@ object Compiler {
       // disjuncts with different rest-patterns still bind identical
       // column sets and :not keys only on user-visible vars
       eval(db, rp.desugared, rules, cache, frames).map(_.drop(rp.subVar))
+    case irp: IndexedRestPattern =>
+      eval(db, irp.desugared, rules, cache, frames).map(_.drop(irp.subVars: _*))
     case RuleApp(name, args @ _*) if rules(name).forall(d => !hasPattern(d.body)) =>
       // Filter-only rules (e.g. the reference's `[(:same ?x ?x)]`,
       // query_test.clj:140) have no finite relation to materialize —
@@ -265,6 +267,7 @@ object Compiler {
       case FnBind(_, out, args @ _*) => termVars(args) + out.name
       case RuleApp(_, args @ _*) => termVars(args)
       case rp: RestPattern => clauseVars(rp.desugared) - rp.subVar
+      case irp: IndexedRestPattern => clauseVars(irp.desugared) -- irp.subVars
     }
   }
 
@@ -275,6 +278,7 @@ object Compiler {
     case Not(n) => hasPattern(n)
     case _: RuleApp => true // conservatively non-inlinable
     case _: RestPattern => true
+    case _: IndexedRestPattern => true
     case _ => false
   }
 
@@ -296,6 +300,7 @@ object Compiler {
       case Pattern(e, a, v, tx, ad) => Pattern(st(e), st(a), st(v), st(tx), st(ad))
       case RuleApp(n, args @ _*) => RuleApp(n, args.map(st): _*)
       case rp: RestPattern => substitute(rp.desugared, sub, fresh)
+      case irp: IndexedRestPattern => substitute(irp.desugared, sub, fresh)
     }
   }
 
@@ -524,7 +529,12 @@ object Compiler {
     case "between" => cs(0).between(cs(1), cs(2))
     case "null?" => cs.head.isNull
     case "some?" => cs.head.isNotNull
-    case other => throw new IllegalArgumentException(s"Unknown predicate $other")
+    case other => userPreds.get(other) match {
+      case Some(build) => build(cs)
+      // exact reference error parity (:unknown-predicate) — the
+      // registerPred escape hatch is documented on the registry below
+      case None => throw new IllegalArgumentException(s"Unknown predicate $other")
+    }
   }
 
   /** Binding-function library (reference resolves any clojure.core fn,
@@ -565,6 +575,37 @@ object Compiler {
     case "index-of" => position(cs(1), cs.head).cast(LongType) // 1-based, 0 = absent
     case "capitalize" => initcap(cs.head)
     case "replace" => regexp_replace(cs.head, cs(1), cs(2))
-    case other => throw new IllegalArgumentException(s"Unknown function $other")
+    case other => userFns.get(other) match {
+      case Some(build) => build(cs)
+      case None => throw new IllegalArgumentException(s"Unknown function $other")
+    }
   }
+
+  // ------------------------------------------------ user extension point
+
+  /** User-registered binding fns / predicates — the open escape hatch
+    * the reference gets by resolving any clojure.core symbol
+    * (query.clj:106-130). graft keeps the built-in registry closed for
+    * distributed safety and instead takes registrations as COLUMN
+    * BUILDERS (`Seq[Column] => Column`): users compose Spark's
+    * codegen'd builtins or their own native Catalyst expressions, so a
+    * registered fn plans/pushes/codegens exactly like a built-in — no
+    * interpreted eval surface, no implicit UDF. Built-ins win on a name
+    * clash (stable semantics for the oracle-checked queries);
+    * registrations are process-wide, matching the built-in registry's
+    * scope. */
+  private val userFns =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
+  private val userPreds =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Column] => Column]
+
+  /** Register a binding function usable as `FnBind(name, out, args*)`.
+    * `build` receives the argument columns in clause order. */
+  def registerFn(name: String)(build: Seq[Column] => Column): Unit =
+    userFns(name) = build
+
+  /** Register a predicate usable as `Pred(name, args*)`; `build` must
+    * return a boolean column. */
+  def registerPred(name: String)(build: Seq[Column] => Column): Unit =
+    userPreds(name) = build
 }

@@ -191,9 +191,35 @@ object Dedup {
     * simhashPairs does NOT inherit the pigeonhole's "all pairs within
     * hamming <= 3" completeness. For strict dedup, iterate: run the
     * generator over the survivors again until no pairs remain (each
-    * round removes >= 1 doc per unresolved cluster, so it terminates). */
+    * round removes >= 1 doc per unresolved cluster, so it terminates) —
+    * that is [[dedupStrict]]. */
   def keepSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
+  /** Strict dedup: iterate a (possibly recall-lossy, star-collapsed)
+    * pair `generator` over the survivors to a FIXPOINT — the escape
+    * hatch documented on [[keepSurvivors]]. A cluster the single pass
+    * leaves unresolved (members B, C near each other but far from their
+    * bucket's representative A) resolves once A is itself dropped as a
+    * member elsewhere and a later round re-buckets the survivors with B
+    * as the new representative. Each non-final round drops at least one
+    * document, so the iteration terminates; round cost is one generator
+    * pass over the (shrinking) survivor set, and each round's pair set
+    * is checkpointed once — the emptiness probe and the anti-join share
+    * it. */
+  def dedupStrict(docs: DataFrame, generator: DataFrame => DataFrame,
+                  maxRounds: Int = 20): DataFrame = {
+    var survivors = docs.localCheckpoint(true)
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      val pairs = generator(survivors).localCheckpoint(true)
+      if (pairs.isEmpty) return survivors
+      survivors = keepSurvivors(survivors, pairs).localCheckpoint(true)
+    }
+    throw new IllegalStateException(
+      s"dedupStrict did not reach a fixpoint in $maxRounds rounds")
+  }
 
   /** 64-bit SimHash per doc: per-bit +1/-1 votes from each token's
     * xxhash64, sign of the vote sum becomes the bit — computed by the
@@ -214,8 +240,15 @@ object Dedup {
     * within a bucket) is the production one: dedup keeps one survivor
     * per cluster, so rep-to-member pairs are what the downstream
     * "drop b, keep a" consumer needs. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs).localCheckpoint(true)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs).localCheckpoint(true), maxHamming)
+
+  /** The pairing pass of [[simhashPairs]] over a precomputed
+    * (doc_id, simhash) relation — e.g. a persisted signature sidecar,
+    * or the survivor set inside a [[dedupStrict]] round (signatures are
+    * content-pure, so re-deriving them per round would waste a corpus
+    * pass). */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val groups = sigs.groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
       .localCheckpoint(true)

@@ -158,6 +158,50 @@ class CollectionsParitySpec extends SparkSpec {
     assert(rows === Set(10L, 42L))
   }
 
+  test("ragged lists ingest via meltList and query positionally — no hand-written fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.{FactDb, FactStore}
+    // ragged Seq-valued column: 3, 1, and 0 elements — nothing to name
+    // per position, the case the fixed-field RestPattern encoding
+    // can't ingest without hand re-encoding
+    val people = Seq(
+      (1L, Seq("555-0100", "555-0101", "555-0102")),
+      (2L, Seq("555-0200")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "phones")
+    val facts = FactStore.meltList(people, col("id"), parentBase = 0L,
+      attr = "phones", listCol = "phones", elemBase = 1000L, stride = 100L)
+    val db = FactDb(facts, FactStore.listAttrTypes(people, "phones", "phones"),
+      cardMany = Set("phones"), versioned = false)
+    def q(query: Query) = Compiler.run(Db(db), query)(spark)
+    // [?e :phones [?p0 & ?p1]] — prefix semantics: lists with >= 2 elems
+    val firstTwo = q(Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("p0"), "p0"), FVar(V("p1"), "p1")),
+      where = IndexedRestPattern(V("e"), "phones",
+        head = V("p0"), tail = Seq(V("p1")))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(firstTwo === Set((1L, "555-0100", "555-0101")))
+    // head only: every non-empty list's first element
+    val heads = q(Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("p"), "p")),
+      where = IndexedRestPattern(V("e"), "phones", head = V("p"), tail = Nil)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(heads === Set((1L, "555-0100"), (2L, "555-0200")))
+    // wildcard head: [_ & ?second] binds position 1 only
+    val seconds = q(Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("p"), "p")),
+      where = IndexedRestPattern(V("e"), "phones", head = W, tail = Seq(V("p")))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(seconds === Set((1L, "555-0101")))
+    // constant head unifies: who lists 555-0200 first?
+    val owner = q(Query(
+      find = Seq(FVar(V("e"), "e")),
+      where = IndexedRestPattern(V("e"), "phones", head = C("555-0200"), tail = Nil)))
+      .collect().map(_.getLong(0)).toSet
+    assert(owner === Set(2L))
+  }
+
   test("collection membership: [(some #{:computer} ?job)] via cardinality-many tags") {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(

@@ -100,6 +100,29 @@ class CompilerSpec extends SparkSpec {
       r0.getLong(2) === 2L && r0.getString(3) === "Ben Bitdiddle")
   }
 
+  test("user-registered fns and preds extend the registry as Column builders") {
+    import org.apache.spark.sql.functions.{pmod, round => sround, lit}
+    Compiler.registerFn("salary-k")(cs => sround(cs.head / lit(1000.0), 1))
+    Compiler.registerPred("div-by")(cs => pmod(cs(0), cs(1)) === 0)
+    val out = Compiler.run(employees, Query(
+      find = Seq(FVar(V("n"), "n"), FVar(V("k"), "k")),
+      where = And(
+        Pattern(V("e"), C("salary"), V("sal")),
+        Pred("div-by", V("sal"), C(20000L)), // 60000, 40000 — not 25000
+        Pattern(V("e"), C("name"), V("n")),
+        FnBind("salary-k", V("k"), V("sal")))))
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet ===
+      Set(("Ben Bitdiddle", 60.0), ("Alyssa P. Hacker", 40.0)))
+    // unknown names still fail closed with the reference's exact error
+    val err = intercept[IllegalArgumentException] {
+      Compiler.run(employees, Query(
+        find = Seq(FVar(V("n"), "n")),
+        where = And(Pattern(V("e"), C("name"), V("n")),
+          Pred("no-such-pred", V("n")))))
+    }
+    assert(err.getMessage === "Unknown predicate no-such-pred")
+  }
+
   test("global aggregate without group keys") {
     val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
     val out = Compiler.run(db, Query(

@@ -349,6 +349,38 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("dedupStrict collapses the documented star-collapse miss to a fixpoint") {
+    // The keepSurvivors RECALL NOTE's planted miss, in signature space
+    // (16-bit blocks b0..b3 composed little-to-big into the 64-bit
+    // simhash):
+    //   Z=1: blk0 == A's; one bit flipped in each of blk1/2/3 → ham(Z,A)=3
+    //   A=2: the far bucket representative
+    //   B=3: blk0 = A's ^ 4 bits → ham(A,B)=4 (far); blk1-3 == A's
+    //   C=4: B with 2 blk0 bits flipped → ham(B,C)=2 (near), ham(A,C)=6
+    // Pass 1: bucket (blk0,a0)={Z,A} drops A; buckets (blk1-3,a*)=
+    // {A,B,C} have far rep A → B,C produce NO pair (the documented
+    // miss). Pass 2 re-buckets: B is now the blk1-3 rep, finds C.
+    def sig(b0: Long, b1: Long, b2: Long, b3: Long): Long =
+      b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    val (a0, a1, a2, a3) = (0x1234L, 0x5678L, 0x9abcL, 0x0defL)
+    val sigs = Seq(
+      1L -> sig(a0, a1 ^ 1, a2 ^ 1, a3 ^ 1),  // Z
+      2L -> sig(a0, a1, a2, a3),              // A
+      3L -> sig(a0 ^ 0xf0L, a1, a2, a3),      // B
+      4L -> sig(a0 ^ 0xf3L, a1, a2, a3)       // C = B ^ 2 bits
+    ).toDF("doc_id", "simhash")
+    val gen = (df: org.apache.spark.sql.DataFrame) =>
+      Dedup.simhashPairsFromSigs(df, maxHamming = 3)
+    // single pass: A dropped via Z, but the B~C near-dup is MISSED
+    val onePass = Dedup.keepSurvivors(sigs, gen(sigs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onePass === Set(1L, 3L, 4L), s"expected the documented miss, got $onePass")
+    // strict fixpoint: the re-bucketed second pass finds B~C
+    val strict = Dedup.dedupStrict(sigs, gen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(1L, 3L))
+  }
+
   test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
     // the bench/oracle edge set: nation ref-graph with parallel edges
     // (multiple labels between the same pair count separately in the
