@@ -27,7 +27,14 @@ object PipelineQueries {
     * query resolves the pointer and reads the artifact back — so
     * correctness runs and Bench measure the real round-trip a cluster
     * deployment pays: Scan parquet over the published version dir, no
-    * per-query signature/centroid computation. */
+    * per-query signature/centroid computation.
+    *
+    * DEPLOYMENT NOTE: idxRoot is a driver-local temp dir — correct for
+    * the single-JVM local[*] harness only. On a cluster the sidecar
+    * root must be a shared filesystem path (hdfs://, s3a://, ...)
+    * visible to every executor; Similarity's write/publish/read paths
+    * already go through the path's own Hadoop filesystem, so only this
+    * root changes. */
   private lazy val idxRoot: String =
     java.nio.file.Files.createTempDirectory("graft-index").toString
   private val idxWritten =
