@@ -184,6 +184,75 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Distinct n-token shingle hashes per document (lowercased
+    * whitespace tokens, md5 of the space-joined shingle — reproducible
+    * in any engine). One per-row generate, no shuffle: the unit of
+    * benchmark-overlap decontamination. Docs shorter than n tokens
+    * yield no shingles. */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(n)), " "))))).as("sh"))
+  }
+
+  /** Benchmark decontamination: flag every training document sharing
+    * at least one n-token shingle with the eval/benchmark set, with the
+    * count of distinct shared shingles — the contamination gate run
+    * before any training-data freeze. The eval side (a benchmark suite,
+    * tiny next to a 100 TB corpus) is distinct-reduced and BROADCAST,
+    * so the corpus-sized side is a single map-only scan: shingle
+    * generate → broadcast hash semijoin → per-doc count, one shuffle
+    * (the final groupBy). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    val evalSh = shingleHashes(evalDocs, n).select(col("sh")).distinct()
+    shingleHashes(train, n)
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
+    * of duplicate tokens and the share of the most frequent bigram —
+    * the cheap repetition gates that drop degenerate/boilerplate docs.
+    * Pure per-row higher-order functions (docs are bounded; the
+    * per-row cost is O(distinct·n) on a ~10² token doc), so the whole
+    * operator is a shuffle-free codegen'd projection. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        round(lit(1.0) -
+          size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("dup_token_frac"),
+        round(when(size(col("toks")) >= 2, {
+          val bg = transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))
+          array_max(transform(array_distinct(bg),
+            x => size(filter(bg, y => y === x)))).cast("double") / size(bg)
+        }).otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+  }
+
+  /** Corpus unigram log-probability score: mean ln p(token) per
+    * document, p from whole-corpus token frequencies — the self-trained
+    * analog of the CCNet perplexity filter (docs far below the corpus
+    * mean are gibberish; far above are boilerplate). Fully distributed:
+    * one token-count shuffle, a hash join back on token (the vocabulary
+    * is corpus-sized — NOT broadcastable at scale), the corpus total as
+    * a broadcast 1-row aggregate, one final per-doc groupBy. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(cnt, "tok").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cnt") / col("total"))), 6).as("mean_logprob"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

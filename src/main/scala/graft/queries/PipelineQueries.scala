@@ -158,6 +158,19 @@ object PipelineQueries {
 
     "text_chunk" -> ((s, dir) => TextAnalysis.chunk(docs(s, dir), winSize = 64, step = 48)),
 
+    // benchmark decontamination: source 'src0' plays the eval suite,
+    // every other source is the training corpus; n=8 token shingles.
+    "text_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontaminate(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), n = 8)
+    }),
+
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+
+    "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
+
     // End-to-end curation pipeline — the composition a real training-data
     // run executes: language gate -> quality gate -> exact-dedup
     // survivors. One pass over the corpus, one hash shuffle (the dedup
@@ -329,6 +342,43 @@ object PipelineQueries {
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
                 ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 6))::BIGINT AS fp_bucket
-         FROM documents"""
+         FROM documents""",
+    "text_decontam" ->
+      """WITH toks AS (SELECT doc_id, source,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sh AS (SELECT DISTINCT doc_id, source,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, source, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+         SELECT s.doc_id, count(*) AS n_contaminated
+         FROM sh s JOIN ev USING (sh)
+         WHERE s.source <> 'src0'
+         GROUP BY 1""",
+    "text_repetition" ->
+      """SELECT doc_id,
+                round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                  AS dup_token_frac,
+                round(CASE WHEN len(t) >= 2 THEN
+                        CAST(list_max(list_transform(list_distinct(bg),
+                               x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                          / len(bg)
+                      ELSE 0.0 END, 6) AS top_bigram_frac
+         FROM (SELECT doc_id, t,
+                      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+               FROM (SELECT doc_id,
+                            string_split_regex(lower(trim(text)), '\s+') AS t
+                     FROM documents) x) y""",
+    "text_logprob" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+              tot AS (SELECT count(*) AS total FROM tok)
+         SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
+         FROM tok JOIN cnt USING (tok), tot
+         GROUP BY 1"""
   )
 }

@@ -204,6 +204,41 @@ class GroundTruthSpec extends SparkSpec {
       (2, 4, "t7 t8 t9 t10"), (3, 1, "t10")))
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-token shingle with eval") {
+    val evalDocs = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains ONE eval 8-gram: "a b c d e f g h"
+      (1L, "x y a b c d e f g h z"),
+      // shares tokens but no 8-token run
+      (2L, "a b c d q e f g h r"),
+      (3L, "totally different content with no shared token runs at all here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, evalDocs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L)))
+  }
+
+  test("repetition computes exact duplicate-token and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),    // dup 1-1/4; bigrams "a a"×3 → 3/3
+      (2L, "a b c d"),    // no dups; 3 distinct bigrams → 1/3
+      (3L, "x")           // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 0.75, 1.0), (2L, 0.0, 0.333333), (3L, 0.0, 0.0)))
+  }
+
+  test("unigramLogProb matches hand-computed corpus frequencies") {
+    // corpus tokens: a a b | b  → p(a) = p(b) = 2/4, every doc's mean
+    // log-prob is ln(0.5)
+    val docs = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, -0.693147), (2L, -0.693147)))
+  }
+
   test("winnow matches an independent sliding-window implementation") {
     val k = 5; val w = 4
     val docs = Seq(
