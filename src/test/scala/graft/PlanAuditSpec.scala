@@ -38,6 +38,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("\nSort "), s"expected no global Sort:\n$p")
   }
 
+  test("text_decontam: eval shingles broadcast; corpus side joins with no pre-join shuffle") {
+    val p = plan("text_decontam")
+    // the eval/benchmark side must reach the corpus-sized side as a
+    // broadcast — a sort-merge join here would shuffle the full corpus
+    // shingle set at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"expected no corpus-side SMJ:\n$p")
+    // exactly the final per-doc count aggregation may hash-shuffle
+    // (plus the distinct on the tiny eval side feeding the broadcast)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected only the eval-distinct and final-groupBy Exchanges:\n$p")
+  }
+
+  test("text_repetition: shuffle-free single-pass projection") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+  }
+
   test("dl_join: pattern scans prune to attribute dirs over the bucketed static log") {
     val p = SparkEntry.queries("dl_join")(spark, sf)
       .queryExecution.executedPlan.toString
