@@ -24,6 +24,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep prunable bucketed scans bucketed: the planner otherwise
+      // un-buckets a scan with no distribution-needing parent and loses
+      // the single-bucket prune of EAVT point reads (FactDb.entity)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla Spark
       // rejects; read as long nanos (TestData converts where needed).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep prunable bucketed scans bucketed: the planner otherwise
+      // un-buckets a scan with no distribution-needing parent and loses
+      // the single-bucket prune of EAVT point reads (FactDb.entity)
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

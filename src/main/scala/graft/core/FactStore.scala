@@ -225,6 +225,32 @@ case class FactDb(log: DataFrame, attrTypes: Map[String, String],
       .drop("__rn")
   }
 
+  /** Point lookup: all live (attribute, value) pairs of ONE entity —
+    * the reference's EAVT B-tree point read
+    * (/root/reference/src/unifydb/storage/btree.clj). The e-filter sits
+    * under the version-resolution windows (e is a partition key of
+    * both, so Catalyst pushes it to the scan), and on the
+    * partitionBy("a") + bucketBy(e) cluster layout Spark additionally
+    * prunes every attribute directory to the single bucket file that
+    * can hold the entity (SelectedBucketsCount 1/N, plan-pinned) — the
+    * closest a Spark job gets to an OLTP point read. Requires
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * (set by graft's session builders): the auto-conversion rule sees
+    * no distribution-needing parent and would flatten the scan,
+    * silently losing the prune. The remaining gap
+    * to the reference's ms-latency B-tree read is the job-submission
+    * floor itself (documented in README §limits). Values render into
+    * one string column so the heterogeneous entity comes back in a
+    * single shape. */
+  def entity(eid: Long, asOfTx: Long = Long.MaxValue): DataFrame =
+    snapshot(asOfTx).filter(col("e") === eid)
+      .select(col("a"), col("vtype"),
+        when(col("vtype") === "s", col("vstr"))
+          .when(col("vtype") === "l", col("vlong").cast("string"))
+          .when(col("vtype") === "d", col("vdbl").cast("string"))
+          .when(col("vtype") === "t", col("vts").cast("string"))
+          .otherwise(col("vref").cast("string")).as("v"))
+
   /** Value column name for a known attribute. */
   def slot(attr: String): String =
     attrTypes.getOrElse(attr,

@@ -203,11 +203,16 @@ object GraphOps {
     * (skew-join splitting, runtime coalescing) instead of GraphX's RDD
     * Pregel. The 1/outdeg edge weights are computed ONCE and
     * checkpointed — iterations re-join them but never recompute the
-    * degree aggregation. bfs-style checkpoint discipline: only the rank
-    * vector is checkpointed per round (one materializing job each),
-    * keeping lineage flat across iterations. */
+    * degree aggregation. Unlike the fixpoint operators (bfs, CC) there
+    * is NO per-round convergence action: the iteration count is fixed,
+    * so the whole recurrence stays ONE declarative plan — Spark runs
+    * all `iters` join+agg rounds as a single multi-stage job instead of
+    * `iters` blocking checkpoint jobs. Lineage is truncated every
+    * `checkpointEvery` rounds only to keep plan depth bounded for large
+    * `iters` (the CC/bfs checkpoint discipline, applied at the cadence
+    * a fixed-point-free recurrence actually needs). */
   def pageRankDataFrame(edgeDf: DataFrame, iters: Int = 10,
-                        resetProb: Double = 0.15)
+                        resetProb: Double = 0.15, checkpointEvery: Int = 8)
                        (implicit spark: SparkSession): DataFrame = {
     val e = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -230,7 +235,7 @@ object GraphOps {
         .select(col("node"),
           (lit(resetProb) + lit(1.0 - resetProb) *
             coalesce(col("msum"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint(true)
     }
     // SPARK-18847 sink correction (two scalar aggregates — one tiny job)
     val agg = ranks.agg(sum(col("rank")), count(lit(1))).head()

@@ -346,6 +346,13 @@ object DatalogQueries {
           expr("array_join(purchase_bucket, ',')").as("buckets"))
     }),
 
+    // Point lookup (reference storage/btree.clj EAVT read): the whole
+    // entity of customer #1 from the attr-partitioned e-bucketed layout —
+    // every attribute directory's scan prunes to ONE bucket file
+    // (plan-pinned in PlanAuditSpec).
+    "dl_lookup" -> ((s: SparkSession, dir: String) =>
+      bucketedStaticDb(s, dir).entity(TestData.CustomerBase + 1L)),
+
     // Transactor round-trip (reference transact.clj): map-form expansion
     // w/ nested sub-entities + temp ids, then a retraction, queried back
     // through the datalog compiler.
@@ -525,6 +532,19 @@ object DatalogQueries {
                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
              FROM events) t
            WHERE rn = 1) lt ON p.user_id = lt.user_id""",
+    "dl_lookup" ->
+      """SELECT 'c_custkey' AS a, 'l' AS vtype, CAST(c_custkey AS VARCHAR) AS v
+           FROM customer WHERE c_custkey = 1
+         UNION ALL SELECT 'c_name', 's', c_name
+           FROM customer WHERE c_custkey = 1
+         UNION ALL SELECT 'c_nationkey', 'l', CAST(c_nationkey AS VARCHAR)
+           FROM customer WHERE c_custkey = 1
+         UNION ALL SELECT 'c_nationkey_ref', 'r', CAST(c_nationkey + 2000000000 AS VARCHAR)
+           FROM customer WHERE c_custkey = 1
+         UNION ALL SELECT 'c_acctbal', 'd', CAST(c_acctbal AS VARCHAR)
+           FROM customer WHERE c_custkey = 1
+         UNION ALL SELECT 'c_mktsegment', 's', c_mktsegment
+           FROM customer WHERE c_custkey = 1""",
     "tx_mapform" ->
       """SELECT DISTINCT c_name, n_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey

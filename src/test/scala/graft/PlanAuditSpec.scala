@@ -71,6 +71,16 @@ class PlanAuditSpec extends SparkSpec {
       s"expected at most the final-distinct Exchange:\n$p")
   }
 
+  test("dl_lookup: point read prunes every attribute dir to one bucket file, no shuffle") {
+    val p = SparkEntry.queries("dl_lookup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the EAVT point-read shape: e = const selects exactly the one
+    // bucket (of 8) that can hold the entity, in each attribute dir
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"expected single-bucket pruning:\n$p")
+    assert(!p.contains("Exchange"), s"expected no shuffle for a point read:\n$p")
+  }
+
   test("dedup_minhash: verify joins never reshuffle the bucketed signature sidecar") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
