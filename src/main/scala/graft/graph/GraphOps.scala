@@ -212,16 +212,24 @@ object GraphOps {
     * `iters` (the CC/bfs checkpoint discipline, applied at the cadence
     * a fixed-point-free recurrence actually needs). */
   def pageRankDataFrame(edgeDf: DataFrame, iters: Int = 10,
-                        resetProb: Double = 0.15, checkpointEvery: Int = 8)
+                        resetProb: Double = 0.15, checkpointEvery: Int = 16)
                        (implicit spark: SparkSession): DataFrame = {
     val e = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // hash-align the loop invariants ONCE: weighted by src, nodes by
+    // node. Each iteration's contribution join (src = node) and
+    // teleport join (node = dst, contribs exiting their groupBy already
+    // dst-partitioned) are then co-partitioned — the edge set never
+    // reshuffles across iterations, and the only per-round Exchange is
+    // the contribution aggregation itself (localCheckpoint preserves
+    // the physical partitioning in the truncated plan).
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(col("src"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("node")).localCheckpoint(true)
     var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
     var i = 0
     while (i < iters) {
