@@ -119,6 +119,20 @@ object Similarity {
   private def sigOf(vec: Column, planes: Int): Column =
     graft.functions.VectorExpressions.signLsh(vec, planes)
 
+  /** [[sigOf]] evaluated on the driver for a CONSTANT probe vector —
+    * the same Catalyst expression instance the corpus rows were signed
+    * with (one code path, no reimplementation drift). Probe bucket
+    * rings then reach the index scan as pushed-down In filters instead
+    * of a broadcast join: over the bucket-clustered sidecar layout,
+    * file/row-group stats prune candidates before a vector is read. */
+  private def sigOfConst(probe: Seq[Double], planes: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    graft.functions.SignLshSig(
+      Literal.create(probe.toArray, ArrayType(DoubleType)), planes)
+      .eval(null).asInstanceOf[Long]
+  }
+
   /** A built ANN index: the (id, vec, bucket) assignment plus the
     * plane count it was built with — carried IN the artifact (like
     * IvfIndex's centroids) so the query side cannot probe with a
@@ -154,7 +168,13 @@ object Similarity {
     val spark = index.assigned.sparkSession
     val dirName = freshVersionDir(version)
     val dir = s"$path/$dirName"
-    index.assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // bucket-clustered files: each output file covers a bucket range,
+    // so a probe's pushed-down In(bucket, ring) prunes at file and
+    // row-group stats — the sidecar analog of partition pruning without
+    // 2^planes directories
+    index.assigned.repartitionByRange(col("bucket"))
+      .sortWithinPartitions("bucket")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/assigned")
     import spark.implicits._
     Seq(index.planes).toDF("planes")
@@ -173,24 +193,34 @@ object Similarity {
     * retention (`retireAnnVersions(keep = N)`), that version — and
     * every segment it references — stays on disk for at least N-1
     * subsequent refresh cycles; readers older than that must
-    * re-resolve. */
+    * re-resolve.
+    *
+    * Published versions are immutable, so the parsed meta and assigned
+    * scan are cached per (session, path, version): a serving probe
+    * re-pays only the pointer read each query, never the meta-JSON
+    * read job. A new publish is a new version dir → a cache miss. */
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
     readLatestVersion(spark, path) match {
       case Some(dirName) =>
-        val dir = s"$path/$dirName"
-        val meta = spark.read.json(s"$dir/meta")
-        val row = meta.head()
-        val planes = row.getAs[Long]("planes").toInt
-        val assigned =
-          if (meta.columns.contains("segments"))
-            spark.read.parquet(row.getAs[scala.collection.Seq[String]]("segments")
-              .map(s => s"$path/segments/$s").toSeq: _*)
-          else spark.read.parquet(s"$dir/assigned")
-        AnnIndex(assigned, planes)
+        annReadCache.getOrElseUpdate((spark, path, dirName), {
+          val dir = s"$path/$dirName"
+          val meta = spark.read.json(s"$dir/meta")
+          val row = meta.head()
+          val planes = row.getAs[Long]("planes").toInt
+          val assigned =
+            if (meta.columns.contains("segments"))
+              spark.read.parquet(row.getAs[scala.collection.Seq[String]]("segments")
+                .map(s => s"$path/segments/$s").toSeq: _*)
+            else spark.read.parquet(s"$dir/assigned")
+          AnnIndex(assigned, planes)
+        })
       case None => // pre-versioning flat layout
         val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
         AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
     }
+
+  private val annReadCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), AnnIndex]
 
   /** Segmented ANN sidecar — the incremental-refresh layout. Each
     * refresh signs ONLY the new corpus rows into a fresh immutable
@@ -208,7 +238,8 @@ object Similarity {
     * referenced from a published version's meta). */
   def writeAnnSegment(assigned: DataFrame, path: String): String = {
     val seg = s"seg-${java.util.UUID.randomUUID.toString.take(8)}"
-    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    assigned.repartitionByRange(col("bucket")).sortWithinPartitions("bucket")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/segments/$seg")
     seg
   }
@@ -382,19 +413,19 @@ object Similarity {
   }
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
-    * probe's own bucket plus all 1-bit-flip neighbors — plan-time
-    * constants), exact rescoring of the surviving candidates only. The
-    * corpus-side plan is a pure bucket-semijoin over the index: no
-    * signature computation per query. */
+    * probe's own bucket plus all 1-bit-flip neighbors — DRIVER-computed
+    * constants via [[sigOfConst]]), exact rescoring of the surviving
+    * candidates only. The corpus-side plan is a pure scan with the
+    * bucket ring pushed down as an In filter (PushedFilters): no
+    * signature computation per query, no join — bucket-clustered
+    * sidecar files prune at their stats. */
   def annTopKIndexed(index: AnnIndex, probe: Seq[Double], k: Int,
                      excludeId: Option[Long] = None): DataFrame = {
     val planes = index.planes
     val probeCol = array(probe.map(lit): _*)
-    val probeSig = sigOf(probeCol, planes)
-    val bucketCols = probeSig +: (0 until planes).map(b => probeSig.bitwiseXOR(lit(1L << b)))
-    val probeBuckets = index.assigned.sparkSession.range(1)
-      .select(explode(array(bucketCols: _*)).as("bucket")).distinct()
-    val cands = index.assigned.join(broadcast(probeBuckets), "bucket")
+    val sig = sigOfConst(probe, planes)
+    val buckets = (sig +: (0 until planes).map(b => sig ^ (1L << b))).distinct
+    val cands = index.assigned.filter(col("bucket").isin(buckets: _*))
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
@@ -438,17 +469,15 @@ object Similarity {
     }
     val maxFlips = flips
     val probeCol = array(probe.map(lit): _*)
-    val probeSig = sigOf(probeCol, planes)
+    val sig = sigOfConst(probe, planes)
     // enumerate masks BY COMBINATION of flipped bit positions — never
     // the 2^planes range (which overflows Int past 30 planes and
     // materializes hundreds of millions of candidates on the driver
     // in the mid-20s)
     val masks = (0 to maxFlips).flatMap(r =>
       (0 until planes).combinations(r).map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-    val probeBuckets = index.assigned.sparkSession.range(1)
-      .select(explode(array(masks.map(m => probeSig.bitwiseXOR(lit(m))): _*)).as("bucket"))
-      .distinct()
-    val cands = index.assigned.join(broadcast(probeBuckets), "bucket")
+    val ringBuckets = masks.map(sig ^ _).distinct
+    val cands = index.assigned.filter(col("bucket").isin(ringBuckets: _*))
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
     filtered.orderBy(col("cos").desc, col("id")).limit(k)

@@ -155,11 +155,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sim_ann")
     // the index is the PUBLISHED parquet sidecar (versioned dir behind
     // the atomic pointer); the signature expression (xxhash64-based
-    // plane dots) must not appear over the corpus — only the broadcast
-    // probe-bucket side computes signatures
+    // plane dots) must not appear over the corpus — the probe ring is
+    // DRIVER-computed constants reaching the scan as a pushed In filter
     assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
     assert(p.contains("/ann/v0-"), s"expected the published version dir in the scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k merge:\n$p")
+    assert(p.contains("In(bucket, ["),
+      s"expected the probe ring pushed to the sidecar scan:\n$p")
+    assert(!p.contains("Join"), s"expected a pure filtered scan, no join:\n$p")
   }
 
   test("sim_ivf: served from the persisted cell-assignment sidecar") {
