@@ -406,11 +406,19 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val dirName = readLatestVersion(spark, path).getOrElse(
       throw new IllegalStateException(s"no published IVF index at $path (missing LATEST)"))
-    val dir = s"$path/$dirName"
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
-    IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)
+    // published versions are immutable: cache the collected centroids +
+    // assigned scan per version (same discipline as readAnnIndex) — a
+    // serving probe re-pays only the pointer read, not the centroid job
+    ivfReadCache.getOrElseUpdate((spark, path, dirName), {
+      val dir = s"$path/$dirName"
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+      IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)
+    })
   }
+
+  private val ivfReadCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), IvfIndex]
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors — DRIVER-computed

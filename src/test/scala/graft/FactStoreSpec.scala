@@ -56,6 +56,23 @@ class FactStoreSpec extends SparkSpec {
     assert(hist.filter(hist("a") === "favorite-colors").count() === 5)
   }
 
+  test("entity point read resolves versions and honors asOfTx") {
+    val d = db(facts, Set("favorite-colors"))
+    // live view: Bob's blue retracted, colors are the two survivors
+    val bob = d.entity(2L).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(bob === Set(("name", "Bob"),
+      ("favorite-colors", "red"), ("favorite-colors", "green")))
+    // as-of view before the lucky=9 retraction: 9 is still the value
+    val lucky4 = d.entity(4L, asOfTx = 4L).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(lucky4 === Set(("lucky", "9")))
+    // after the retraction the superseded 7 survives
+    val lucky = d.entity(4L).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(lucky === Set(("lucky", "7")))
+  }
+
   test("card-one same-tx tie resolves deterministically (largest value wins)") {
     // Two different values asserted for a cardinality-one attribute in
     // the SAME tx: graft pins "largest value wins" via the value-column
