@@ -231,4 +231,43 @@ object FactStream {
           Iterator(next)
       }
   }
+
+  /** Streaming ingest GATING — the §2C curation gates applied at the
+    * moment documents enter the corpus instead of as a later batch
+    * sweep: per micro-batch (a static DataFrame inside the
+    * single-writer foreachBatch loop), the fused language+quality
+    * projection (TextAnalysis.langQuality — ONE pass over the batch)
+    * drops wrong-language / low-quality docs, and benchmark
+    * decontamination (TextAnalysis.decontaminate — the tiny eval side
+    * broadcast) drops anything sharing an n-token shingle with the
+    * static eval corpus. Survivors land in batch-owned partition dirs
+    * (idempotent under micro-batch retry, same scheme as
+    * ingestWithCompaction), carrying their gate verdict columns;
+    * rejects are quarantined alongside with the full verdict row — the
+    * drop is auditable, never silent. */
+  def ingestGatedDocuments(docs: DataFrame, evalDocs: DataFrame,
+                           path: String, checkpoint: String,
+                           lang: String = "en", minQuality: Double = 0.5,
+                           shingle: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.pipeline.TextAnalysis
+        val gates = TextAnalysis.langQuality(batch)
+          .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+        val contaminated = TextAnalysis.decontaminate(batch, evalDocs, shingle)
+          .select(col("doc_id"), lit(true).as("contaminated"))
+        val verdicts = gates.join(contaminated, Seq("doc_id"), "left")
+          .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+          .withColumn("pass",
+            col("pred_lang") === lang && col("quality_score") >= minQuality &&
+              !col("contaminated"))
+        val graded = batch.join(verdicts, "doc_id")
+        graded.filter(col("pass")).drop("pass", "contaminated")
+          .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
+        graded.filter(!col("pass")).drop("pass")
+          .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
+      }
+      .start()
 }

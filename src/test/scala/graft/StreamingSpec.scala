@@ -244,4 +244,35 @@ class StreamingSpec extends SparkSpec {
     assert(facts.filter(col("a") === "last_value").head().getDouble(5) === 2.5)
     assert(facts.select("e").distinct().head().getLong(0) === 1007L)
   }
+
+  test("stream_gate: ingest-time language/quality/decontamination gating with quarantine") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val q = FactStream.ingestGatedDocuments(docs, evalDocs, dir, s"$dir/ckpt",
+      lang = "en", minQuality = 0.3)
+    val clean = (1L,
+      "the cat and the dog sat on a mat in the sun and it is a good day " +
+        "to walk in the park with a friend and enjoy the quiet afternoon")
+    // English, decent quality — dropped ONLY by the eval 8-gram it carries
+    val contaminated = (2L,
+      "prefix words alpha beta gamma delta epsilon zeta eta theta " +
+        "more tail words here the and of to a in")
+    val junk = (3L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))")
+    input.addData(Seq(clean, contaminated, junk))
+    q.processAllAvailable()
+    q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    val quarantine = spark.read.parquet(s"$dir/quarantine")
+      .select("doc_id", "contaminated", "pred_lang").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(quarantine.keySet === Set(2L, 3L))
+    assert(quarantine(2L) === ((true, "en")))   // killed by decontamination alone
+    assert(!quarantine(3L)._1 && quarantine(3L)._2 != "en") // killed by the gates
+  }
 }
