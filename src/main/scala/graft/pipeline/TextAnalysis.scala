@@ -103,15 +103,18 @@ object TextAnalysis {
 
   /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln((N+1)/(df+1)) (smoothed), deterministic (score desc, token)
-    * ranking. Two hash shuffles (per-doc tf, global df) + one window —
-    * the classic fully-distributed formulation; the corpus size joins
-    * in as a broadcast 1-row aggregate, no driver collect. */
+    * ranking. ONE corpus-sized hash shuffle (the per-doc tf agg); df
+    * falls out of tf for free — tf is one row per (doc, token), so
+    * document frequency is a plain row count over the already-reduced
+    * relation, never a count_distinct re-shuffle of the raw token
+    * stream. The corpus size joins in as a broadcast 1-row aggregate,
+    * no driver collect. */
   def tfidfTop(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
