@@ -217,9 +217,9 @@ object GraphOps {
     val e = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // hash-align the loop invariants ONCE: weighted by src, nodes by
-    // node. Each iteration's contribution join (src = node) and
-    // teleport join (node = dst, contribs exiting their groupBy already
-    // dst-partitioned) are then co-partitioned — the edge set never
+    // node. Each iteration's contribution join (weighted.src =
+    // msums.dst, the message sums exiting their groupBy already
+    // dst-partitioned) is then co-partitioned — the edge set never
     // reshuffles across iterations, and the only per-round Exchange is
     // the contribution aggregation itself (localCheckpoint preserves
     // the physical partitioning in the truncated plan).
@@ -230,21 +230,30 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct().repartition(col("node")).localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
+    // The teleport term is FUSED into the contribution join: a source
+    // absent from the message sums has rank resetProb exactly (no
+    // inbound mass), which coalesce supplies inline — so each round is
+    // ONE left join + ONE aggregation, not two joins. msum₀ = 1 makes
+    // the fused rank expression resetProb + (1-resetProb)·1 = rank₀ =
+    // 1.0 for every node. The node-sized teleport join (GraphX
+    // outerJoinVertices semantics, reaching isolated/sink nodes) runs
+    // ONCE at the end instead of every round.
+    def rankExpr: org.apache.spark.sql.Column =
+      lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0))
+    // msums' key is named mnode (not dst) so the iterated self-join
+    // lineage never creates an ambiguous column reference
+    var msums = nodes.select(col("node").as("mnode"), lit(1.0).as("msum"))
     var i = 0
     while (i < iters) {
       i += 1
-      val contribs = weighted.join(ranks, weighted("src") === ranks("node"))
-        .select(col("dst"), (col("rank") * col("w")).as("c"))
+      msums = weighted.join(msums, col("src") === col("mnode"), "left")
+        .select(col("dst"), (rankExpr * col("w")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("msum"))
-      // every node receives the teleport term, message or not (GraphX
-      // outerJoinVertices semantics)
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(resetProb) + lit(1.0 - resetProb) *
-            coalesce(col("msum"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+        .select(col("dst").as("mnode"), col("msum"))
+      if (i % checkpointEvery == 0 && i < iters) msums = msums.localCheckpoint(true)
     }
+    val ranks = nodes.join(msums, col("node") === col("mnode"), "left")
+      .select(col("node"), rankExpr.as("rank"))
     // SPARK-18847 sink correction (two scalar aggregates — one tiny job)
     val agg = ranks.agg(sum(col("rank")), count(lit(1))).head()
     val factor = agg.getLong(1).toDouble / agg.getDouble(0)
