@@ -169,6 +169,20 @@ object PipelineQueries {
 
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
 
+    // near-dup CLUSTER assignment: connected components over the
+    // deterministic n-gram-Jaccard pair graph (cluster id = min doc_id
+    // in the component) — the canonical-document step that turns pair
+    // output into one keeper per duplicate group even when A~B~C
+    // chains never pair A with C directly. Reuses the DF-native
+    // large-star/small-star CC (O(log n) rounds).
+    "dedup_clusters" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val pairs = Dedup.ngramJaccard(docs(s, dir), 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.graph.GraphOps.ccDataFrame(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+    }),
+
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
     // End-to-end curation pipeline — the composition a real training-data
@@ -371,6 +385,22 @@ object PipelineQueries {
                FROM (SELECT doc_id,
                             string_split_regex(lower(trim(text)), '\s+') AS t
                      FROM documents) x) y""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS s
+               FROM documents),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT a AS node, a AS r FROM edges
+           UNION
+           SELECT e.a AS node, reach.r AS r
+           FROM edges e JOIN reach ON e.b = reach.node)
+         SELECT node AS doc_id, min(r) AS cluster
+         FROM reach GROUP BY node""",
     "text_logprob" ->
       """WITH tok AS (SELECT doc_id,
                              unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok

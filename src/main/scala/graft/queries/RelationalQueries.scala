@@ -185,6 +185,17 @@ object RelationalQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
           count(lit(1)).as("n"))),
 
+    // PIVOT: long-form events to one wide row per user with a column
+    // per event type. Pivot values are declared (not discovered), so
+    // the plan is a single groupBy with conditional aggregates — one
+    // shuffle, no value-collection pre-pass. Exact decimal sums; a
+    // (user, type) cell with no events is NULL in Spark's pivot and
+    // DuckDB's FILTER alike.
+    "q_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType))),
+
     // Promo revenue share in a month (TPC-H Q14 shape): lineitem⋈part
     // with a conditional aggregate — part is broadcast-size at any SF
     // where it fits (AQE falls back to SMJ past the threshold).
@@ -346,6 +357,14 @@ object RelationalQueries {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "q_pivot" ->
+      """SELECT user_id,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+                CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS "view"
+         FROM events GROUP BY 1""",
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
                 epoch_us(s.ts) AS signup_us
