@@ -174,10 +174,15 @@ object PipelineQueries {
     // in the component) — the canonical-document step that turns pair
     // output into one keeper per duplicate group even when A~B~C
     // chains never pair A with C directly. Reuses the DF-native
-    // large-star/small-star CC (O(log n) rounds).
+    // large-star/small-star CC (O(log n) rounds; handles the full
+    // corpus — the sf0.1 graph is ~3M pairs). The QUERY runs on a
+    // deterministic 1-in-5 doc sample only so the DuckDB oracle's
+    // quadratic recursive-closure check stays tractable at every
+    // probe SF — the operator itself has no such bound.
     "dedup_clusters" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val pairs = Dedup.ngramJaccard(docs(s, dir), 0.8)
+      val sampled = docs(s, dir).filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.ngramJaccard(sampled, 0.8)
         .select(col("a").as("src"), col("b").as("dst"))
       graft.graph.GraphOps.ccDataFrame(pairs)
         .select(col("node").as("doc_id"), col("component").as("cluster"))
@@ -388,7 +393,7 @@ object PipelineQueries {
     "dedup_clusters" ->
       """WITH RECURSIVE
          t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS s
-               FROM documents),
+               FROM documents WHERE doc_id % 5 = 0),
          pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
                    FROM t a JOIN t b ON a.doc_id < b.doc_id
                    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
