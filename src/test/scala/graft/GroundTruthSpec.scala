@@ -204,6 +204,25 @@ class GroundTruthSpec extends SparkSpec {
       (2, 4, "t7 t8 t9 t10"), (3, 1, "t10")))
   }
 
+  test("near-dup clusters are transitive: A~B~C chains collapse even when A!~C") {
+    // B overlaps A on its left half and C on its right half; A and C
+    // share less than the threshold — only transitivity links them
+    val half1 = (0 until 20).map(i => s"x$i").mkString(" ")
+    val half2 = (0 until 20).map(i => s"y$i").mkString(" ")
+    val half3 = (0 until 20).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$half1 $half2"), (2L, s"$half2 $half3"),
+      (10L, s"$half1 $half2"), // exact dup of 1
+      (5L, "entirely unrelated tokens only appearing here once today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, 0.3)
+      .select(col("a").as("src"), col("b").as("dst"))
+    // 1~2 (jac 1/3), 1~10 (jac 1), 2~10 (jac 1/3); 5 pairs with nothing
+    val clusters = GraphOps.ccDataFrame(pairs)(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-token shingle with eval") {
     val evalDocs = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val train = Seq(
