@@ -124,4 +124,32 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().map(_.getDouble(1)).toSeq
     assert(out === Seq(32.0, 0.0))
   }
+
+  test("GraftExtensions injects the functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // also forces the shared session to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // a NEW SparkSession over the same SparkContext: extensions apply at
+    // session construction. (The spark.sql.extensions CONF route is the
+    // same class but is a static conf — it must be set when the
+    // SparkContext starts, which a shared test context can't redo —
+    // so exercise the equivalent builder injection here.)
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val c = s2.sql(
+        "SELECT round(graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)), 6) AS c")
+        .head().getDouble(0)
+      assert(c === 1.0)
+      val d = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
