@@ -185,6 +185,17 @@ object RelationalQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
           count(lit(1)).as("n"))),
 
+    // Exact interpolated percentiles per group (the SLA/latency-report
+    // aggregate): Spark's percentile == DuckDB's quantile_cont. Exact
+    // percentile needs the group's values together — one hash shuffle,
+    // no sort of the whole relation (contrast q_approx's mergeable
+    // sketch, the 100 TB path when error tolerance allows).
+    "q_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
     // PIVOT: long-form events to one wide row per user with a column
     // per event type. Pivot values are declared (not discovered), so
     // the plan is a single groupBy with conditional aggregates — one
@@ -357,6 +368,12 @@ object RelationalQueries {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "q_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.25), 6) AS p25,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.95), 6) AS p95
+         FROM events GROUP BY 1""",
     "q_pivot" ->
       """SELECT user_id,
                 CAST(SUM(CAST(value AS DECIMAL(25,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
