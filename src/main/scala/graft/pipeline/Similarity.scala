@@ -202,7 +202,7 @@ object Similarity {
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
     readLatestVersion(spark, path) match {
       case Some(dirName) =>
-        annReadCache.getOrElseUpdate((spark, path, dirName), {
+        annReadCache.get(spark, path, dirName) {
           val dir = s"$path/$dirName"
           val meta = spark.read.json(s"$dir/meta")
           val row = meta.head()
@@ -213,14 +213,36 @@ object Similarity {
                 .map(s => s"$path/segments/$s").toSeq: _*)
             else spark.read.parquet(s"$dir/assigned")
           AnnIndex(assigned, planes)
-        })
+        }
       case None => // pre-versioning flat layout
         val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
         AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
     }
 
-  private val annReadCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String), AnnIndex]
+  /** Per-(session, path) read cache holding ONLY the latest resolved
+    * version: a new publish REPLACES the prior entry instead of
+    * accumulating one per version, and entries belonging to stopped
+    * sessions are pruned on access — so a long-running serving process
+    * with periodic index refresh pins at most one cached index per
+    * live (session, path), never an unbounded version history. */
+  private[graft] final class LatestVersionCache[V] {
+    private val m = scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), (String, V)]
+    def get(spark: org.apache.spark.sql.SparkSession, path: String,
+            version: String)(compute: => V): V = {
+      m.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      m.get((spark, path)) match {
+        case Some((v, value)) if v == version => value
+        case _ =>
+          val value = compute
+          m.update((spark, path), (version, value))
+          value
+      }
+    }
+    private[graft] def size: Int = m.size
+  }
+
+  private val annReadCache = new LatestVersionCache[AnnIndex]
 
   /** Segmented ANN sidecar — the incremental-refresh layout. Each
     * refresh signs ONLY the new corpus rows into a fresh immutable
@@ -409,16 +431,15 @@ object Similarity {
     // published versions are immutable: cache the collected centroids +
     // assigned scan per version (same discipline as readAnnIndex) — a
     // serving probe re-pays only the pointer read, not the centroid job
-    ivfReadCache.getOrElseUpdate((spark, path, dirName), {
+    ivfReadCache.get(spark, path, dirName) {
       val dir = s"$path/$dirName"
       val centroids = spark.read.parquet(s"$dir/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
       IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)
-    })
+    }
   }
 
-  private val ivfReadCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String), IvfIndex]
+  private val ivfReadCache = new LatestVersionCache[IvfIndex]
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors — DRIVER-computed

@@ -28,7 +28,11 @@ object DatalogQueries {
       val db = build
       val table = s"graft_${kind}_bucketed_" + math.abs(dir.hashCode.toLong)
       graft.sources.Catalog.recreate(s, table) {
-        graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 8,
+        // bucket count = the scan-parallelism ceiling under
+        // autoBucketedScan=false (one task per bucket), so size it to
+        // the executor core count — 32 matches local[32]; a cluster
+        // writer sizes it to its core budget the same way.
+        graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 32,
           partitionByAttr = partitionByAttr)
       }
       // partitionBy moves `a` to the tail of the catalog schema —

@@ -60,9 +60,11 @@ object GraphQueries {
 
     "graph_pagerank" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // DataFrame-native power iteration (the 100x-scale path); GraphX
-      // parity is spec-pinned in GroundTruthSpec.
-      GraphOps.pageRankDataFrame(nationEdges(s, dir), iters = 10)
+      // Adaptive dispatch: GraphX Pregel at interactive scale (beats
+      // the DF recurrence's ~2s stage floor), DataFrame-native power
+      // iteration above the edge threshold (the 100x-scale path).
+      // Parity between the two is spec-pinned in GroundTruthSpec.
+      GraphOps.pageRankAuto(nationEdges(s, dir), iters = 10)
     }),
 
     "graph_triangles" -> ((s, dir) => {

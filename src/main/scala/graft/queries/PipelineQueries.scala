@@ -94,7 +94,7 @@ object PipelineQueries {
   private def embBucketed(s: SparkSession, dir: String): DataFrame =
     sessionTable(s, dir, "emb_bucketed") { table =>
       emb(s, dir).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .bucketBy(8, "vec_id").sortBy("vec_id")
+        .bucketBy(32, "vec_id").sortBy("vec_id")
         .format("parquet").saveAsTable(table)
     }
 

@@ -56,8 +56,15 @@ object FactLogIO {
     * entity-joins between those pattern scans. This is the layout a
     * multi-pattern datalog conjunction wants at 100 TB: each clause
     * reads only its attribute, and the conjunction joins plan with no
-    * Exchange. */
-  def writeBucketedTable(db: FactDb, table: String, buckets: Int = 8,
+    * Exchange.
+    *
+    * Sizing `buckets`: graft sessions disable autoBucketedScan (to keep
+    * the single-bucket point-read prune), which pins a bucketed scan to
+    * one task per bucket — the bucket count is therefore the scan's
+    * parallelism ceiling. Size it to the executor core budget of the
+    * deployment (32 for graft's local[32] harness; a 1000-executor
+    * cluster writes thousands). */
+  def writeBucketedTable(db: FactDb, table: String, buckets: Int = 32,
                          partitionByAttr: Boolean = false): Unit = {
     val w = db.log.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "e").format("parquet")

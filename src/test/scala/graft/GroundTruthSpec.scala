@@ -403,6 +403,25 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("pageRankAuto dispatch: bounded probe, both branches agree") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val edgeDf = edges.toDF("src", "dst")
+    // the probe is a limit(n+1) count, so the boundary is exact
+    assert(GraphOps.isSmallGraph(edgeDf, 6))
+    assert(!GraphOps.isSmallGraph(edgeDf, 5))
+    // forcing either branch produces the same ranks (the dispatch is
+    // invisible in results)
+    def ranks(threshold: Long): Map[Long, Double] =
+      GraphOps.pageRankAuto(edgeDf, iters = 10, smallGraphEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaGraphX = ranks(threshold = 100)   // small-graph path
+    val viaDf = ranks(threshold = 0)         // DF-native path
+    assert(viaGraphX.keySet === viaDf.keySet)
+    viaGraphX.foreach { case (n, r) =>
+      assert(math.abs(viaDf(n) - r) < 1e-6, s"node $n: df=${viaDf(n)} graphx=$r")
+    }
+  }
+
   test("dedupStrict collapses the documented star-collapse miss to a fixpoint") {
     // The keepSurvivors RECALL NOTE's planted miss, in signature space
     // (16-bit blocks b0..b3 composed little-to-big into the 64-bit

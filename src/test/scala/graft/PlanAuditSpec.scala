@@ -75,8 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = SparkEntry.queries("dl_lookup")(spark, sf)
       .queryExecution.executedPlan.toString
     // the EAVT point-read shape: e = const selects exactly the one
-    // bucket (of 8) that can hold the entity, in each attribute dir
-    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+    // bucket (of 32) that can hold the entity, in each attribute dir
+    assert(p.contains("SelectedBucketsCount: 1 out of 32"),
       s"expected single-bucket pruning:\n$p")
     assert(!p.contains("Exchange"), s"expected no shuffle for a point read:\n$p")
   }
@@ -95,8 +95,16 @@ class PlanAuditSpec extends SparkSpec {
           if f.tableIdentifier.exists(_.table.startsWith("graft_minhash_sidecar")) => f }
       val scans = sidecarScans(plan)
       // the candidate-verify stage fetches both pair sides' signatures
-      // from the persisted sidecar (no signature recomputation)...
-      assert(scans.size === 2, s"expected 2 sidecar scans:\n$plan")
+      // from the persisted sidecar (no signature recomputation). The
+      // second fetch may plan as a ReusedExchange of the first's
+      // broadcast — a reuse, not a recomputation — so count both.
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+          if sidecarScans(r.child).nonEmpty => r
+      }
+      assert(scans.size + reused.size === 2,
+        s"expected 2 sidecar fetches (scans or reused exchanges):\n$plan")
+      assert(scans.nonEmpty, s"expected at least one sidecar scan:\n$plan")
       // ...and no shuffle Exchange ever sits above a sidecar scan: the
       // corpus-sized signature relation is joined in place (candidates
       // move to IT), which is the 100 TB verify shape. (At test scale

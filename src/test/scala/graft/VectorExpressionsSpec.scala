@@ -125,6 +125,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out === Seq(32.0, 0.0))
   }
 
+  test("wrong arity raises AnalysisException naming the function, not IOOBE") {
+    VectorExpressions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"), e.getMessage)
+    assert(e.getMessage.contains("2"), e.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0d), array(1.0d), array(1.0d))").collect()
+    }
+    assert(e3.getMessage.contains("graft_cosine"), e3.getMessage)
+  }
+
   test("GraftExtensions injects the functions via spark.sql.extensions") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // also forces the shared session to exist first
