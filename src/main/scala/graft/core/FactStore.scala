@@ -113,38 +113,78 @@ object FactStore {
     * length. Query back positionally with
     * [[graft.datalog.IndexedRestPattern]].
     *
-    * Element entity ids are `elemBase + rawId * stride + idx` —
-    * deterministic and collision-free for lists shorter than `stride`
-    * (guarded per row, codegen'd). One distributed pass (posexplode),
-    * no shuffle. Combine with [[listAttrTypes]] and mark `attr`
-    * cardinality-many in the enclosing FactDb. */
+    * NESTED lists recurse: an `array<array<T>>` column melts each inner
+    * list under the element's `<attr>/val` attribute as its own
+    * sub-entity chain (`elem --attr/val--> subelem` with
+    * `<attr>/val/idx` + `<attr>/val/val`), any depth — the reference's
+    * list-of-lists EDN values, re-expressed as chained typed facts.
+    *
+    * Id scheme: level-k element ids are `elemBase + k*levelSpan +
+    * composite` where composite chains positions in base `stride`
+    * (`composite_k = composite_{k-1}*stride + idx`). Deterministic and
+    * collision-free across levels; both `idx < stride` and
+    * `composite < levelSpan` are guarded per row (codegen'd
+    * raise_error), so id-space exhaustion fails loudly, never silently
+    * collides. Budget: bits(rawId) + depth·log2(stride) must stay
+    * under log2(levelSpan). One distributed pass per level
+    * (posexplode), no shuffle. Combine with [[listAttrTypes]] and mark
+    * every ref attribute it maps to "vref" cardinality-many in the
+    * enclosing FactDb. */
   def meltList(df: DataFrame, idExpr: Column, parentBase: Long, attr: String,
                listCol: String, elemBase: Long, tx: Long = 1L,
-               stride: Long = 1L << 20): DataFrame = {
-    val elemType = df.schema(listCol).dataType match {
-      case ArrayType(et, _) => et
+               stride: Long = 1L << 20, levelSpan: Long = 1L << 58): DataFrame = {
+    df.schema(listCol).dataType match {
+      case ArrayType(_, _) => ()
       case other => throw new IllegalArgumentException(
         s"$listCol is $other — meltList needs an array column")
     }
-    val (slot, tag) = slotFor(elemType)
-    val exploded = df
-      .select(idExpr.cast(LongType).as("__rawid"),
-        posexplode(col(listCol)).as(Seq("__idx", "__v")))
-      .select(col("__rawid"),
+    val elemType = df.schema(listCol).dataType.asInstanceOf[ArrayType].elementType
+    val rawId = idExpr.cast(LongType)
+    meltListLevel(
+      df.select((rawId + lit(parentBase)).as("__pid"), rawId.as("__comp"),
+        col(listCol).as("__list")),
+      elemType, attr, elemBase, tx, stride, levelSpan, level = 0)
+  }
+
+  /** One nesting level of [[meltList]]: `__pid` = ABSOLUTE parent
+    * entity id, `__comp` = the position-composite the parent was
+    * derived from (the raw id at level 0), `__list` the list value. */
+  private def meltListLevel(level0: DataFrame, elemType: DataType, attr: String,
+                            elemBase: Long, tx: Long, stride: Long,
+                            levelSpan: Long, level: Int): DataFrame = {
+    val exploded = level0
+      .select(col("__pid"), col("__comp"),
+        posexplode(col("__list")).as(Seq("__idx", "__v")))
+      .select(col("__pid"),
         when(col("__idx") < stride, col("__idx").cast(LongType))
           .otherwise(raise_error(concat(
-            lit(s"meltList($attr): list longer than stride=$stride on id "),
-            col("__rawid").cast(StringType)))).as("__idx"),
-        col("__v"))
-    val parentE = (col("__rawid") + lit(parentBase)).as("e")
-    val elemId = lit(elemBase) + col("__rawid") * lit(stride) + col("__idx")
-    val refs = exploded.select(Seq(parentE, lit(attr).as("a"),
+            lit(s"meltList($attr): list longer than stride=$stride under parent "),
+            col("__pid").cast(StringType)))).as("__idx"),
+        col("__comp"), col("__v"))
+      .withColumn("__comp",
+        when(col("__comp") * lit(stride) + col("__idx") < levelSpan,
+          col("__comp") * lit(stride) + col("__idx"))
+          .otherwise(raise_error(concat(
+            lit(s"meltList($attr): id space exhausted (levelSpan=$levelSpan) under parent "),
+            col("__pid").cast(StringType)))))
+    val elemId = lit(elemBase + level * levelSpan) + col("__comp")
+    val refs = exploded.select(Seq(col("__pid").as("e"), lit(attr).as("a"),
       lit("r").as("vtype")) ++ nullCols("vref") :+ elemId.as("vref"): _*)
     val idxs = exploded.select(Seq(elemId.as("e"), lit(s"$attr/idx").as("a"),
       lit("l").as("vtype")) ++ nullCols("vlong") :+ col("__idx").as("vlong"): _*)
-    val vals = exploded.select(Seq(elemId.as("e"), lit(s"$attr/val").as("a"),
-      lit(tag).as("vtype")) ++ nullCols(slot) :+
-        col("__v").cast(factSchema(slot).dataType).as(slot): _*)
+    val vals = elemType match {
+      case ArrayType(inner, _) =>
+        // nested list: the element's VALUE is itself a list — recurse
+        // with the element as parent under the <attr>/val attribute
+        meltListLevel(
+          exploded.select(elemId.as("__pid"), col("__comp"), col("__v").as("__list")),
+          inner, s"$attr/val", elemBase, tx, stride, levelSpan, level + 1)
+      case scalar =>
+        val (slot, tag) = slotFor(scalar)
+        exploded.select(Seq(elemId.as("e"), lit(s"$attr/val").as("a"),
+          lit(tag).as("vtype")) ++ nullCols(slot) :+
+            col("__v").cast(factSchema(slot).dataType).as(slot): _*)
+    }
     Seq(refs, idxs, vals).map(_.select(
         col("e"), col("a"), col("vtype"),
         col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
@@ -153,14 +193,19 @@ object FactStore {
   }
 
   /** Attribute -> value-slot map for a [[meltList]]-encoded list
-    * attribute (pair with `cardMany += attr` on the FactDb). */
+    * attribute, nested levels included (pair with `cardMany` over every
+    * "vref"-typed attribute in the result). */
   def listAttrTypes(df: DataFrame, attr: String, listCol: String): Map[String, String] = {
-    val elemSlot = df.schema(listCol).dataType match {
-      case ArrayType(et, _) => slotFor(et)._1
+    def walk(attr: String, dt: DataType): Map[String, String] = dt match {
+      case ArrayType(inner, _) =>
+        Map(attr -> "vref", s"$attr/idx" -> "vlong") ++ walk(s"$attr/val", inner)
+      case scalar => Map(attr -> slotFor(scalar)._1)
+    }
+    df.schema(listCol).dataType match {
+      case at: ArrayType => walk(attr, at)
       case other => throw new IllegalArgumentException(
         s"$listCol is $other — meltList needs an array column")
     }
-    Map(attr -> "vref", s"$attr/idx" -> "vlong", s"$attr/val" -> elemSlot)
   }
 }
 

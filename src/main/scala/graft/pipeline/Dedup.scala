@@ -40,23 +40,26 @@ object Dedup {
     * filtering: order tokens by global rarity; if J(a,b) >= t the two
     * prefixes (first |s|-ceil(t*|s|)+1 rarest tokens) must intersect.
     * Join on prefix tokens, then verify true Jaccard on candidates.
-    */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    *
+    * The candidate join additionally applies PPJoin's length and
+    * positional filters (Xiao et al., WWW'08) as join predicates over
+    * the (rnk, sz) columns the prefix stage already computes:
+    *  - length: J <= min(|a|,|b|)/max(|a|,|b|), so a size-ratio below
+    *    the threshold can never verify — the bound that keeps a
+    *    TEMPLATED corpus (many docs sharing rare-ish prefix tokens,
+    *    wildly varying sizes) from degrading toward O(df²) per token;
+    *  - positional: matching at prefix positions (rnk_a, rnk_b) caps
+    *    the overlap at 1 + min(|a|-rnk_a, |b|-rnk_b), which must reach
+    *    ceil(t/(1+t)·(|a|+|b|)) for J >= t.
+    * Both only PRUNE pairs the exact verify would reject — the result
+    * set is identical (spec-pinned on a templated fixture). */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccard(docs, threshold, ppFilters = true)
+
+  private[graft] def ngramJaccard(docs: DataFrame, threshold: Double,
+                                  ppFilters: Boolean): DataFrame = {
     val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-    val tokDf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
-    // global document frequency — rarest-first gives the smallest join
-    // fan-out; tie-break on the token itself for determinism.
-    val dfreq = tokDf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tokDf.join(dfreq, "tok")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("tok"))
-    val cands = ranked.as("x").join(ranked.as("y"),
-        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    val cands = ngramCandidates(docs, threshold, ppFilters)
     val withSets = cands
       .join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
       .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
@@ -66,6 +69,40 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Candidate (a, b) pairs of [[ngramJaccard]]'s prefix join —
+    * factored out so the filter effectiveness is testable. */
+  private[graft] def ngramCandidates(docs: DataFrame, threshold: Double,
+                                     ppFilters: Boolean = true): DataFrame = {
+    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // global document frequency — rarest-first gives the smallest join
+    // fan-out; tie-break on the token itself for determinism.
+    val dfreq = tokDf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tokDf.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("tok"), col("rnk"), col("sz"))
+    val pp =
+      if (!ppFilters) lit(true)
+      else
+        // length filter: min size must reach t * max size. The 1e-9
+        // slack absorbs binary-float rounding (0.8*20 can evaluate to
+        // 16.000000000000004, whose ceil would over-prune an
+        // exact-boundary pair) — erring loose is safe, verify rejects.
+        least(col("x.sz"), col("y.sz")) >=
+          ceil(lit(threshold) * greatest(col("x.sz"), col("y.sz")) - lit(1e-9)) &&
+        // positional filter: tokens after the matching prefix position
+        // (plus the match itself) must be able to reach the required
+        // overlap ceil(t/(1+t) * (|a|+|b|))
+        (lit(1) + least(col("x.sz") - col("x.rnk"), col("y.sz") - col("y.rnk"))) >=
+          ceil(lit(threshold / (1.0 + threshold)) * (col("x.sz") + col("y.sz")) - lit(1e-9))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") && pp)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
   }
 
   /** MinHash signatures: k permutations h_i(s) = xxhash64(i, token),

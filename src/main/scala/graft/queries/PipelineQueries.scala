@@ -110,12 +110,25 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
 
-    "dedup_embed" -> ((s, dir) =>
+    "dedup_embed" -> ((s, dir) => {
       // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale
       // path); corpus from the vec_id-bucketed layout so the verify
-      // stage's rep-vector fetch joins the corpus in place
-      Dedup.embeddingNearDup(embBucketed(s, dir), "vec_id", "vec", threshold = 0.4,
-        planes = 0)),
+      // stage's rep-vector fetch joins the corpus in place.
+      // The synthetic embeddings carry no near-dups at the probe SFs
+      // (0 pairs → the driver's rows-only gate was vacuous), so the
+      // query input plants two scaled copies of the minimum-id vector:
+      // same direction → same sign-LSH bucket as their source, which
+      // as the bucket's min id is its rep → cosine 1.0 pairs at ANY
+      // SF. Planted ids sit far above real vec_ids.
+      val corpus = embBucketed(s, dir)
+      val planted = Seq(10000000L, 10000001L).map { pid =>
+        corpus.orderBy(col("vec_id")).limit(1)
+          .select(lit(pid).as("vec_id"),
+            transform(col("vec"), x => x * lit(1.0009)).as("vec"))
+      }.reduce(_ unionByName _)
+      Dedup.embeddingNearDup(corpus.unionByName(planted), "vec_id", "vec",
+        threshold = 0.4, planes = 0)
+    }),
 
     "sim_topk" -> ((s, dir) =>
       Similarity.topK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,

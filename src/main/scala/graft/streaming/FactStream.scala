@@ -260,14 +260,25 @@ object FactStream {
           .select(col("doc_id"), lit(true).as("contaminated"))
         val verdicts = gates.join(contaminated, Seq("doc_id"), "left")
           .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-          .withColumn("pass",
+          // a null gate column (e.g. null text → null pred_lang) must
+          // FAIL the gate, not vanish from both outputs: coalesce the
+          // verdict to false so null-gated rows are quarantined — the
+          // auditable-drop guarantee holds for malformed rows too.
+          .withColumn("pass", coalesce(
             col("pred_lang") === lang && col("quality_score") >= minQuality &&
-              !col("contaminated"))
-        val graded = batch.join(verdicts, "doc_id")
-        graded.filter(col("pass")).drop("pass", "contaminated")
-          .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
-        graded.filter(!col("pass")).drop("pass")
-          .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
+              !col("contaminated"), lit(false)))
+        // persist before the two sinks: the gate computation (the
+        // langQuality projection + the eval-shingle broadcast join)
+        // executes ONCE per micro-batch and both filtered writes read
+        // the cached result — the standard multi-sink foreachBatch
+        // discipline; without it each write would re-run the gates.
+        val graded = batch.join(verdicts, "doc_id").persist()
+        try {
+          graded.filter(col("pass")).drop("pass", "contaminated")
+            .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
+          graded.filter(!col("pass")).drop("pass")
+            .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
+        } finally graded.unpersist(false): Unit
       }
       .start()
 }

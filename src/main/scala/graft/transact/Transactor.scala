@@ -163,7 +163,7 @@ object Transactor {
         }
         Row(e, a, vtype, vstr, vlong, vdbl, vts, vref, tx, added)
       }
-      val types = facts.map { case (_, a, v, _, _) =>
+      val typesSeq = facts.map { case (_, a, v, _, _) =>
         a -> (v match {
           case EntityRef(_) => "vref"
           case _: String => "vstr"
@@ -171,7 +171,24 @@ object Transactor {
           case _: Double => "vdbl"
           case _: java.sql.Timestamp => "vts"
         })
-      }.toMap
+      }
+      // graft types each attribute to ONE value slot — the deliberate
+      // trade (SURVEY §4) against the reference's cc-cmp total order
+      // over heterogeneous values (comparison.clj:91). A value whose
+      // slot disagrees with the attribute's registered slot would
+      // silently RETYPE the attribute and orphan its existing facts'
+      // pattern/sort path — reject the transaction loudly instead.
+      typesSeq.groupBy(_._1).foreach { case (a, slots) =>
+        val distinctSlots = slots.map(_._2).distinct
+        val prior = db.attrTypes.get(a)
+        if (distinctSlots.size > 1 || prior.exists(_ != distinctSlots.head))
+          throw new IllegalArgumentException(
+            s"attribute $a is typed ${prior.getOrElse(distinctSlots.head)} but " +
+              s"the transaction writes ${distinctSlots.mkString(",")}: graft " +
+              "attributes hold one value type (no mixed-type cc-cmp ordering); " +
+              "use a distinct attribute per value type")
+      }
+      val types = typesSeq.toMap
       val batch = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), FactStore.factSchema)
       db = FactDb(db.log.unionAll(batch), db.attrTypes ++ types, db.cardMany,

@@ -202,6 +202,61 @@ class CollectionsParitySpec extends SparkSpec {
     assert(owner === Set(2L))
   }
 
+  test("nested list-of-lists melts into sub-entity chains (recursive meltList)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.{FactDb, FactStore}
+    // the reference's list-of-lists EDN value (unify.clj:66-81,
+    // query_test.clj list cases): graft recursively chains sub-entities
+    val rows = Seq(
+      (1L, Seq(Seq(1L, 2L), Seq(3L))),   // ragged inner lists
+      (2L, Seq(Seq(4L))),
+      (3L, Seq.empty[Seq[Long]])
+    ).toDF("id", "matrix")
+    val facts = FactStore.meltList(rows, col("id"), parentBase = 0L,
+      attr = "matrix", listCol = "matrix", elemBase = 1000000L, stride = 100L)
+    val types = FactStore.listAttrTypes(rows, "matrix", "matrix")
+    assert(types === Map("matrix" -> "vref", "matrix/idx" -> "vlong",
+      "matrix/val" -> "vref", "matrix/val/idx" -> "vlong",
+      "matrix/val/val" -> "vlong"))
+    // level-0 (row) and level-1 (cell) entity ids never collide
+    val rowEnts = facts.filter(col("a") === "matrix")
+      .select(col("vref")).collect().map(_.getLong(0)).toSet
+    val cellEnts = facts.filter(col("a") === "matrix/val")
+      .select(col("vref")).collect().map(_.getLong(0)).toSet
+    assert(rowEnts.intersect(cellEnts).isEmpty)
+    // full structural reconstruction: (parent, rowIdx, cellIdx, value)
+    val f = facts
+    val recon = f.filter(col("a") === "matrix")
+        .select(col("e").as("p"), col("vref").as("row"))
+      .join(f.filter(col("a") === "matrix/idx")
+        .select(col("e").as("row"), col("vlong").as("ri")), "row")
+      .join(f.filter(col("a") === "matrix/val")
+        .select(col("e").as("row"), col("vref").as("cell")), "row")
+      .join(f.filter(col("a") === "matrix/val/idx")
+        .select(col("e").as("cell"), col("vlong").as("ci")), "cell")
+      .join(f.filter(col("a") === "matrix/val/val")
+        .select(col("e").as("cell"), col("vlong").as("v")), "cell")
+      .select("p", "ri", "ci", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(recon === Set(
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 1L, 0L, 3L),
+      (2L, 0L, 0L, 4L)))
+    // ...and the chain is datalog-traversable end to end
+    val db = FactDb(facts, types,
+      cardMany = Set("matrix", "matrix/val"), versioned = false)
+    val firstOfFirst = Compiler.run(Db(db), Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("v"), "v")),
+      where = And(
+        Pattern(V("e"), C("matrix"), V("row")),
+        Pattern(V("row"), C("matrix/idx"), C(0L)),
+        Pattern(V("row"), C("matrix/val"), V("cell")),
+        Pattern(V("cell"), C("matrix/val/idx"), C(0L)),
+        Pattern(V("cell"), C("matrix/val/val"), V("v")))))(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(firstOfFirst === Set((1L, 1L), (2L, 4L)))
+  }
+
   test("collection membership: [(some #{:computer} ?job)] via cardinality-many tags") {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(

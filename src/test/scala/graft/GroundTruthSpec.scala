@@ -403,6 +403,38 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard: PPJoin filters prune templated candidates, pairs identical") {
+    // Templated corpus at t=0.8: the template token a_tmpl (df=20, rarer
+    // than the df=30 fillers) sits in the prefix of every small AND
+    // large doc, so WITHOUT the length/positional filters all 190
+    // small∪large pairs become candidates — the O(df²)-per-prefix-token
+    // degradation. The filters prune exactly the 145 pairs that cannot
+    // verify: small×large (100) on the length filter (5 < ceil(0.8·20)),
+    // small×small (45) on the positional filter (overlap cap 4 <
+    // required 5) — while every genuinely similar pair (large×large
+    // J=19/21, ballast×ballast J=1, ballast×large J=0.9) survives.
+    val f = (1 to 15).map(i => f"f$i%02d")
+    val g = (1 to 3).map(i => s"g$i")
+    val ballastText = (f ++ g).mkString(" ")                 // 18 toks, 20 copies
+    val small = (0 until 10).map(i =>
+      (i.toLong, (Seq(s"u$i", "a_tmpl") ++ f.take(3)).mkString(" ")))    // sz 5
+    val large = (10 until 20).map(i =>
+      (i.toLong, (Seq(s"u$i", "a_tmpl") ++ f ++ g).mkString(" ")))       // sz 20
+    val ballast = (20 until 40).map(i => (i.toLong, ballastText))
+    val docs = (small ++ large ++ ballast).toDF("doc_id", "text")
+    val unfiltered = Dedup.ngramCandidates(docs, 0.8, ppFilters = false).count()
+    val filtered = Dedup.ngramCandidates(docs, 0.8, ppFilters = true).count()
+    assert(unfiltered === 580, "template + filler prefix joins should fan out")
+    assert(filtered === 435, "filters should prune exactly the non-verifiable pairs")
+    def pairs(pp: Boolean): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccard(docs, 0.8, ppFilters = pp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val without = pairs(pp = false)
+    val withPp = pairs(pp = true)
+    assert(withPp === without, "filters must not change the verified pair set")
+    assert(withPp.size === 435 && withPp.forall(_._3 >= 0.8))
+  }
+
   test("pageRankAuto dispatch: bounded probe, both branches agree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val edgeDf = edges.toDF("src", "dst")

@@ -88,4 +88,29 @@ class SchemaSpec extends SparkSpec {
     assert(!report.facts.exists(f => Transactor.SensitiveAttrs.contains(f._2)))
     assert(report.facts.exists(_._2 == "unifydb/username"))
   }
+
+  test("mixed-type attribute ingest is rejected with a clear error") {
+    // graft types each attribute to ONE value slot — the deliberate
+    // trade (SURVEY §4) vs the reference's cc-cmp heterogeneous
+    // ordering (comparison.clj:91). Retyping must fail loudly, not
+    // silently orphan the attribute's existing facts.
+    val session = Transactor.emptySession(spark, clock = () => 1000L)
+    session.transact(Seq(Transactor.Add("e1", "color", "red")))
+    // across transactions: string attr, long value
+    val e = intercept[IllegalArgumentException] {
+      session.transact(Seq(Transactor.Add("e2", "color", 7L)))
+    }
+    assert(e.getMessage.contains("color"), e.getMessage)
+    assert(e.getMessage.contains("vstr"), e.getMessage)
+    assert(e.getMessage.contains("vlong"), e.getMessage)
+    // within one transaction: two slots for the same attr
+    val e2 = intercept[IllegalArgumentException] {
+      session.transact(Seq(
+        Transactor.Add("e3", "size", 1L), Transactor.Add("e4", "size", 2.5)))
+    }
+    assert(e2.getMessage.contains("size"), e2.getMessage)
+    // the failed transactions left no facts behind
+    assert(session.db.log.filter(col("a") === "color").count() === 1)
+    assert(session.db.log.filter(col("a") === "size").count() === 0)
+  }
 }

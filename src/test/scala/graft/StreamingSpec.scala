@@ -250,9 +250,14 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
+    // the eval side rides through a counting map: each GATE EXECUTION
+    // rebuilds the eval-shingle broadcast, scanning this row once — so
+    // the accumulator counts how many times the gates ran per batch
+    // (the double-compute regression would read it twice).
+    val evalScans = spark.sparkContext.longAccumulator("evalScans")
     val evalDocs = Seq(
       (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
-      .toDF("doc_id", "text")
+      .toDS().map { t => evalScans.add(1); t }.toDF("doc_id", "text")
     val q = FactStream.ingestGatedDocuments(docs, evalDocs, dir, s"$dir/ckpt",
       lang = "en", minQuality = 0.3)
     val clean = (1L,
@@ -263,7 +268,10 @@ class StreamingSpec extends SparkSpec {
       "prefix words alpha beta gamma delta epsilon zeta eta theta " +
         "more tail words here the and of to a in")
     val junk = (3L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))")
-    input.addData(Seq(clean, contaminated, junk))
+    // null text: every gate column evaluates null — must be QUARANTINED
+    // (the auditable-drop guarantee), not vanish from both outputs
+    val nullText = (4L, null: String)
+    input.addData(Seq(clean, contaminated, junk, nullText))
     q.processAllAvailable()
     q.stop()
     val corpus = spark.read.parquet(s"$dir/corpus")
@@ -271,8 +279,12 @@ class StreamingSpec extends SparkSpec {
     val quarantine = spark.read.parquet(s"$dir/quarantine")
       .select("doc_id", "contaminated", "pred_lang").collect()
       .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
-    assert(quarantine.keySet === Set(2L, 3L))
+    assert(quarantine.keySet === Set(2L, 3L, 4L))
     assert(quarantine(2L) === ((true, "en")))   // killed by decontamination alone
     assert(!quarantine(3L)._1 && quarantine(3L)._2 != "en") // killed by the gates
+    // gates executed exactly once for the one micro-batch: the corpus
+    // and quarantine writes shared one persisted gate pass
+    assert(evalScans.value === 1L,
+      s"gates ran ${evalScans.value} times for 1 micro-batch (expected 1)")
   }
 }
