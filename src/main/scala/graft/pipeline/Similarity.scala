@@ -293,7 +293,15 @@ object Similarity {
     * retained version references (which also reaps segments orphaned
     * by a crash between segment write and publish). */
   def retireAnnVersions(spark: org.apache.spark.sql.SparkSession, path: String,
-                        keep: Int): Unit = {
+                        keep: Int): Unit =
+    retireVersions(spark, path, keep,
+      dir => readAnnMeta0(spark, path, dir).map(_.segments).getOrElse(Nil))
+
+  /** Shared retention walk for the ANN and IVF versioned layouts —
+    * parameterized only by how a version dir names its segments. */
+  private def retireVersions(spark: org.apache.spark.sql.SparkSession,
+                             path: String, keep: Int,
+                             segmentsOf: String => Seq[String]): Unit = {
     require(keep >= 1, s"retention must keep at least the published version, got $keep")
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -302,9 +310,8 @@ object Similarity {
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+-.*"))
       .sortBy(st => (versionOf(st.getPath.getName), st.getModificationTime))
     val (dropped, retained) = versions.splitAt(math.max(versions.length - keep, 0))
-    val referenced: Set[String] = retained.flatMap { st =>
-      readAnnMeta0(spark, path, st.getPath.getName).map(_.segments).getOrElse(Nil)
-    }.toSet
+    val referenced: Set[String] =
+      retained.flatMap(st => segmentsOf(st.getPath.getName)).toSet
     dropped.foreach(st => fs.delete(st.getPath, true): Unit)
     val segBase = new org.apache.hadoop.fs.Path(s"$path/segments")
     if (fs.exists(segBase))
@@ -435,11 +442,90 @@ object Similarity {
       val dir = s"$path/$dirName"
       val centroids = spark.read.parquet(s"$dir/centroids")
         .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
-      IvfIndex(spark.read.parquet(s"$dir/assigned"), centroids)
+      val assigned = ivfMeta0(spark, path, dirName) match {
+        case Some(meta) => // segmented layout: union of immutable segments
+          spark.read.parquet(meta.segments.map(s => s"$path/segments/$s"): _*)
+        case None => spark.read.parquet(s"$dir/assigned")
+      }
+      IvfIndex(assigned, centroids)
     }
   }
 
   private val ivfReadCache = new LatestVersionCache[IvfIndex]
+
+  /** Assign embeddings to the nearest cell of a FIXED centroid model —
+    * the incremental-add path of a served IVF index (FAISS discipline:
+    * train once, add per batch, retrain as the compaction step). Pure
+    * map-side projection: O(new rows · nlist), no shuffle. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", nearestCell(col("vec"), centroids))
+
+  /** Segmented IVF sidecar meta — the IVF analog of [[AnnMeta]]: a
+    * published version carries the centroid model (parquet, pinned
+    * across incremental refreshes) plus the immutable assignment
+    * segments it comprises and the covered ingest watermark. */
+  final case class IvfMeta(segments: Seq[String], covered: Long)
+
+  /** Write one immutable cell-clustered assignment segment. */
+  def writeIvfSegment(assigned: DataFrame, path: String): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID.toString.take(8)}"
+    assigned.repartitionByRange(col("cell")).sortWithinPartitions("cell")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/segments/$seg")
+    seg
+  }
+
+  /** Publish a segmented IVF version: centroid model + meta under a
+    * fresh versioned dir, then the same atomic pointer swap as
+    * writeIvfIndex. */
+  def publishIvfVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                        centroids: Seq[Seq[Double]], meta: IvfMeta,
+                        version: Long): Unit = {
+    val dirName = freshVersionDir(version)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$dirName/centroids")
+    Seq((meta.segments, meta.covered)).toDF("segments", "covered")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$path/$dirName/meta")
+    publishVersion(spark, path, dirName)
+  }
+
+  /** Meta of the latest published IVF version IF it is segmented — None
+    * for an unpublished path or a writeIvfIndex single-dir latest
+    * (callers then take the full-rebuild path). */
+  def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[IvfMeta] =
+    readLatestVersion(spark, path).flatMap(ivfMeta0(spark, path, _))
+
+  private def ivfMeta0(spark: org.apache.spark.sql.SparkSession, path: String,
+                       dirName: String): Option[IvfMeta] = {
+    val metaPath = s"$path/$dirName/meta"
+    val fs = new org.apache.hadoop.fs.Path(metaPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaPath))) None
+    else {
+      val meta = spark.read.json(metaPath)
+      if (!meta.columns.contains("segments")) None
+      else {
+        val row = meta.head()
+        Some(IvfMeta(row.getAs[scala.collection.Seq[String]]("segments").toSeq,
+          row.getAs[Long]("covered")))
+      }
+    }
+  }
+
+  /** Retention for a segmented IVF path — identical policy to
+    * [[retireAnnVersions]] (the segment-reference walk only reads the
+    * meta's `segments` field, which both layouts share). */
+  def retireIvfVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                        keep: Int): Unit =
+    retireVersions(spark, path, keep,
+      dir => ivfMeta0(spark, path, dir).map(_.segments).getOrElse(Nil))
 
   /** Approximate top-k over a precomputed `annIndex`: multi-probe (the
     * probe's own bucket plus all 1-bit-flip neighbors — DRIVER-computed

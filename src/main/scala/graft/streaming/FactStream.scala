@@ -161,6 +161,74 @@ object FactStream {
       }
       .start()
 
+  /** Continuous embedding ingestion WITH IVF-index maintenance — the
+    * IVF analog of [[ingestEmbeddingsWithAnnRefresh]], closing the
+    * "served IVF index goes stale under continuous ingest" gap. The
+    * centroid MODEL is pinned in the published version (FAISS
+    * discipline: train once, add per batch): each refresh assigns ONLY
+    * the corpus batches past the covered watermark to the pinned
+    * centroids — one fresh immutable cell-clustered segment, O(new
+    * rows · nlist), no corpus pass. When the segment chain reaches
+    * `maxSegments` the refresh falls through to [[rebuildIvfIndex]]: a
+    * full Lloyd retrain + re-assign that resets the chain — the same
+    * LSM-style compaction bound as the ANN loop, and the step that
+    * lets the model follow distribution drift. Retention keeps the
+    * newest `keepVersions` versions (readers' staleness bound, as in
+    * readAnnIndex). Everything is serialized in the single-writer
+    * foreachBatch loop; a retried refresh batch is a no-op. */
+  def ingestEmbeddingsWithIvfRefresh(emb: DataFrame, path: String, checkpoint: String,
+                                     nlist: Int = 8, iters: Int = 2,
+                                     refreshEvery: Int = 2, keepVersions: Int = 3,
+                                     maxSegments: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
+        if ((batchId + 1) % refreshEvery == 0) {
+          import graft.pipeline.Similarity
+          val ivfPath = s"$path/ivf"
+          Similarity.readIvfMeta(spark, ivfPath) match {
+            case Some(prior) if prior.segments.length < maxSegments =>
+              val newDirs = corpusBatchDirs(spark, s"$path/corpus")
+                .collect { case (id, p) if id > prior.covered => p }
+              if (newDirs.nonEmpty) {
+                val cents = Similarity.readIvfIndex(spark, ivfPath).centroids
+                val seg = Similarity.writeIvfSegment(
+                  Similarity.ivfAssign(spark.read.parquet(newDirs: _*),
+                    "id", "vec", cents), ivfPath)
+                Similarity.publishIvfVersion(spark, ivfPath, cents,
+                  Similarity.IvfMeta(prior.segments :+ seg, covered = batchId),
+                  version = batchId)
+              }
+            case _ => // bootstrap, or chain at bound: full retrain
+              rebuildIvfIndex(spark, path, nlist, iters, coveredThrough = batchId)
+          }
+          Similarity.retireIvfVersions(spark, ivfPath, keepVersions)
+        }
+      }
+      .start()
+
+  /** Full-retrain repair/compaction path for the streaming IVF sidecar:
+    * Lloyd over the ENTIRE corpus, re-assign everything into one fresh
+    * segment, publish a version referencing only it — resetting the
+    * segment chain AND the centroid model. The incremental loop resumes
+    * from the published watermark afterwards. */
+  def rebuildIvfIndex(spark: SparkSession, path: String, nlist: Int,
+                      iters: Int, coveredThrough: Long = -1L): Unit = {
+    import graft.pipeline.Similarity
+    val dirs = corpusBatchDirs(spark, s"$path/corpus")
+    if (dirs.isEmpty) return
+    val covered = if (coveredThrough >= 0) coveredThrough else dirs.map(_._1).max
+    val corpus = spark.read.parquet(dirs.map(_._2): _*)
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    val trained = Similarity.ivfIndex(corpus, "id", "vec", dim, nlist, iters)
+    val seg = Similarity.writeIvfSegment(trained.assigned, s"$path/ivf")
+    Similarity.publishIvfVersion(spark, s"$path/ivf", trained.centroids,
+      Similarity.IvfMeta(Seq(seg), covered), version = covered)
+  }
+
   /** The corpus's batch-owned partition dirs as (batchId, path). */
   private def corpusBatchDirs(spark: SparkSession,
                               corpusPath: String): Seq[(Long, String)] = {

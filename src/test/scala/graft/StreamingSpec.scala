@@ -213,6 +213,58 @@ class StreamingSpec extends SparkSpec {
     assert(merged === scratch)
   }
 
+  test("streaming IVF refresh: pinned centroids per cycle, retrain at the chain bound") {
+    import graft.pipeline.Similarity
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-refresh").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestEmbeddingsWithIvfRefresh(emb, dir, s"$dir/ckpt",
+      nlist = 4, iters = 2, refreshEvery = 1, maxSegments = 3)
+    def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // cycle 0: bootstrap — full Lloyd train over batch 0
+    input.addData((0 until 40).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    val cents0 = Similarity.readIvfIndex(spark, s"$dir/ivf").centroids
+    assert(cents0.length === 4)
+    // cycles 1+2: incremental — the model stays PINNED, the chain grows
+    input.addData((40 until 44).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    input.addData((44 until 48).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    val idx = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    assert(idx.centroids === cents0, "incremental refresh must not retrain")
+    assert(Similarity.readIvfMeta(spark, s"$dir/ivf").get.segments.length === 3)
+    // refreshed index == assigning the whole corpus to the same model
+    val scratch = Similarity.ivfAssign(
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", cents0)
+    val merged = cells(idx.assigned)
+    assert(merged.size === 48)
+    assert(merged === cells(scratch))
+    // cycle 3: chain at maxSegments → compaction RETRAINS over all rows
+    input.addData((48 until 52).map(i => (i.toLong, v(i))))
+    q.processAllAvailable()
+    q.stop()
+    assert(Similarity.readIvfMeta(spark, s"$dir/ivf").get.segments.length === 1,
+      "compaction must reset the segment chain")
+    val idx2 = Similarity.readIvfIndex(spark, s"$dir/ivf")
+    val retrained = Similarity.ivfIndex(
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", dim = 8,
+      nlist = 4, iters = 2)
+    idx2.centroids.zip(retrained.centroids).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, "compacted model != scratch retrain")
+      }
+    }
+    assert(cells(idx2.assigned) === cells(retrained.assigned))
+    // ...and the refreshed index serves probes (its own vector wins)
+    val top = Similarity.ivfTopKIndexed(idx2, v(50), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(50L), s"expected the ingested vector itself, got $top")
+  }
+
   test("ANN retention keeps the newest versions; segments live while referenced") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-retain").toString
