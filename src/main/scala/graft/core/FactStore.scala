@@ -192,6 +192,64 @@ object FactStore {
       .reduce(_.unionAll(_))
   }
 
+  /** Melt an `array<struct>` column into ORDERED sub-entity facts —
+    * the ingest path for LISTS OF MAPS, the remaining EDN collection
+    * shape (a map value inside a list, unify.clj:66-81; the
+    * transactor's MapForm-in-Seq covers the tx path, this covers bulk
+    * ingest). Per element: a cardinality-many ref fact
+    * `parent --attr--> elem`, `<attr>/idx` (position), and one
+    * `<attr>/<field>` fact per non-null struct field on the elem
+    * sub-entity. Same id scheme and guards as [[meltList]] level 0. */
+  def meltStructList(df: DataFrame, idExpr: Column, parentBase: Long, attr: String,
+                     listCol: String, elemBase: Long, tx: Long = 1L,
+                     stride: Long = 1L << 20): DataFrame = {
+    val st = df.schema(listCol).dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other => throw new IllegalArgumentException(
+        s"$listCol is $other — meltStructList needs an array<struct> column")
+    }
+    val exploded = df
+      .select(idExpr.cast(LongType).as("__rawid"),
+        posexplode(col(listCol)).as(Seq("__idx", "__v")))
+      .select(col("__rawid"),
+        when(col("__idx") < stride, col("__idx").cast(LongType))
+          .otherwise(raise_error(concat(
+            lit(s"meltStructList($attr): list longer than stride=$stride on id "),
+            col("__rawid").cast(StringType)))).as("__idx"),
+        col("__v"))
+    val parentE = (col("__rawid") + lit(parentBase)).as("e")
+    val elemId = lit(elemBase) + col("__rawid") * lit(stride) + col("__idx")
+    val refs = exploded.select(Seq(parentE, lit(attr).as("a"),
+      lit("r").as("vtype")) ++ nullCols("vref") :+ elemId.as("vref"): _*)
+    val idxs = exploded.select(Seq(elemId.as("e"), lit(s"$attr/idx").as("a"),
+      lit("l").as("vtype")) ++ nullCols("vlong") :+ col("__idx").as("vlong"): _*)
+    val fieldFacts = st.fields.toSeq.map { f =>
+      val (slot, tag) = slotFor(f.dataType)
+      exploded.filter(col("__v").getField(f.name).isNotNull)
+        .select(Seq(elemId.as("e"), lit(s"$attr/${f.name}").as("a"),
+          lit(tag).as("vtype")) ++ nullCols(slot) :+
+            col("__v").getField(f.name).cast(factSchema(slot).dataType).as(slot): _*)
+    }
+    (Seq(refs, idxs) ++ fieldFacts).map(_.select(
+        col("e"), col("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
+        lit(tx).as("tx"), lit(true).as("added")))
+      .reduce(_.unionAll(_))
+  }
+
+  /** Attribute -> value-slot map for a [[meltStructList]]-encoded
+    * attribute (pair with `cardMany += attr`). */
+  def structListAttrTypes(df: DataFrame, attr: String,
+                          listCol: String): Map[String, String] = {
+    val st = df.schema(listCol).dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other => throw new IllegalArgumentException(
+        s"$listCol is $other — meltStructList needs an array<struct> column")
+    }
+    Map(attr -> "vref", s"$attr/idx" -> "vlong") ++
+      st.fields.map(f => s"$attr/${f.name}" -> slotFor(f.dataType)._1)
+  }
+
   /** Attribute -> value-slot map for a [[meltList]]-encoded list
     * attribute, nested levels included (pair with `cardMany` over every
     * "vref"-typed attribute in the result). */

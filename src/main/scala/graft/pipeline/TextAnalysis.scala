@@ -256,6 +256,34 @@ object TextAnalysis {
       .agg(round(avg(log(col("cnt") / col("total"))), 6).as("mean_logprob"))
   }
 
+  /** Greedy sequence PACKING (concat-and-chunk): assign every document
+    * to the fixed-`budget`-token training sequence its FIRST token
+    * lands in — the step that turns a curated corpus into LM training
+    * rows. Documents are concatenated in deterministic doc_id order
+    * WITHIN `shards` hash shards and a running token total places each
+    * doc: pack = floor(start / budget), pack_offset = start % budget
+    * where start = cumulative tokens before the doc.
+    *
+    * Scale shape: shard-parallel — ONE window shuffle on the shard
+    * key, no global sort. A single global concatenation order is
+    * pointless at 100 TB (and serializes the window); per-shard
+    * deterministic order is exactly what distributed packing pipelines
+    * do (each shard's packs are consumed independently by a data
+    * loader). Sharding here is doc_id mod (engine-neutral for the
+    * DuckDB oracle); production would hash. */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      reTokens(col("text")).cast("long").as("n_tokens"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        floor(col("start") / lit(budget.toDouble)).as("pack"),
+        (col("start") % lit(budget.toLong)).as("pack_offset"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,
     * plus a 48-bit numeric bucket of it (for cheap equality joins). */
   def fingerprint(docs: DataFrame): DataFrame = {

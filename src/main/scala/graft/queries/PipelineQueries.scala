@@ -203,6 +203,11 @@ object PipelineQueries {
 
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // sequence packing: curated corpus -> fixed-token-budget training
+    // rows (concat-and-chunk), shard-parallel with one window shuffle
+    "pipeline_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), budget = 512, shards = 8)),
+
     // End-to-end curation pipeline — the composition a real training-data
     // run executes: language gate -> quality gate -> exact-dedup
     // survivors. One pass over the corpus, one hash shuffle (the dedup
@@ -427,6 +432,19 @@ object PipelineQueries {
               tot AS (SELECT count(*) AS total FROM tok)
          SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
          FROM tok JOIN cnt USING (tok), tot
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+               doc_id % 8 AS shard
+             FROM documents),
+           c AS (SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+             FROM t)
+         SELECT doc_id, n_tokens, shard,
+                CAST(floor(start / 512.0) AS BIGINT) AS pack,
+                start % 512 AS pack_offset
+         FROM c"""
   )
 }

@@ -257,6 +257,47 @@ class CollectionsParitySpec extends SparkSpec {
     assert(firstOfFirst === Set((1L, 1L), (2L, 4L)))
   }
 
+  test("list-of-maps melts via meltStructList and queries through the chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.{FactDb, FactStore}
+    // the reference's map-in-list EDN shape (a person with an ordered
+    // list of address maps) — bulk-ingest analog of MapForm-in-Seq
+    val people = Seq(
+      (1L, Seq(("cambridge", 78L), ("slumerville", 10L))),
+      (2L, Seq(("boston", 5L))),
+      (3L, Seq.empty[(String, Long)])
+    ).toDF("id", "addrs")
+      .select(col("id"), col("addrs").cast(
+        "array<struct<town:string,number:bigint>>").as("addrs"))
+    val facts = FactStore.meltStructList(people, col("id"), parentBase = 0L,
+      attr = "addrs", listCol = "addrs", elemBase = 5000L, stride = 100L)
+    val types = FactStore.structListAttrTypes(people, "addrs", "addrs")
+    assert(types === Map("addrs" -> "vref", "addrs/idx" -> "vlong",
+      "addrs/town" -> "vstr", "addrs/number" -> "vlong"))
+    val db = FactDb(facts, types, cardMany = Set("addrs"), versioned = false)
+    // who lists cambridge FIRST, and at what number?
+    val firstCambridge = Compiler.run(Db(db), Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("n"), "n")),
+      where = And(
+        Pattern(V("e"), C("addrs"), V("addr")),
+        Pattern(V("addr"), C("addrs/idx"), C(0L)),
+        Pattern(V("addr"), C("addrs/town"), C("cambridge")),
+        Pattern(V("addr"), C("addrs/number"), V("n")))))(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(firstCambridge === Set((1L, 78L)))
+    // every (person, position, town) triple round-trips
+    val all = Compiler.run(Db(db), Query(
+      find = Seq(FVar(V("e"), "e"), FVar(V("i"), "i"), FVar(V("t"), "t")),
+      where = And(
+        Pattern(V("e"), C("addrs"), V("addr")),
+        Pattern(V("addr"), C("addrs/idx"), V("i")),
+        Pattern(V("addr"), C("addrs/town"), V("t")))))(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(all === Set((1L, 0L, "cambridge"), (1L, 1L, "slumerville"),
+      (2L, 0L, "boston")))
+  }
+
   test("collection membership: [(some #{:computer} ?job)] via cardinality-many tags") {
     val (_, ben, alyssa, _, _) = fixture
     val rows = run(Query(

@@ -435,6 +435,32 @@ class GroundTruthSpec extends SparkSpec {
     assert(withPp.size === 435 && withPp.forall(_._3 >= 0.8))
   }
 
+  test("packSequences: concat-and-chunk boundary semantics, shard-local packing") {
+    import graft.pipeline.TextAnalysis
+    // one shard (ids all ≡ 0 mod 8): token counts 3, 4, 2, 5 under
+    // budget 6 concatenate to starts 0, 3, 7, 9 → packs 0, 0, 1, 1;
+    // doc 8 STRADDLES the boundary (starts at 3, ends at 7) and
+    // belongs to the pack its first token lands in — pack 0.
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e f g"), (16L, "h i"), (24L, "j k l m n"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, budget = 6, shards = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) === ((3L, 0L, 0L, 0L)))
+    assert(out(8L) === ((4L, 0L, 0L, 3L)))   // straddles: stays in pack 0
+    assert(out(16L) === ((2L, 0L, 1L, 1L)))  // starts at 7 → pack 1, offset 1
+    assert(out(24L) === ((5L, 0L, 1L, 3L)))
+    // a second shard packs independently from pack 0 with its own
+    // running total (ids ≡ 1 mod 8)
+    val sharded = TextAnalysis.packSequences(
+      Seq((1L, "a b c d e f g"), (9L, "h i")).toDF("doc_id", "text"),
+      budget = 6, shards = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(sharded(1L) === ((1L, 0L)))
+    assert(sharded(9L) === ((1L, 1L)))  // starts at 7 → its shard's pack 1
+  }
+
   test("pageRankAuto dispatch: bounded probe, both branches agree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val edgeDf = edges.toDF("src", "dst")
