@@ -28,8 +28,8 @@ object Bench {
       // un-buckets a scan with no distribution-needing parent and loses
       // the single-bucket prune of EAVT point reads (FactDb.entity).
       // This pins every bucketed scan to one task per bucket, so the
-      // bucket count IS the scan-parallelism ceiling — graft tables are
-      // written with 32 buckets (= this box's cores) for that reason.
+      // bucket count IS the scan-parallelism ceiling — graft sizes it
+      // by volume up to the core budget (DatalogQueries.bucketedDb).
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .getOrCreate()

@@ -27,12 +27,26 @@ object DatalogQueries {
     bucketedCache.getOrElseUpdate((s, dir, kind), {
       val db = build
       val table = s"graft_${kind}_bucketed_" + math.abs(dir.hashCode.toLong)
+      // bucket count = the scan-parallelism ceiling under
+      // autoBucketedScan=false (one task per bucket), sized by the
+      // VOLUME OF THE PRUNABLE SCAN UNIT up to the core budget. On the
+      // attr-partitioned layout a pattern scan reads ONE attribute
+      // directory, so the unit is the largest attribute's fact count —
+      // sizing by total log volume over-buckets every small attr dir
+      // into per-file overhead (measured: a flat 32 on the sf0.1 log
+      // cost dl_not ~+0.3 s with zero parallelism gain, attr dirs of
+      // ~15k facts split into 32 files each). ~200k facts/bucket with
+      // an 8-bucket floor; a unit big enough to saturate the cores
+      // gets one bucket per core — the ADVICE r7 ceiling, sized.
+      val cores = s.sparkContext.defaultParallelism
+      val unitRows =
+        if (partitionByAttr)
+          db.log.groupBy(col("a")).count()
+            .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+        else db.log.count()
+      val buckets = math.max(8, math.min(cores, (unitRows / 200000L).toInt))
       graft.sources.Catalog.recreate(s, table) {
-        // bucket count = the scan-parallelism ceiling under
-        // autoBucketedScan=false (one task per bucket), so size it to
-        // the executor core count — 32 matches local[32]; a cluster
-        // writer sizes it to its core budget the same way.
-        graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = 32,
+        graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = buckets,
           partitionByAttr = partitionByAttr)
       }
       // partitionBy moves `a` to the tail of the catalog schema —

@@ -74,9 +74,10 @@ class PlanAuditSpec extends SparkSpec {
   test("dl_lookup: point read prunes every attribute dir to one bucket file, no shuffle") {
     val p = SparkEntry.queries("dl_lookup")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the EAVT point-read shape: e = const selects exactly the one
-    // bucket (of 32) that can hold the entity, in each attribute dir
-    assert(p.contains("SelectedBucketsCount: 1 out of 32"),
+    // the EAVT point-read shape: e = const selects exactly the ONE
+    // bucket that can hold the entity, in each attribute dir (the
+    // bucket count itself is volume-sized — see bucketedDb)
+    assert("SelectedBucketsCount: 1 out of \\d+".r.findFirstIn(p).isDefined,
       s"expected single-bucket pruning:\n$p")
     assert(!p.contains("Exchange"), s"expected no shuffle for a point read:\n$p")
   }
