@@ -11,7 +11,7 @@ object Bench {
     "q_asof_join", "q_range_join",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "sim_topk", "sim_ann", "text_quality",
-    "text_tfidf", "pipeline_e2e",
+    "text_tfidf", "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc")
 
   def main(args: Array[String]): Unit = {
