@@ -203,6 +203,31 @@ object PipelineQueries {
 
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // canonical-doc SELECTION: after near-dup cluster assignment, keep
+    // the highest-QUALITY member per cluster (tie: lowest doc_id) —
+    // the retention-policy step that turns a cluster map into a kept
+    // corpus (min-id keeping throws away the best copy when a clean
+    // original clusters with a mangled near-dup). One window shuffle
+    // over the cluster map; same 1-in-5 sample as dedup_clusters
+    // (oracle-tractability only — the operator has no such bound).
+    "dedup_keep_best" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.expressions.Window
+      val sampled = docs(s, dir).filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.ngramJaccard(sampled, 0.8)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val clusters = graft.graph.GraphOps.ccDataFrame(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val quality = TextAnalysis.quality(sampled)
+        .select(col("doc_id"), col("quality_score"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("cluster"), col("doc_id"),
+          round(col("quality_score"), 6).as("quality_score"))
+    }),
+
     // sequence packing: curated corpus -> fixed-token-budget training
     // rows (concat-and-chunk), shard-parallel with one window shuffle
     "pipeline_pack" -> ((s, dir) =>
@@ -433,6 +458,36 @@ object PipelineQueries {
          SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
          FROM tok JOIN cnt USING (tok), tot
          GROUP BY 1""",
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, text,
+                      list_distinct(string_split_regex(trim(text), '\\s+')) AS s
+               FROM documents WHERE doc_id % 5 = 0),
+         pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+                   FROM t a JOIN t b ON a.doc_id < b.doc_id
+                   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         reach(node, r) AS (
+           SELECT a AS node, a AS r FROM edges
+           UNION
+           SELECT e.a AS node, reach.r AS r
+           FROM edges e JOIN reach ON e.b = reach.node),
+         clus AS (SELECT node AS doc_id, min(r) AS cluster
+                  FROM reach GROUP BY node),
+         q AS (SELECT doc_id,
+                 least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + (CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
+                      / CAST(len($toksSql) AS DOUBLE)) * 0.3
+                   + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+                   AS quality_score
+               FROM t)
+         SELECT cluster, doc_id, round(quality_score, 6) AS quality_score
+         FROM (SELECT cluster, doc_id, quality_score
+               FROM clus JOIN q USING (doc_id)
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY quality_score DESC, doc_id) = 1) k""",
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
