@@ -604,4 +604,36 @@ object Similarity {
               probe: Seq[Double], k: Int, planes: Int = 8,
               excludeId: Option[Long] = None): DataFrame =
     annTopKIndexed(annIndex(emb, idCol, vecCol, planes), probe, k, excludeId)
+
+  /** BATCH multi-probe ANN top-k: score a whole DataFrame of probes
+    * (id, vec) against the index in ONE pass — the offline
+    * batch-scoring shape. Each probe's own-bucket + 1-bit-flip ring is
+    * computed DISTRIBUTED with the same native signature expression
+    * the corpus was signed with, exploded to (bucket, probe) rows and
+    * joined against the index on bucket, so N probes cost one index
+    * join instead of N index scans; exact per-probe top-k via window.
+    * Candidate sets (and therefore results) are IDENTICAL to the
+    * online per-probe path [[annTopKIndexed]] (spec-pinned) — use that
+    * for point serving, this for throughput. */
+  def annTopKBatch(index: AnnIndex, probes: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val planes = index.planes
+    val signed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .withColumn("sig", sigOf(col("pvec"), planes))
+    val ring = array((col("sig") +: (0 until planes).map(b =>
+      col("sig").bitwiseXOR(lit(1L << b)))): _*)
+    val exploded = signed
+      .select(col("probe_id"), col("pvec"),
+        explode(array_distinct(ring)).as("bucket"))
+    val joined = exploded.join(index.assigned, Seq("bucket"))
+    val scored = joined.select(col("probe_id"), col("id"),
+      round(cosine(col("vec"), col("pvec")), 6).as("cos"))
+    val filtered =
+      if (excludeSelf) scored.filter(col("id") =!= col("probe_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("id"))
+    filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -142,6 +142,14 @@ object PipelineQueries {
       Similarity.ivfTopKIndexed(ivfIdx(s, dir), probeVec(s, dir), 10,
         nprobe = 2, excludeId = Some(0L))),
 
+    // batch multi-probe ANN: the first 16 corpus vectors all score
+    // against the index in ONE join pass (throughput serving shape;
+    // per-probe parity with sim_ann's online path is spec-pinned)
+    "sim_ann_batch" -> ((s, dir) =>
+      Similarity.annTopKBatch(annIdx(s, dir),
+        emb(s, dir).filter(col("vec_id") < 16), "vec_id", "vec",
+        k = 5, excludeSelf = true)),
+
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir))
         .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
