@@ -104,6 +104,39 @@ object Similarity {
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
 
+  /** BATCH multi-probe IVF top-k — the IVF analog of
+    * [[annTopKBatch]]: every probe's `nprobe` nearest cells are ranked
+    * DISTRIBUTED (array_sort over (distance, cell) structs — same
+    * first-wins tie order as the driver-side ranking in
+    * [[ivfTopKIndexed]], spec-pinned parity), exploded to (cell,
+    * probe) rows and joined against the cell-assigned corpus once;
+    * exact per-probe top-k via window. N probes cost ONE corpus join
+    * instead of N pruned scans. */
+  def ivfTopKBatch(index: IvfIndex, probes: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nprobe: Int = 2,
+                   excludeSelf: Boolean = false): DataFrame = {
+    val pvec = col("pvec")
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(lit): _*)
+      struct((dot(pvec, pvec) - lit(2.0) * dot(pvec, cCol) +
+        lit(c.map(x => x * x).sum)).as("d"), lit(i).as("cell"))
+    }
+    val probeCells = slice(array_sort(array(dists: _*)), 1, nprobe)
+    val exploded = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .select(col("probe_id"), pvec,
+        explode(transform(probeCells, s => s.getField("cell"))).as("cell"))
+    val joined = exploded.join(index.assigned, Seq("cell"))
+    val scored = joined.select(col("probe_id"), col("id"),
+      round(cosine(col("vec"), col("pvec")), 6).as("cos"))
+    val filtered =
+      if (excludeSelf) scored.filter(col("id") =!= col("probe_id")) else scored
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("id"))
+    filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** One-shot IVF top-k (index trained inline — prefer ivfIndex +
     * ivfTopKIndexed when serving many probes). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -150,6 +150,13 @@ object PipelineQueries {
         emb(s, dir).filter(col("vec_id") < 16), "vec_id", "vec",
         k = 5, excludeSelf = true)),
 
+    // batch multi-probe IVF (same throughput shape over the
+    // cell-assigned corpus; per-probe parity spec-pinned)
+    "sim_ivf_batch" -> ((s, dir) =>
+      Similarity.ivfTopKBatch(ivfIdx(s, dir),
+        emb(s, dir).filter(col("vec_id") < 16), "vec_id", "vec",
+        k = 5, nprobe = 2, excludeSelf = true)),
+
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir))
         .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),

@@ -49,6 +49,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKBatch: per-probe results identical to the online path") {
+    val index = Similarity.ivfIndex(emb, "vec_id", "vec",
+      dim = probe.length, nlist = 8, iters = 2)
+    val probeIds = (0L until 8L).toSeq
+    val probes = emb.filter(col("vec_id") < 8)
+    val batch = Similarity.ivfTopKBatch(index, probes, "vec_id", "vec",
+        k = 5, nprobe = 3)
+      .select("probe_id", "id", "cos").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sortBy { case (id, cos) => (-cos, id) })
+      .toMap
+    assert(batch.keySet === probeIds.toSet)
+    probeIds.foreach { pid =>
+      val pvec = emb.filter(col("vec_id") === pid).head().getSeq[Double](1)
+      val online = Similarity.ivfTopKIndexed(index, pvec, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(pid) === online,
+        s"probe $pid: batch=${batch(pid)} online=$online")
+    }
+  }
+
   test("winnowing: shared long substring -> shared fingerprint hash") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
