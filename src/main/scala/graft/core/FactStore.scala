@@ -139,6 +139,15 @@ object FactStore {
         s"$listCol is $other — meltList needs an array column")
     }
     val elemType = df.schema(listCol).dataType.asInstanceOf[ArrayType].elementType
+    def depthOf(dt: DataType): Int = dt match {
+      case ArrayType(inner, _) => 1 + depthOf(inner)
+      case _ => 0
+    }
+    val depth = depthOf(df.schema(listCol).dataType)
+    require(stride > 0 && levelSpan > stride && elemBase >= 0 &&
+      elemBase <= Long.MaxValue - depth.toLong * levelSpan,
+      s"meltList($attr): elemBase + depth*levelSpan overflows Long " +
+        s"(elemBase=$elemBase, depth=$depth, levelSpan=$levelSpan)")
     val rawId = idExpr.cast(LongType)
     meltListLevel(
       df.select((rawId + lit(parentBase)).as("__pid"), rawId.as("__comp"),
@@ -161,11 +170,19 @@ object FactStore {
             lit(s"meltList($attr): list longer than stride=$stride under parent "),
             col("__pid").cast(StringType)))).as("__idx"),
         col("__comp"), col("__v"))
+      // Range-check the INPUT composite BEFORE multiplying: checking
+      // the product would let `comp * stride` overflow Long and wrap
+      // below levelSpan — a huge raw id (hash/snowflake-derived) would
+      // then pass the guard with a corrupted, possibly colliding id.
+      // comp in [0, levelSpan/stride) ⟹ comp*stride + idx < levelSpan
+      // with no intermediate overflow (levelSpan ≤ 2^58 << Long.Max).
       .withColumn("__comp",
-        when(col("__comp") * lit(stride) + col("__idx") < levelSpan,
+        when(col("__comp") >= 0 && col("__comp") < lit(levelSpan / stride),
           col("__comp") * lit(stride) + col("__idx"))
           .otherwise(raise_error(concat(
-            lit(s"meltList($attr): id space exhausted (levelSpan=$levelSpan) under parent "),
+            lit(s"meltList($attr): id space exhausted (levelSpan=$levelSpan, " +
+              s"stride=$stride — raw/composite id must be in [0, " +
+              s"${levelSpan / stride})) under parent "),
             col("__pid").cast(StringType)))))
     val elemId = lit(elemBase + level * levelSpan) + col("__comp")
     val refs = exploded.select(Seq(col("__pid").as("e"), lit(attr).as("a"),
@@ -208,10 +225,20 @@ object FactStore {
       case other => throw new IllegalArgumentException(
         s"$listCol is $other — meltStructList needs an array<struct> column")
     }
+    require(stride > 0 && elemBase >= 0, s"meltStructList($attr): bad id layout")
+    // raw ids above this would overflow elemBase + rawid*stride + idx —
+    // checked on the RAW id before multiplying (a product check would
+    // wrap first and pass silently with a corrupted id)
+    val maxRawId = (Long.MaxValue - elemBase) / stride - 1
     val exploded = df
       .select(idExpr.cast(LongType).as("__rawid"),
         posexplode(col(listCol)).as(Seq("__idx", "__v")))
-      .select(col("__rawid"),
+      .select(
+        when(col("__rawid") >= 0 && col("__rawid") <= maxRawId, col("__rawid"))
+          .otherwise(raise_error(concat(
+            lit(s"meltStructList($attr): raw id outside [0, $maxRawId] " +
+              "(id-space overflow): "),
+            col("__rawid").cast(StringType)))).as("__rawid"),
         when(col("__idx") < stride, col("__idx").cast(LongType))
           .otherwise(raise_error(concat(
             lit(s"meltStructList($attr): list longer than stride=$stride on id "),

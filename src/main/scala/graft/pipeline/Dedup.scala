@@ -83,7 +83,12 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // same 1e-9 FP slack as the pp filters below: ceil of an
+      // exact-integer product that rounds up an ulp would shrink the
+      // prefix by one token; erring one token loose only adds
+      // candidates the exact verify rejects
+      .filter(col("rnk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("tok"), col("rnk"), col("sz"))
     val pp =
       if (!ppFilters) lit(true)

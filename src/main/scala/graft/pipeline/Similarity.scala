@@ -94,10 +94,16 @@ object Similarity {
   def ivfTopKIndexed(index: IvfIndex, probe: Seq[Double], k: Int,
                      nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
     val probeCol = array(probe.map(lit): _*)
+    // cell ranking uses the SAME algebra and accumulation order as the
+    // Catalyst formulation in nearestCell / ivfTopKBatch (p·p − 2·p·c
+    // + Σc², sequential sums) — bit-identical distances, so the
+    // nprobe cell choice can never diverge between the online and
+    // batch paths on near-equidistant centroids (parity contract).
+    val pp = probe.map(x => x * x).sum
     val probeCells = index.centroids.zipWithIndex.map { case (c, i) =>
-      val d2 = probe.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-      (i, d2)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+      val pc = probe.zip(c).map { case (a, b) => a * b }.sum
+      (i, pp - 2.0 * pc + c.map(x => x * x).sum)
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
     val cands = index.assigned.filter(col("cell").isin(probeCells: _*))
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
     val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
@@ -126,15 +132,7 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
       .select(col("probe_id"), pvec,
         explode(transform(probeCells, s => s.getField("cell"))).as("cell"))
-    val joined = exploded.join(index.assigned, Seq("cell"))
-    val scored = joined.select(col("probe_id"), col("id"),
-      round(cosine(col("vec"), col("pvec")), 6).as("cos"))
-    val filtered =
-      if (excludeSelf) scored.filter(col("id") =!= col("probe_id")) else scored
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("id"))
-    filtered.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k).drop("__rn")
+    batchTopK(exploded.join(index.assigned, Seq("cell")), k, excludeSelf)
   }
 
   /** One-shot IVF top-k (index trained inline — prefer ivfIndex +
@@ -659,7 +657,13 @@ object Similarity {
     val exploded = signed
       .select(col("probe_id"), col("pvec"),
         explode(array_distinct(ring)).as("bucket"))
-    val joined = exploded.join(index.assigned, Seq("bucket"))
+    batchTopK(exploded.join(index.assigned, Seq("bucket")), k, excludeSelf)
+  }
+
+  /** Shared scoring tail of the batch serving paths: exact cosine,
+    * optional self-exclusion, per-probe top-k window (cos desc, id). */
+  private def batchTopK(joined: DataFrame, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
     val scored = joined.select(col("probe_id"), col("id"),
       round(cosine(col("vec"), col("pvec")), 6).as("cos"))
     val filtered =

@@ -39,10 +39,13 @@ object DatalogQueries {
       // an 8-bucket floor; a unit big enough to saturate the cores
       // gets one bucket per core — the ADVICE r7 ceiling, sized.
       val cores = s.sparkContext.defaultParallelism
+      // max over zero groups is a null aggregate — an empty log takes
+      // the floor instead of NPE-ing in getLong
       val unitRows =
         if (partitionByAttr)
-          db.log.groupBy(col("a")).count()
-            .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+          Option(db.log.groupBy(col("a")).count()
+            .agg(org.apache.spark.sql.functions.max("count")).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
         else db.log.count()
       val buckets = math.max(8, math.min(cores, (unitRows / 200000L).toInt))
       graft.sources.Catalog.recreate(s, table) {

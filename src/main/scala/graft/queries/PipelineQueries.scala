@@ -121,11 +121,11 @@ object PipelineQueries {
       // as the bucket's min id is its rep → cosine 1.0 pairs at ANY
       // SF. Planted ids sit far above real vec_ids.
       val corpus = embBucketed(s, dir)
-      val planted = Seq(10000000L, 10000001L).map { pid =>
-        corpus.orderBy(col("vec_id")).limit(1)
-          .select(lit(pid).as("vec_id"),
-            transform(col("vec"), x => x * lit(1.0009)).as("vec"))
-      }.reduce(_ unionByName _)
+      // one TakeOrdered job for the min-id row; both planted ids
+      // derive from it via explode
+      val planted = corpus.orderBy(col("vec_id")).limit(1)
+        .select(explode(array(lit(10000000L), lit(10000001L))).as("vec_id"),
+          transform(col("vec"), x => x * lit(1.0009)).as("vec"))
       Dedup.embeddingNearDup(corpus.unionByName(planted), "vec_id", "vec",
         threshold = 0.4, planes = 0)
     }),

@@ -257,6 +257,31 @@ class CollectionsParitySpec extends SparkSpec {
     assert(firstOfFirst === Set((1L, 1L), (2L, 4L)))
   }
 
+  test("meltList/meltStructList id-space overflow fails loudly, never wraps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.FactStore
+    def allMessages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + allMessages(t.getCause)
+    // raw id past levelSpan/stride: the guard must fire BEFORE the
+    // multiply (a product check would overflow Long and pass silently)
+    val big = Seq((1L << 45, Seq("x"))).toDF("id", "phones")
+    val e = intercept[Throwable] {
+      FactStore.meltList(big, col("id"), parentBase = 0L,
+        attr = "phones", listCol = "phones", elemBase = 1000L).collect()
+    }
+    assert(allMessages(e).contains("id space exhausted"), allMessages(e))
+    val bigStruct = Seq((Long.MaxValue / 4, Seq(("t", 1L))))
+      .toDF("id", "addrs")
+      .select(col("id"), col("addrs").cast(
+        "array<struct<town:string,number:bigint>>").as("addrs"))
+    val e2 = intercept[Throwable] {
+      FactStore.meltStructList(bigStruct, col("id"), parentBase = 0L,
+        attr = "addrs", listCol = "addrs", elemBase = 1000L).collect()
+    }
+    assert(allMessages(e2).contains("id-space overflow"), allMessages(e2))
+  }
+
   test("list-of-maps melts via meltStructList and queries through the chain") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
