@@ -300,6 +300,26 @@ object FactStream {
       }
   }
 
+  /** Continuous sequence PACKING — the streaming tail of the curation
+    * pipeline: per micro-batch, documents get fixed-token-budget pack
+    * assignments (TextAnalysis.packSequences, shard-parallel) and land
+    * as training rows in batch-owned partition dirs (idempotent under
+    * retry, same scheme as ingestWithCompaction). Packs are scoped
+    * (batch, shard): the micro-batch is the natural packing unit under
+    * continuous ingest — data loaders consume sealed batches, and
+    * cross-batch packing would need unbounded state for no benefit
+    * (the token budget is per sequence, not global). */
+  def ingestPackedDocuments(docs: DataFrame, path: String, checkpoint: String,
+                            budget: Int = 512, shards: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextAnalysis.packSequences(batch, budget, shards)
+          .write.mode("overwrite").parquet(s"$path/packed/batch=$batchId")
+      }
+      .start()
+
   /** Streaming ingest GATING — the §2C curation gates applied at the
     * moment documents enter the corpus instead of as a later batch
     * sweep: per micro-batch (a static DataFrame inside the

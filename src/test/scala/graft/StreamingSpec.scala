@@ -297,6 +297,38 @@ class StreamingSpec extends SparkSpec {
     assert(facts.select("e").distinct().head().getLong(0) === 1007L)
   }
 
+  test("stream_pack: per-micro-batch packing equals the batch operator") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pack").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = FactStream.ingestPackedDocuments(docs, dir, s"$dir/ckpt",
+      budget = 6, shards = 4)
+    val b0 = Seq((0L, "a b c"), (4L, "d e f g"), (8L, "h i"))
+    val b1 = Seq((12L, "j k l m n"), (16L, "o p"))
+    input.addData(b0)
+    q.processAllAvailable()
+    input.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "shard", "pack", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    import spark.implicits._
+    // batch 0 packs independently of batch 1 (batch-owned dirs), and
+    // each equals the BATCH operator run on the same rows
+    val got0 = rows(spark.read.parquet(s"$dir/packed/batch=0"))
+    val want0 = rows(graft.pipeline.TextAnalysis.packSequences(
+      b0.toDF("doc_id", "text"), budget = 6, shards = 4))
+    assert(got0 === want0)
+    val got1 = rows(spark.read.parquet(s"$dir/packed/batch=1"))
+    val want1 = rows(graft.pipeline.TextAnalysis.packSequences(
+      b1.toDF("doc_id", "text"), budget = 6, shards = 4))
+    assert(got1 === want1)
+    assert(rows(spark.read.parquet(s"$dir/packed")).size === 5)
+  }
+
   test("stream_gate: ingest-time language/quality/decontamination gating with quarantine") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
