@@ -144,8 +144,14 @@ object FactStore {
       case _ => 0
     }
     val depth = depthOf(df.schema(listCol).dataType)
-    require(stride > 0 && levelSpan > stride && elemBase >= 0 &&
-      elemBase <= Long.MaxValue - depth.toLong * levelSpan,
+    require(stride > 0, s"meltList($attr): stride must be positive, got $stride")
+    require(levelSpan > stride,
+      s"meltList($attr): levelSpan=$levelSpan must exceed stride=$stride " +
+        "(a level must hold at least one full position radix)")
+    require(elemBase >= 0, s"meltList($attr): elemBase must be >= 0, got $elemBase")
+    // division, not multiplication: depth * levelSpan itself wraps Long
+    // for deep-enough nesting and would let the guard pass silently
+    require(depth == 0 || levelSpan <= (Long.MaxValue - elemBase) / depth,
       s"meltList($attr): elemBase + depth*levelSpan overflows Long " +
         s"(elemBase=$elemBase, depth=$depth, levelSpan=$levelSpan)")
     val rawId = idExpr.cast(LongType)

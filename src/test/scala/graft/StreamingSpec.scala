@@ -304,8 +304,10 @@ class StreamingSpec extends SparkSpec {
     val docs = input.toDF().toDF("doc_id", "text")
     val q = FactStream.ingestPackedDocuments(docs, dir, s"$dir/ckpt",
       budget = 6, shards = 4)
-    val b0 = Seq((0L, "a b c"), (4L, "d e f g"), (8L, "h i"))
-    val b1 = Seq((12L, "j k l m n"), (16L, "o p"))
+    // ids spread across shards (0,1,1 / 2,3) so the multi-shard
+    // packing path is actually exercised
+    val b0 = Seq((0L, "a b c"), (5L, "d e f g"), (9L, "h i"))
+    val b1 = Seq((6L, "j k l m n"), (7L, "o p"))
     input.addData(b0)
     q.processAllAvailable()
     input.addData(b1)
