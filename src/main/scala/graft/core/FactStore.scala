@@ -182,14 +182,24 @@ object FactStore {
       // then pass the guard with a corrupted, possibly colliding id.
       // comp in [0, levelSpan/stride) ⟹ comp*stride + idx < levelSpan
       // with no intermediate overflow (levelSpan ≤ 2^58 << Long.Max).
-      .withColumn("__comp",
-        when(col("__comp") >= 0 && col("__comp") < lit(levelSpan / stride),
+      // DEPTH-1 flat lists (level 0, scalar elements) never allocate a
+      // deeper level, so the level partition is unnecessary — they get
+      // the wider meltStructList-style overflow-only bound
+      // ((Long.Max−elemBase)/stride), keeping the two flat ingest
+      // paths' accepted id ranges consistent (snowflake ids ~2^41 fit).
+      .withColumn("__comp", {
+        val compBound =
+          if (level == 0 && !elemType.isInstanceOf[ArrayType])
+            (Long.MaxValue - elemBase) / stride
+          else levelSpan / stride
+        when(col("__comp") >= 0 && col("__comp") < lit(compBound),
           col("__comp") * lit(stride) + col("__idx"))
           .otherwise(raise_error(concat(
             lit(s"meltList($attr): id space exhausted (levelSpan=$levelSpan, " +
               s"stride=$stride — raw/composite id must be in [0, " +
-              s"${levelSpan / stride})) under parent "),
-            col("__pid").cast(StringType)))))
+              s"$compBound); widen via the levelSpan/stride knobs) under parent "),
+            col("__pid").cast(StringType))))
+      })
     val elemId = lit(elemBase + level * levelSpan) + col("__comp")
     val refs = exploded.select(Seq(col("__pid").as("e"), lit(attr).as("a"),
       lit("r").as("vtype")) ++ nullCols("vref") :+ elemId.as("vref"): _*)

@@ -269,19 +269,35 @@ object TextAnalysis {
     * pointless at 100 TB (and serializes the window); per-shard
     * deterministic order is exactly what distributed packing pipelines
     * do (each shard's packs are consumed independently by a data
-    * loader). Sharding here is doc_id mod (engine-neutral for the
-    * DuckDB oracle); production would hash. */
-  def packSequences(docs: DataFrame, budget: Int, shards: Int = 32): DataFrame = {
+    * loader). Sharding here is doc_id mod (pmod — non-negative even
+    * for negative ids, matched by the oracle's ((x%n)+n)%n);
+    * production would hash.
+    *
+    * Determinism under adversarial ids: the window orders by
+    * (doc_id, n_tokens) — duplicate doc_ids with differing token
+    * counts still get a total order, and fully-identical rows are
+    * interchangeable, so the OUTPUT MULTISET is engine-deterministic.
+    * pack uses integer `div` (not Double division, which silently
+    * loses exactness past 2^53 cumulative tokens).
+    *
+    * `keep` carries extra input columns (e.g. the text payload for a
+    * training-row sink) through the shard window — they ride the ONE
+    * existing shuffle instead of costing a join back to the corpus. */
+  def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
+                    keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      reTokens(col("text")).cast("long").as("n_tokens"),
-      pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val toks = docs.select(col("doc_id") +:
+      reTokens(col("text")).cast("long").as("n_tokens") +:
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard") +:
+      keep.map(col): _*)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("n_tokens"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("shard"),
-        floor(col("start") / lit(budget.toDouble)).as("pack"),
-        (col("start") % lit(budget.toLong)).as("pack_offset"))
+      .select(col("doc_id") +: col("n_tokens") +: col("shard") +:
+        expr(s"start div ${budget.toLong}").as("pack") +:
+        (col("start") % lit(budget.toLong)).as("pack_offset") +:
+        keep.map(col): _*)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text,

@@ -47,7 +47,9 @@ object DatalogQueries {
             .agg(org.apache.spark.sql.functions.max("count")).head().get(0))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
         else db.log.count()
-      val buckets = math.max(8, math.min(cores, (unitRows / 200000L).toInt))
+      // min in Long space BEFORE narrowing — (unitRows/200000L).toInt
+      // wraps negative above ~4.3e14 facts and would pin the floor
+      val buckets = math.max(8, math.min(cores.toLong, unitRows / 200000L).toInt)
       graft.sources.Catalog.recreate(s, table) {
         graft.sources.FactLogIO.writeBucketedTable(db, table, buckets = buckets,
           partitionByAttr = partitionByAttr)

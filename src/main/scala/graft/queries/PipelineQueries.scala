@@ -119,12 +119,15 @@ object PipelineQueries {
       // query input plants two scaled copies of the minimum-id vector:
       // same direction → same sign-LSH bucket as their source, which
       // as the bucket's min id is its rep → cosine 1.0 pairs at ANY
-      // SF. Planted ids sit far above real vec_ids.
+      // SF. Planted ids derive from max(vec_id)+1/+2 (NOT constants —
+      // a large enough SF would collide real ids with a fixed 10M).
       val corpus = embBucketed(s, dir)
-      // one TakeOrdered job for the min-id row; both planted ids
-      // derive from it via explode
-      val planted = corpus.orderBy(col("vec_id")).limit(1)
-        .select(explode(array(lit(10000000L), lit(10000001L))).as("vec_id"),
+      // ONE aggregation job yields both the min-id vector and the max
+      // id; the two planted rows explode from it
+      val planted = corpus
+        .agg(max(col("vec_id")).as("maxid"),
+          min_by(col("vec"), col("vec_id")).as("vec"))
+        .select(explode(array(col("maxid") + 1, col("maxid") + 2)).as("vec_id"),
           transform(col("vec"), x => x * lit(1.0009)).as("vec"))
       Dedup.embeddingNearDup(corpus.unionByName(planted), "vec_id", "vec",
         threshold = 0.4, planes = 0)
@@ -503,18 +506,27 @@ object PipelineQueries {
                FROM clus JOIN q USING (doc_id)
                QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
                  ORDER BY quality_score DESC, doc_id) = 1) k""",
+    // Engine-semantics notes (the r8 driver-red row): shard uses the
+    // pmod identity ((x%n)+n)%n to match Spark's pmod on negative ids;
+    // the window orders by (doc_id, n_tokens) — a total order up to
+    // fully-identical rows, so the output multiset is deterministic
+    // under duplicate ids; the windowed SUM is CAST back to BIGINT
+    // because DuckDB's SUM(BIGINT) yields HUGEINT, a type the driver's
+    // fetch path renders differently than Python's (pipeline_pack was
+    // the ONLY oracle of 73 emitting a HUGEINT column); pack uses
+    // integer // division, not floats.
     "pipeline_pack" ->
       """WITH t AS (SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
-               doc_id % 8 AS shard
+               ((doc_id % 8) + 8) % 8 AS shard
              FROM documents),
            c AS (SELECT doc_id, n_tokens, shard,
-               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+               CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, n_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
              FROM t)
          SELECT doc_id, n_tokens, shard,
-                CAST(floor(start / 512.0) AS BIGINT) AS pack,
-                start % 512 AS pack_offset
+                CAST(start // 512 AS BIGINT) AS pack,
+                CAST(start % 512 AS BIGINT) AS pack_offset
          FROM c"""
   )
 }

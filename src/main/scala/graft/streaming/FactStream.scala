@@ -303,7 +303,10 @@ object FactStream {
   /** Continuous sequence PACKING — the streaming tail of the curation
     * pipeline: per micro-batch, documents get fixed-token-budget pack
     * assignments (TextAnalysis.packSequences, shard-parallel) and land
-    * as training rows in batch-owned partition dirs (idempotent under
+    * as training rows — pack coordinates PLUS the text payload, so a
+    * data loader reads sealed batch dirs directly with no join back to
+    * the raw corpus (the text rides the window's one shard shuffle) —
+    * in batch-owned partition dirs (idempotent under
     * retry, same scheme as ingestWithCompaction). Packs are scoped
     * (batch, shard): the micro-batch is the natural packing unit under
     * continuous ingest — data loaders consume sealed batches, and
@@ -315,7 +318,8 @@ object FactStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.pipeline.TextAnalysis.packSequences(batch, budget, shards)
+        graft.pipeline.TextAnalysis.packSequences(batch, budget, shards,
+            keep = Seq("text"))
           .write.mode("overwrite").parquet(s"$path/packed/batch=$batchId")
       }
       .start()

@@ -461,6 +461,33 @@ class GroundTruthSpec extends SparkSpec {
     assert(sharded(9L) === ((1L, 1L)))  // starts at 7 → its shard's pack 1
   }
 
+  test("packSequences: adversarial ids — negative and duplicate doc_ids are deterministic") {
+    import graft.pipeline.TextAnalysis
+    // negative ids shard by pmod (NOT sign-preserving %): pmod(-8,8)=0,
+    // pmod(-3,8)=5 — the r8 driver-red divergence class. Duplicate ids
+    // order by the (doc_id, n_tokens) tie-breaker; the two (−8, n=2)
+    // rows are fully identical so the output MULTISET is unique.
+    val docs = Seq(
+      (-8L, "a b c"),      // shard 0, n=3
+      (-8L, "d e"),        // shard 0, n=2 (dup id, distinct n)
+      (-8L, "f g"),        // shard 0, n=2 (dup id, same n — interchangeable)
+      (0L, "h"),           // shard 0, n=1
+      (-3L, "x y z w"))    // shard 5, n=4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, budget = 6, shards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    // shard 0 concat order by (id, n): (-8,2),(-8,2),(-8,3),(0,1) →
+    // starts 0,2,4,7 → packs 0,0,0,1, offsets 0,2,4,1
+    val want = Seq(
+      (-8L, 2L, 0L, 0L, 0L),
+      (-8L, 2L, 0L, 0L, 2L),
+      (-8L, 3L, 0L, 0L, 4L),
+      (0L, 1L, 0L, 1L, 1L),
+      (-3L, 4L, 5L, 0L, 0L)).sorted
+    assert(got === want)
+  }
+
   test("pageRankAuto dispatch: bounded probe, both branches agree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val edgeDf = edges.toDF("src", "dst")

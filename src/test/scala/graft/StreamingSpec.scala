@@ -329,6 +329,12 @@ class StreamingSpec extends SparkSpec {
       b1.toDF("doc_id", "text"), budget = 6, shards = 4))
     assert(got1 === want1)
     assert(rows(spark.read.parquet(s"$dir/packed")).size === 5)
+    // packed rows are self-contained TRAINING rows: the text payload
+    // rides the shard shuffle into the sink (no join back to the corpus)
+    val withText = spark.read.parquet(s"$dir/packed")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(withText === (b0 ++ b1).toMap)
   }
 
   test("stream_gate: ingest-time language/quality/decontamination gating with quarantine") {
