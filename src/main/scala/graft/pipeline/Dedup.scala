@@ -57,9 +57,23 @@ object Dedup {
     ngramJaccard(docs, threshold, ppFilters = true)
 
   private[graft] def ngramJaccard(docs: DataFrame, threshold: Double,
-                                  ppFilters: Boolean): DataFrame = {
-    val t = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-    val cands = ngramCandidates(docs, threshold, ppFilters)
+                                  ppFilters: Boolean): DataFrame =
+    ngramJaccardFromToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")),
+      threshold, ppFilters)
+
+  /** [[ngramJaccard]] over a precomputed (doc_id, toks) relation —
+    * typically the doc_id-bucketed sidecar from
+    * [[writeTokenSetSidecar]], which makes BOTH verify fetch joins
+    * (candidates → ta, candidates → tb) Exchange-free on the
+    * corpus-sized token-set side: candidate pairs move to the buckets,
+    * the token sets never reshuffle. Same sidecar discipline as
+    * minhash; at 100 TB this path carries dedup_ngram, dedup_clusters
+    * and dedup_keep_best. */
+  def ngramJaccardFromToks(tokSets: DataFrame, threshold: Double,
+                           ppFilters: Boolean = true): DataFrame = {
+    val t = tokSets.select(col("doc_id"), col("toks"))
+    val cands = ngramCandidatesFromToks(t, threshold, ppFilters)
     val withSets = cands
       .join(t.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
       .join(t.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
@@ -71,11 +85,41 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Token-set sidecar written once at ingest: (doc_id, toks) BUCKETED
+    * by doc_id — the persisted fetch-side artifact for the exact-
+    * Jaccard verify stage (and anything else keyed on doc_id that
+    * needs the token sets). `buckets = 0` sizes by volume: ~200k docs
+    * per bucket, floor 8, cap cores (see [[writeMinHashSidecar]] for
+    * the measured rationale). */
+  def writeTokenSetSidecar(docs: DataFrame, table: String,
+                           buckets: Int = 0): DataFrame = {
+    val nb = if (buckets > 0) buckets else volumeBuckets(docs)
+    docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    docs.sparkSession.table(table)
+  }
+
+  /** ~200k rows per bucket, 8-bucket floor, core-count cap — the
+    * shared sidecar sizing rule (bucket count = scan-parallelism
+    * ceiling AND file count under autoBucketedScan=false). */
+  private def volumeBuckets(df: DataFrame): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    math.max(8, math.min(cores.toLong, df.count() / 200000L).toInt)
+  }
+
   /** Candidate (a, b) pairs of [[ngramJaccard]]'s prefix join —
     * factored out so the filter effectiveness is testable. */
   private[graft] def ngramCandidates(docs: DataFrame, threshold: Double,
-                                     ppFilters: Boolean = true): DataFrame = {
-    val tokDf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+                                     ppFilters: Boolean = true): DataFrame =
+    ngramCandidatesFromToks(
+      docs.select(col("doc_id"), toks(col("text")).as("toks")),
+      threshold, ppFilters)
+
+  private[graft] def ngramCandidatesFromToks(tokSets: DataFrame, threshold: Double,
+                                             ppFilters: Boolean = true): DataFrame = {
+    val tokDf = tokSets.select(col("doc_id"), explode(col("toks")).as("tok"))
     // global document frequency — rarest-first gives the smallest join
     // fan-out; tie-break on the token itself for determinism.
     val dfreq = tokDf.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -144,12 +188,22 @@ object Dedup {
     * [[minhashLshFromSigs]]) plan with no Exchange on the signature
     * side: the verify cost at 100 TB is then the candidate pairs, not a
     * corpus reshuffle. Caller is responsible for table lifecycle
-    * (graft.sources.Catalog.recreate). */
+    * (graft.sources.Catalog.recreate).
+    *
+    * `buckets = 0` (default) sizes the count by VOLUME — ~200k docs per
+    * bucket, 8-bucket floor, core-count cap — the same rule as the fact
+    * log's bucketedDb: under autoBucketedScan=false the bucket count is
+    * the scan-parallelism ceiling AND the file count, and a flat 32 on
+    * a small corpus is pure small-file overhead (measured: the r8 flat
+    * 32 put dedup_minhash at ~1.6 s on the sf0.1 bench; the r7 8-bucket
+    * layout ran ~1.05 s — same query code). A corpus big enough to
+    * saturate the cores gets one bucket per core. */
   def writeMinHashSidecar(docs: DataFrame, table: String, k: Int = 64,
-                          buckets: Int = 32): DataFrame = {
+                          buckets: Int = 0): DataFrame = {
+    val nb = if (buckets > 0) buckets else volumeBuckets(docs)
     minhashSignatures(docs, k)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(table)
     // the artifact owns its parameters (same discipline as AnnIndex /
     // IvfIndex): persist k so readers can't slice band boundaries with

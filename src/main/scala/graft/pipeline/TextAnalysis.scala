@@ -137,6 +137,20 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[hashVectors]] folded into a DENSE fixed-width embedding column
+    * (doc_id, vec: array<double>) — the hashing-trick document vector
+    * that feeds the similarity/ANN stages when no learned embedding
+    * exists (and the embedding stage of the streaming curation
+    * pipeline). Deterministic, one aggregation, no vocabulary state. */
+  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame =
+    hashVectors(docs, dims)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("dim"), col("cnt").cast("double")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0))).as("vec"))
+
   /** PII scrubbing: mask email addresses, long digit runs (phone /
     * account numbers), and SSN-shaped patterns — the standard redaction
     * gate before training-data release. Pure regexp_replace chain

@@ -79,13 +79,32 @@ object PipelineQueries {
     * dedup_minhash then plan with no Exchange on the signature side
     * (PlanAuditSpec). Read back WITH its persisted signature width:
     * the artifact owns k, the query never re-supplies it. */
+  private val mhKCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
   private def mhSidecar(s: SparkSession, dir: String): (DataFrame, Int) = {
     val t = sessionTable(s, dir, "minhash_sidecar") { table =>
       Dedup.writeMinHashSidecar(docs(s, dir), table, k = 64): Unit
     }
-    val (_, k) = Dedup.readMinHashSidecar(s, tableName(dir, "minhash_sidecar"))
+    // the artifact still owns k (readMinHashSidecar) — but read the
+    // table property ONCE per session, not per query invocation
+    // (SHOW TBLPROPERTIES is a driver job; uncached it taxed every
+    // bench iteration)
+    val k = mhKCache.getOrElseUpdate((s, dir),
+      Dedup.readMinHashSidecar(s, tableName(dir, "minhash_sidecar"))._2)
     (t, k)
   }
+
+  /** Token-set sidecar on the doc_id-bucketed catalog layout
+    * (Dedup.writeTokenSetSidecar): the exact-Jaccard verify stage's
+    * two fetch joins then read the corpus-sized token sets in place —
+    * candidates move to the buckets, the token sets never reshuffle
+    * (PlanAuditSpec). Shared by dedup_ngram and the cluster/keep-best
+    * pipeline (their 1-in-5 sample is a bucketing-preserving filter
+    * over the same table). */
+  private def tokSidecar(s: SparkSession, dir: String): DataFrame =
+    sessionTable(s, dir, "ngram_toks") { table =>
+      Dedup.writeTokenSetSidecar(docs(s, dir), table): Unit
+    }
 
   /** Embeddings served from a vec_id-bucketed catalog table — the
     * co-bucketed corpus layout: the rep-vector fetch join in
@@ -101,7 +120,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), 0.8)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardFromToks(tokSidecar(s, dir), 0.8)),
 
     "dedup_minhash" -> ((s, dir) => {
       val (sigs, k) = mhSidecar(s, dir)
@@ -212,8 +231,8 @@ object PipelineQueries {
     // probe SF — the operator itself has no such bound.
     "dedup_clusters" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val sampled = docs(s, dir).filter(col("doc_id") % 5 === 0)
-      val pairs = Dedup.ngramJaccard(sampled, 0.8)
+      val sampled = tokSidecar(s, dir).filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.ngramJaccardFromToks(sampled, 0.8)
         .select(col("a").as("src"), col("b").as("dst"))
       graft.graph.GraphOps.ccDataFrame(pairs)
         .select(col("node").as("doc_id"), col("component").as("cluster"))
@@ -231,12 +250,13 @@ object PipelineQueries {
     "dedup_keep_best" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import org.apache.spark.sql.expressions.Window
-      val sampled = docs(s, dir).filter(col("doc_id") % 5 === 0)
-      val pairs = Dedup.ngramJaccard(sampled, 0.8)
+      val sampledToks = tokSidecar(s, dir).filter(col("doc_id") % 5 === 0)
+      val pairs = Dedup.ngramJaccardFromToks(sampledToks, 0.8)
         .select(col("a").as("src"), col("b").as("dst"))
       val clusters = graft.graph.GraphOps.ccDataFrame(pairs)
         .select(col("node").as("doc_id"), col("component").as("cluster"))
-      val quality = TextAnalysis.quality(sampled)
+      val quality = TextAnalysis.quality(
+          docs(s, dir).filter(col("doc_id") % 5 === 0))
         .select(col("doc_id"), col("quality_score"))
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("quality_score").desc, col("doc_id"))

@@ -134,32 +134,43 @@ object FactStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
-        if ((batchId + 1) % refreshEvery == 0) {
-          import graft.pipeline.Similarity
-          val annPath = s"$path/ann"
-          Similarity.readAnnMeta(spark, annPath) match {
-            case Some(prior) if prior.segments.length < maxSegments =>
-              val newDirs = corpusBatchDirs(spark, s"$path/corpus")
-                .collect { case (id, p) if id > prior.covered => p }
-              if (newDirs.nonEmpty) {
-                val newRows = spark.read.parquet(newDirs: _*)
-                val seg = Similarity.writeAnnSegment(
-                  Similarity.annIndex(newRows, "id", "vec", prior.planes).assigned,
-                  annPath)
-                Similarity.publishAnnVersion(spark, annPath,
-                  Similarity.AnnMeta(prior.planes, prior.segments :+ seg,
-                    covered = batchId),
-                  version = batchId)
-              }
-            case Some(prior) => // chain at bound: compact (keep pinned planes)
-              rebuildAnnIndex(spark, path, prior.planes, coveredThrough = batchId)
-            case None =>
-              rebuildAnnIndex(spark, path, planes, coveredThrough = batchId)
-          }
-          Similarity.retireAnnVersions(spark, annPath, keepVersions)
-        }
+        if ((batchId + 1) % refreshEvery == 0)
+          annRefreshStep(spark, path, planes, batchId, keepVersions, maxSegments)
       }
       .start()
+
+  /** One incremental ANN-refresh cycle (the body of
+    * [[ingestEmbeddingsWithAnnRefresh]]'s periodic branch, shared with
+    * [[ingestCurationPipeline]]): sign only the corpus batches past the
+    * covered watermark into a fresh segment, publish, retire old
+    * versions; bootstrap or a chain at `maxSegments` falls through to
+    * the full rebuild. */
+  private[graft] def annRefreshStep(spark: SparkSession, path: String,
+                                    planes: Int, batchId: Long,
+                                    keepVersions: Int, maxSegments: Int): Unit = {
+    import graft.pipeline.Similarity
+    val annPath = s"$path/ann"
+    Similarity.readAnnMeta(spark, annPath) match {
+      case Some(prior) if prior.segments.length < maxSegments =>
+        val newDirs = corpusBatchDirs(spark, s"$path/corpus")
+          .collect { case (id, p) if id > prior.covered => p }
+        if (newDirs.nonEmpty) {
+          val newRows = spark.read.parquet(newDirs: _*)
+          val seg = Similarity.writeAnnSegment(
+            Similarity.annIndex(newRows, "id", "vec", prior.planes).assigned,
+            annPath)
+          Similarity.publishAnnVersion(spark, annPath,
+            Similarity.AnnMeta(prior.planes, prior.segments :+ seg,
+              covered = batchId),
+            version = batchId)
+        }
+      case Some(prior) => // chain at bound: compact (keep pinned planes)
+        rebuildAnnIndex(spark, path, prior.planes, coveredThrough = batchId)
+      case None =>
+        rebuildAnnIndex(spark, path, planes, coveredThrough = batchId)
+    }
+    Similarity.retireAnnVersions(spark, annPath, keepVersions)
+  }
 
   /** Continuous embedding ingestion WITH IVF-index maintenance — the
     * IVF analog of [[ingestEmbeddingsWithAnnRefresh]], closing the
@@ -345,20 +356,7 @@ object FactStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.pipeline.TextAnalysis
-        val gates = TextAnalysis.langQuality(batch)
-          .select(col("doc_id"), col("pred_lang"), col("quality_score"))
-        val contaminated = TextAnalysis.decontaminate(batch, evalDocs, shingle)
-          .select(col("doc_id"), lit(true).as("contaminated"))
-        val verdicts = gates.join(contaminated, Seq("doc_id"), "left")
-          .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-          // a null gate column (e.g. null text → null pred_lang) must
-          // FAIL the gate, not vanish from both outputs: coalesce the
-          // verdict to false so null-gated rows are quarantined — the
-          // auditable-drop guarantee holds for malformed rows too.
-          .withColumn("pass", coalesce(
-            col("pred_lang") === lang && col("quality_score") >= minQuality &&
-              !col("contaminated"), lit(false)))
+        val verdicts = gateVerdicts(batch, evalDocs, lang, minQuality, shingle)
         // persist before the two sinks: the gate computation (the
         // langQuality projection + the eval-shingle broadcast join)
         // executes ONCE per micro-batch and both filtered writes read
@@ -370,6 +368,105 @@ object FactStream {
             .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
           graded.filter(!col("pass")).drop("pass")
             .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
+        } finally graded.unpersist(false): Unit
+      }
+      .start()
+
+  /** Per-batch gate verdicts — (doc_id, pred_lang, quality_score,
+    * contaminated, pass) — shared by [[ingestGatedDocuments]] and
+    * [[ingestCurationPipeline]] so the gate semantics cannot drift
+    * between the gate-only and the composed sink. A null gate column
+    * (e.g. null text → null pred_lang) must FAIL the gate, not vanish
+    * from both outputs: the verdict coalesces to false so null-gated
+    * rows are quarantined — the auditable-drop guarantee holds for
+    * malformed rows too. */
+  private[graft] def gateVerdicts(batch: DataFrame, evalDocs: DataFrame,
+                                  lang: String, minQuality: Double,
+                                  shingle: Int): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val gates = TextAnalysis.langQuality(batch)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+    val contaminated = TextAnalysis.decontaminate(batch, evalDocs, shingle)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    gates.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("pass", coalesce(
+        col("pred_lang") === lang && col("quality_score") >= minQuality &&
+          !col("contaminated"), lit(false)))
+  }
+
+  /** The FULL streaming curation pipeline in ONE single-writer stream —
+    * the composition a real training-data deployment runs at ingest,
+    * wiring the §2E surfaces end-to-end per micro-batch:
+    *
+    *  1. GATES (shared [[gateVerdicts]]): language + quality +
+    *     benchmark decontamination; rejects land in auditable
+    *     batch-owned quarantine dirs.
+    *  2. CROSS-BATCH EXACT DEDUP: first-seen content hash wins. The
+    *     seen-set is a durable hash sidecar appended per batch (state
+    *     lives in the layout, not executor memory — restart-safe and
+    *     O(1) per batch to extend); within a batch the min doc_id per
+    *     hash survives, across batches earlier batches win (a retried
+    *     batch re-reads only sidecar dirs BELOW its id — idempotent).
+    *  3. PACKING: survivors become fixed-token-budget training rows
+    *     (packSequences, text payload riding the one shard shuffle)
+    *     in batch-owned `packed/` dirs.
+    *  4. EMBED + ANN REFRESH: survivors get deterministic
+    *     hashing-trick embeddings (TextAnalysis.hashEmbedding) appended
+    *     to the corpus; every `refreshEvery` batches the shared
+    *     [[annRefreshStep]] signs ONLY the new batches into the
+    *     published segmented index (O(new rows), LSM compaction at the
+    *     segment bound).
+    *
+    * Every stage is serialized in the one foreachBatch writer — no
+    * cross-stage coordination, every sink idempotent under retry. The
+    * composition spec pins streamed output == the batch pipeline
+    * (gates → exact dedup → pack) on the same data. */
+  def ingestCurationPipeline(docs: DataFrame, evalDocs: DataFrame,
+                             path: String, checkpoint: String,
+                             lang: String = "en", minQuality: Double = 0.5,
+                             shingle: Int = 8, budget: Int = 512,
+                             shards: Int = 32, dims: Int = 64,
+                             planes: Int = 8, refreshEvery: Int = 2,
+                             keepVersions: Int = 3, maxSegments: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.pipeline.TextAnalysis
+        val verdicts = gateVerdicts(batch, evalDocs, lang, minQuality, shingle)
+        val graded = batch.join(verdicts, "doc_id").persist()
+        try {
+          graded.filter(!col("pass")).drop("pass")
+            .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
+          val passed = graded.filter(col("pass")).select(col("doc_id"), col("text"))
+          // exact dedup: min doc_id per content hash within the batch...
+          val hashed = passed.withColumn("text_hash",
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          val firstInBatch = hashed.join(
+            hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id")),
+            Seq("text_hash", "doc_id"))
+          // ...then first-seen across batches via the durable seen-hash
+          // sidecar (only dirs below this batch id: retry-idempotent)
+          val seenDirs = corpusBatchDirs(spark, s"$path/seen")
+            .collect { case (id, p) if id < batchId => p }
+          val fresh =
+            if (seenDirs.isEmpty) firstInBatch
+            else firstInBatch.join(
+              spark.read.parquet(seenDirs: _*), Seq("text_hash"), "left_anti")
+          val survivors = fresh.select(col("doc_id"), col("text")).persist()
+          try {
+            fresh.select(col("text_hash"))
+              .write.mode("overwrite").parquet(s"$path/seen/batch=$batchId")
+            TextAnalysis.packSequences(survivors, budget, shards, keep = Seq("text"))
+              .write.mode("overwrite").parquet(s"$path/packed/batch=$batchId")
+            TextAnalysis.hashEmbedding(survivors, dims)
+              .select(col("doc_id").as("id"), col("vec"))
+              .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
+          } finally survivors.unpersist(false): Unit
+          if ((batchId + 1) % refreshEvery == 0)
+            annRefreshStep(spark, path, planes, batchId, keepVersions, maxSegments)
         } finally graded.unpersist(false): Unit
       }
       .start()

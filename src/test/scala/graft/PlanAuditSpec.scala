@@ -140,6 +140,54 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the pairs-side Exchange only:\n$p")
   }
 
+  test("token-set sidecar: ngram verify fetch joins read the buckets, shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the 100 TB case (candidates too big to broadcast, forced with a
+    // merge hint): the doc_id-bucketed token sets join with a Sort but
+    // NO Exchange on the corpus-sized side — candidates move to them
+    val table = "graft_ngram_toks_spec"
+    graft.sources.Catalog.recreate(spark, table) {
+      graft.pipeline.Dedup.writeTokenSetSidecar(
+        graft.core.TestData.read(spark, sf, "documents"), table): Unit
+    }
+    val sidecar = spark.table(table)
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a", "b")
+    val joined = pairs.join(
+      sidecar.select(col("doc_id").as("a"), col("toks").as("ta")).hint("merge"), "a")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(p.contains("Bucketed: true"), s"expected bucketed sidecar scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the pairs-side Exchange only:\n$p")
+  }
+
+  test("dedup_ngram: verify joins never reshuffle the bucketed token-set sidecar") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = PipelineQueries.queries("dedup_ngram")(spark, sf)
+        .queryExecution.executedPlan
+      // the keyed scans (doc_id in the read schema ⇒ bucketed): the
+      // verify fetches and the prefix stage's per-doc windows. The
+      // toks-only scan feeding the global token-df AGGREGATION rightly
+      // shuffles by tok — that is the aggregation, not a fetch.
+      def keyedScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_ngram_toks")) &&
+            f.requiredSchema.fieldNames.contains("doc_id") => f }
+      assert(keyedScans(plan).nonEmpty, s"expected token-set sidecar scans:\n$plan")
+      // no shuffle Exchange above a keyed sidecar scan: token sets join
+      // (and window) in place — the candidate side moves, at any scale.
+      // This also pins the free win of the bucketed layout: the per-doc
+      // rnk/sz windows of the prefix stage need no Exchange either.
+      val reshuffled = plan.collect { case sh: ShuffleExchangeExec => sh }
+        .flatMap(sh => keyedScans(sh.child))
+      assert(reshuffled.isEmpty, s"keyed token-set scan under a shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("embeddings sidecar: rep-vector fetch joins the bucketed corpus shuffle-free") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

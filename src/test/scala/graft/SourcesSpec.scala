@@ -181,6 +181,44 @@ class SourcesSpec extends SparkSpec {
     assert(out.collect().map(_.getString(0)).toSeq === Seq("ada"))
   }
 
+  test("point read: driver-side entityDirect equals the Spark entity() path") {
+    import graft.sources.PointRead
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    val table = "graft_pointread_spec"
+    graft.sources.Catalog.recreate(spark, table) {
+      FactLogIO.writeBucketedTable(db, table, buckets = 4)
+    }
+    val served = db.copy(log = spark.table(table)
+      .select(graft.core.FactStore.factSchema.fieldNames.toIndexedSeq.map(col): _*))
+    // entities covering every resolution shape: card-one supersession
+    // (last_value/last_type), retraction (active), card-many
+    // (purchase_bucket) — compare the full rendered row set per entity
+    val eids = (0L to 24L).map(_ + TestData.UserBase)
+    def sparkSide(eid: Long, asOf: Long) = served.entity(eid, asOf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    var checked = 0
+    eids.foreach { eid =>
+      val direct = PointRead.entityDirect(spark, table, db, eid).toSet
+      assert(direct === sparkSide(eid, Long.MaxValue), s"entity $eid diverged")
+      if (direct.nonEmpty) checked += 1
+    }
+    assert(checked > 5, s"only $checked non-empty entities — fixture too thin")
+    // as-of bound respected identically
+    val eid = eids.head
+    val asOf = TestData.TxBase + 1500
+    assert(PointRead.entityDirect(spark, table, db, eid, asOf).toSet
+      === sparkSide(eid, asOf))
+    // absent entity: empty, not an error
+    assert(PointRead.entityDirect(spark, table, db, -999L).isEmpty)
+    // the point of the path: warm reads skip job scheduling entirely.
+    // Generous 250 ms CI bound (measured ~5-15 ms warm; the Spark job
+    // floor is ~200-400 ms) — the latency claim is recorded in README.
+    val t0 = System.nanoTime()
+    PointRead.entityDirect(spark, table, db, eids(1))
+    val warmMs = (System.nanoTime() - t0) / 1e6
+    assert(warmMs < 250, s"warm entityDirect took $warmMs ms")
+  }
+
   test("salted skew join equals the plain join") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "payload") // key 1 is hot

@@ -337,6 +337,87 @@ class StreamingSpec extends SparkSpec {
     assert(withText === (b0 ++ b1).toMap)
   }
 
+  test("curation pipeline composition: gate → dedup → pack → ANN refresh equals the batch pipeline") {
+    implicit val sql = spark.sqlContext
+    import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val evalDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val q = FactStream.ingestCurationPipeline(docs, evalDocs, dir, s"$dir/ckpt",
+      lang = "en", minQuality = 0.3, budget = 8, shards = 4, dims = 16,
+      planes = 4, refreshEvery = 1)
+    val cleanA = "the cat and the dog sat on a mat in the sun and it is a " +
+      "good day to walk in the park with a friend and enjoy the afternoon"
+    val cleanB = "a quiet morning by the lake is the best time to read a " +
+      "book and the birds sing in the trees while the water is still"
+    val cleanC = "the old house at the end of the road has a garden and " +
+      "the flowers grow tall in the warm light of the long summer days"
+    val b0 = Seq(
+      (1L, cleanA),                                             // passes
+      (2L, "prefix words alpha beta gamma delta epsilon zeta eta theta " +
+        "more tail words here the and of to a in"),             // contaminated
+      (3L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"),              // junk
+      (4L, cleanB))                                             // passes
+    val b1 = Seq(
+      (5L, cleanA),                                             // cross-batch dup of 1
+      (6L, cleanC),                                             // passes
+      (7L, cleanB))                                             // cross-batch dup of 4
+    input.addData(b0); q.processAllAvailable()
+    input.addData(b1); q.processAllAvailable()
+    q.stop()
+    // 1. final packed corpus == the BATCH pipeline on the same data:
+    //    shared gates, then exact dedup (min doc_id per content hash —
+    //    ids grow with arrival order, so batch min-id == streaming
+    //    first-seen)
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    val expectSurvivors = all
+      .join(FactStream.gateVerdicts(all, evalDocs, "en", 0.3, 8)
+        .filter(col("pass")).select("doc_id"), "doc_id")
+    val expectKept = expectSurvivors
+      .join(Dedup.exact(expectSurvivors).select("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val packed = spark.read.parquet(s"$dir/packed")
+    assert(packed.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expectKept)
+    assert(expectKept.map(_._1) === Set(1L, 4L, 6L))
+    // 2. per-batch pack coordinates equal the batch operator on that
+    //    batch's survivors
+    def coords(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "shard", "pack", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(coords(spark.read.parquet(s"$dir/packed/batch=1")) ===
+      coords(TextAnalysis.packSequences(
+        Seq((6L, cleanC)).toDF("doc_id", "text"), budget = 8, shards = 4)))
+    // 3. rejects quarantined with verdicts, nothing lost
+    assert(spark.read.parquet(s"$dir/quarantine").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // 4. the served ANN index covers exactly the survivors, grew
+    //    incrementally (bootstrap + one O(new rows) segment), and its
+    //    bucket assignment equals signing the streamed corpus from
+    //    scratch with the pinned plane count
+    val idx = Similarity.readAnnIndex(spark, s"$dir/ann")
+    assert(idx.planes === 4)
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(buckets(idx.assigned) ===
+      buckets(Similarity.annIndex(corpus, "id", "vec", planes = 4).assigned))
+    assert(buckets(idx.assigned).map(_._1) === Set(1L, 4L, 6L))
+    // embeddings are the deterministic hashing-trick vectors of the
+    // kept text — the batch embed stage reproduces them bit-for-bit
+    val expectVecs = TextAnalysis.hashEmbedding(
+        Seq((1L, cleanA), (4L, cleanB), (6L, cleanC)).toDF("doc_id", "text"), 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    corpus.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).foreach {
+      case (id, vec) => assert(vec === expectVecs(id), s"vec drift for $id")
+    }
+  }
+
   test("stream_gate: ingest-time language/quality/decontamination gating with quarantine") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
