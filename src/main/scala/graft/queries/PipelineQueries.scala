@@ -196,6 +196,16 @@ object PipelineQueries {
 
     "text_hashvec" -> ((s, dir) => TextAnalysis.hashVectors(docs(s, dir), dims = 64)),
 
+    // dense hashing-trick document embedding (the embedding stage of
+    // the streaming curation pipeline), exploded to (doc_id, dim, val)
+    // rows so the oracle can hash-check the full dense vector — zeros
+    // included (the array form is what hashEmbedding returns; posexplode
+    // is presentation only)
+    "text_embed" -> ((s, dir) =>
+      TextAnalysis.hashEmbedding(docs(s, dir), dims = 64)
+        .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim", "val")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))),
+
     "text_redact" -> ((s, dir) => TextAnalysis.redact(docs(s, dir))),
 
     // reproducible stratified sample: 20 docs per predicted language,
@@ -425,6 +435,20 @@ object PipelineQueries {
                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                FROM documents) t
          GROUP BY 1, 2""",
+    // dense embedding = text_hashvec's sparse counts scattered over a
+    // fixed 0..63 dim range (zeros explicit); same hash, same tokenizer
+    "text_embed" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              cnt AS (SELECT doc_id,
+                        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                        CAST(count(*) AS DOUBLE) AS val
+                      FROM tok GROUP BY 1, 2),
+              dims AS (SELECT unnest(range(64)) AS dim)
+         SELECT d.doc_id, dims.dim, coalesce(cnt.val, 0.0) AS val
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         CROSS JOIN dims
+         LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dims.dim""",
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                       FROM documents),
