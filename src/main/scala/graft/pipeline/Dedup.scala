@@ -27,11 +27,18 @@ object Dedup {
 
   private def toks(text: Column): Column = array_distinct(split(trim(text), "\\s+"))
 
+  /** THE content-hash normalization — one definition shared by
+    * [[exact]], the streaming dedup (FactStream.dedupStream) and the
+    * curation stream's durable seen-hash sidecar, so the batch and
+    * streaming dedup keys can never drift apart (a normalization
+    * change here changes all three together). */
+  def contentHash(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Exact dedup on normalized content hash: one surviving doc (min id)
     * per distinct content. */
   def exact(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("text_hash"))
+    val hashed = docs.select(col("doc_id"), contentHash(col("text")).as("text_hash"))
     hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text_hash"))
   }

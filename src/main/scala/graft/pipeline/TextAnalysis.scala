@@ -142,14 +142,22 @@ object TextAnalysis {
     * that feeds the similarity/ANN stages when no learned embedding
     * exists (and the embedding stage of the streaming curation
     * pipeline). Deterministic, one aggregation, no vocabulary state. */
-  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame =
-    hashVectors(docs, dims)
+  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val m = hashVectors(docs, dims)
       .groupBy(col("doc_id"))
       .agg(map_from_entries(
         collect_list(struct(col("dim"), col("cnt").cast("double")))).as("m"))
+    // EVERY doc gets a vector — a doc whose text tokenizes to nothing
+    // (null text) vanishes from the exploded hashVectors relation but
+    // must come back as the zero vector, both for the oracle (which
+    // scatters over all doc_ids) and for downstream stages that assume
+    // corpus-complete embeddings
+    docs.select(col("doc_id")).distinct()
+      .join(m, Seq("doc_id"), "left")
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dims - 1)),
           d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0))).as("vec"))
+  }
 
   /** PII scrubbing: mask email addresses, long digit runs (phone /
     * account numbers), and SSN-shaped patterns — the standard redaction
@@ -296,7 +304,11 @@ object TextAnalysis {
     *
     * `keep` carries extra input columns (e.g. the text payload for a
     * training-row sink) through the shard window — they ride the ONE
-    * existing shuffle instead of costing a join back to the corpus. */
+    * existing shuffle instead of costing a join back to the corpus.
+    * Kept columns join the window's tie-break order: without that, two
+    * rows tied on (doc_id, n_tokens) but differing in a kept column
+    * would swap pack coordinates run-to-run, breaking the sealed-dir
+    * idempotency the streaming sink relies on. */
   def packSequences(docs: DataFrame, budget: Int, shards: Int = 32,
                     keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -305,7 +317,7 @@ object TextAnalysis {
       pmod(col("doc_id"), lit(shards.toLong)).as("shard") +:
       keep.map(col): _*)
     val w = Window.partitionBy(col("shard"))
-      .orderBy(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id") +: col("n_tokens") +: keep.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id") +: col("n_tokens") +: col("shard") +:

@@ -73,8 +73,14 @@ object PointRead {
         fs.listStatus(dir).foreach { st =>
           val name = st.getPath.getName
           if (st.isDirectory) {
+            // partition values are path-ESCAPED by the writer (%2F for
+            // the '/' every melted attribute contains, %20 for spaces…)
+            // — unescape or the rendered attribute names diverge from
+            // entity() on exactly the attr-partitioned layouts
             if (name.startsWith("a="))
-              walk(st.getPath, Some(name.stripPrefix("a=")))
+              walk(st.getPath, Some(
+                org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                  .unescapePathName(name.stripPrefix("a="))))
             else if (!name.startsWith("_") && !name.startsWith("."))
               walk(st.getPath, attr)
           } else if (name.endsWith(".parquet"))
@@ -179,7 +185,25 @@ object PointRead {
   }
 
   /** Mirror of resolveCardOne's window order: tx desc, then each value
-    * slot desc with nulls last. min() under this ordering = row_number 1. */
+    * slot desc with nulls last. min() under this ordering = row_number 1.
+    * Strings compare as UTF-8 BYTES (Spark's UTF8String binary order),
+    * not Java UTF-16 code units — the two disagree for
+    * supplementary-plane characters, which would flip a same-tx
+    * card-one tie against entity(). */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+  }
   private val cardOneOrder: Ordering[Fact] = new Ordering[Fact] {
     private def descNullsLast[T](x: T, y: T)(implicit ord: Ordering[T]): Int =
       (x == null, y == null) match {
@@ -191,7 +215,7 @@ object PointRead {
     def compare(a: Fact, b: Fact): Int = {
       var c = java.lang.Long.compare(b.tx, a.tx) // tx desc
       if (c != 0) return c
-      c = descNullsLast(a.vstr, b.vstr); if (c != 0) return c
+      c = descNullsLast(a.vstr, b.vstr)(utf8Order); if (c != 0) return c
       c = descNullsLast(a.vlong, b.vlong)(Ordering.by((l: java.lang.Long) => l.longValue))
       if (c != 0) return c
       c = descNullsLast(a.vdbl, b.vdbl)(Ordering.by((d: java.lang.Double) => d.doubleValue))

@@ -281,8 +281,7 @@ object FactStream {
     * timestamp event-time column. */
   def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs.withWatermark("ts", watermark)
-      .withColumn("text_hash",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("text_hash", graft.pipeline.Dedup.contentHash(col("text")))
       .dropDuplicatesWithinWatermark("text_hash")
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
@@ -441,30 +440,35 @@ object FactStream {
           graded.filter(!col("pass")).drop("pass")
             .write.mode("overwrite").parquet(s"$path/quarantine/batch=$batchId")
           val passed = graded.filter(col("pass")).select(col("doc_id"), col("text"))
-          // exact dedup: min doc_id per content hash within the batch...
-          val hashed = passed.withColumn("text_hash",
-            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-          val firstInBatch = hashed.join(
-            hashed.groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id")),
-            Seq("text_hash", "doc_id"))
+          // exact dedup within the batch IS the batch operator
+          // (Dedup.exact — min doc_id per content hash; reusing it, not
+          // re-stating the normalization, is what keeps the streamed
+          // seen-hash keys and the batch pipeline from ever drifting)...
+          val firstInBatch = passed
+            .join(graft.pipeline.Dedup.exact(passed), Seq("doc_id"))
           // ...then first-seen across batches via the durable seen-hash
           // sidecar (only dirs below this batch id: retry-idempotent)
           val seenDirs = corpusBatchDirs(spark, s"$path/seen")
             .collect { case (id, p) if id < batchId => p }
+          // persist the FULL fresh relation: all three sinks below
+          // derive from it, and the anti-join against the seen sidecar
+          // (whose dir count grows with stream lifetime) must execute
+          // once per batch, not once per sink
           val fresh =
-            if (seenDirs.isEmpty) firstInBatch
-            else firstInBatch.join(
-              spark.read.parquet(seenDirs: _*), Seq("text_hash"), "left_anti")
-          val survivors = fresh.select(col("doc_id"), col("text")).persist()
+            (if (seenDirs.isEmpty) firstInBatch
+             else firstInBatch.join(
+               spark.read.parquet(seenDirs: _*), Seq("text_hash"), "left_anti"))
+              .persist()
           try {
             fresh.select(col("text_hash"))
               .write.mode("overwrite").parquet(s"$path/seen/batch=$batchId")
-            TextAnalysis.packSequences(survivors, budget, shards, keep = Seq("text"))
+            TextAnalysis.packSequences(fresh.select(col("doc_id"), col("text")),
+                budget, shards, keep = Seq("text"))
               .write.mode("overwrite").parquet(s"$path/packed/batch=$batchId")
-            TextAnalysis.hashEmbedding(survivors, dims)
+            TextAnalysis.hashEmbedding(fresh.select(col("doc_id"), col("text")), dims)
               .select(col("doc_id").as("id"), col("vec"))
               .write.mode("overwrite").parquet(s"$path/corpus/batch=$batchId")
-          } finally survivors.unpersist(false): Unit
+          } finally fresh.unpersist(false): Unit
           if ((batchId + 1) % refreshEvery == 0)
             annRefreshStep(spark, path, planes, batchId, keepVersions, maxSegments)
         } finally graded.unpersist(false): Unit

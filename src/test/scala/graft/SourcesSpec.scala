@@ -210,13 +210,59 @@ class SourcesSpec extends SparkSpec {
       === sparkSide(eid, asOf))
     // absent entity: empty, not an error
     assert(PointRead.entityDirect(spark, table, db, -999L).isEmpty)
-    // the point of the path: warm reads skip job scheduling entirely.
-    // Generous 250 ms CI bound (measured ~5-15 ms warm; the Spark job
-    // floor is ~200-400 ms) — the latency claim is recorded in README.
-    val t0 = System.nanoTime()
-    PointRead.entityDirect(spark, table, db, eids(1))
-    val warmMs = (System.nanoTime() - t0) / 1e6
-    assert(warmMs < 250, s"warm entityDirect took $warmMs ms")
+    // the point of the path: warm reads beat the Spark job on ANY box.
+    // Relative bound (direct median-of-5 < one job-side read) instead
+    // of a wall-clock constant — load-insensitive; the absolute claim
+    // (47 ms vs 203 ms at sf0.1) lives in graft.tools.PointReadProbe.
+    val directMs = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      PointRead.entityDirect(spark, table, db, eids(1))
+      (System.nanoTime() - t0) / 1e6
+    }.sorted.apply(2)
+    val t1 = System.nanoTime()
+    sparkSide(eids(1), Long.MaxValue)
+    val jobMs = (System.nanoTime() - t1) / 1e6
+    assert(directMs < jobMs,
+      s"warm entityDirect ($directMs ms) should beat the Spark job ($jobMs ms)")
+  }
+
+  test("point read: attr-partitioned layout with melted (slash-containing) attributes") {
+    import graft.sources.PointRead
+    import graft.core.FactStore
+    // meltList attrs always contain '/' ("tags/idx", "tags/val") — the
+    // writer path-ESCAPES them into partition dir names (a=tags%2Fidx);
+    // entityDirect must unescape or render wrong attribute names on
+    // exactly the attr-partitioned cluster layout
+    val people = Seq((1L, Seq("red", "green")), (2L, Seq("blue")))
+      .toDF("id", "tags")
+    val facts = FactStore.meltList(people, col("id"), parentBase = 0L,
+      attr = "tags", listCol = "tags", elemBase = 1000000L)
+    val db = graft.core.FactDb(facts,
+      Map("tags" -> "vref", "tags/idx" -> "vlong", "tags/val" -> "vstr"),
+      cardMany = Set("tags"))
+    val table = "graft_pointread_attr_spec"
+    graft.sources.Catalog.recreate(spark, table) {
+      FactLogIO.writeBucketedTable(db, table, buckets = 2, partitionByAttr = true)
+    }
+    val served = db.copy(log = spark.table(table)
+      .select(graft.core.FactStore.factSchema.fieldNames.toIndexedSeq.map(col): _*)
+      .select(col("e"), col("a").cast("string").as("a"), col("vtype"),
+        col("vstr"), col("vlong"), col("vdbl"), col("vts"), col("vref"),
+        col("tx"), col("added")))
+    // the parent (card-many refs) and an element (idx + val) both round-trip
+    val parents = Seq(1L, 2L)
+    val elems = served.log.filter(col("a") === "tags/idx")
+      .select("e").collect().map(_.getLong(0))
+    (parents ++ elems).foreach { eid =>
+      val direct = PointRead.entityDirect(spark, table, db, eid).toSet
+      val viaSpark = served.entity(eid).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(direct === viaSpark, s"entity $eid diverged on the attr layout")
+      assert(direct.nonEmpty, s"entity $eid unexpectedly empty")
+    }
+    // the melted attr names came back UNESCAPED
+    val attrs = PointRead.entityDirect(spark, table, db, elems.head).map(_._1).toSet
+    assert(attrs === Set("tags/idx", "tags/val"))
   }
 
   test("salted skew join equals the plain join") {
