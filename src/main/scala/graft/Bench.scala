@@ -18,6 +18,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // comma-separated subset filter for targeted A/B runs
+    // (SPARK_GRAFT_BENCH_ONLY=dedup_minhash,q1_agg); full headline otherwise
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queriesToRun = only.fold(headline)(f => headline.filter(f))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +45,7 @@ object Bench {
     // are built here — the measured samples are then uniform
     // steady-state latencies, and the per-query spread reflects box
     // noise rather than a constant first-run build cost.
-    headline.foreach { name =>
+    queriesToRun.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
       catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs
     }
@@ -51,7 +56,7 @@ object Bench {
     // inflates ONE sample of many queries — recoverable by the
     // median — instead of every sample of a few queries.
     val samples: Seq[Seq[Double]] = (1 to n).map { _ =>
-      headline.map { name =>
+      queriesToRun.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         // a throwing query must NOT contribute its time-to-exception as
@@ -68,7 +73,7 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = headline.zipWithIndex.map { case (name, i) =>
+    val results = queriesToRun.zipWithIndex.map { case (name, i) =>
       name -> median(samples.map(_(i)))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -76,7 +81,7 @@ object Bench {
     // min/max across the n runs, per query: lets a reader attribute a
     // round-over-round drift to box noise vs a real regression without
     // re-running the bench.
-    val spread = headline.zipWithIndex.map { case (name, i) =>
+    val spread = queriesToRun.zipWithIndex.map { case (name, i) =>
       val xs = samples.map(_(i)).filterNot(_.isNaN)
       val (lo, hi) = if (xs.isEmpty) (-1.0, -1.0) else (xs.min, xs.max)
       "\"" + name + f"""\":[$lo%.3f,$hi%.3f]"""
@@ -92,7 +97,7 @@ object Bench {
     // the box's achievable floor. A healthy run has value ≈ min_total;
     // value >> min_total means the medians were inflated by external
     // load and the run should be repeated, no judge rerun needed.
-    val minTotal = headline.indices.map { i =>
+    val minTotal = queriesToRun.indices.map { i =>
       val xs = samples.map(_(i)).filterNot(_.isNaN)
       if (xs.isEmpty) 0.0 else xs.min
     }.sum
