@@ -278,6 +278,57 @@ object TextAnalysis {
       .agg(round(avg(log(col("cnt") / col("total"))), 6).as("mean_logprob"))
   }
 
+  /** DOMAIN-MIXTURE sampling — the data-mixing step that turns a
+    * curated multi-language corpus into a training mix with target
+    * per-domain token proportions: each language's quota is
+    * `weight × totalTokens`, and documents fill it greedily in a
+    * deterministic md5(doc_id) order (the same reproducible-sample
+    * discipline as sample_stratified, but quota'd in TOKENS, which is
+    * what a training run budgets). A doc is kept iff the tokens taken
+    * BEFORE it are still under its language's quota — the boundary doc
+    * is included, languages without a weight get quota 0. Scale shape:
+    * one pass for the fused lang+token projection, ONE window shuffle
+    * on the language key; the cumulative sum is CAST-stable BIGINT
+    * (the oracle-divergence classes of the SURVEY audit table all
+    * handled: no HUGEINT, total order via the doc_id tie-break,
+    * integer arithmetic). */
+  def domainMix(docs: DataFrame, weights: Map[String, Double],
+                totalTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      predLangCol(col("text")).as("pred_lang"),
+      reTokens(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quota = weights.foldLeft(lit(0L)) { case (acc, (l, wt)) =>
+      when(col("pred_lang") === l, lit((wt * totalTokens).toLong)).otherwise(acc)
+    }
+    base.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") - col("n_tokens") < quota)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
+  }
+
+  /** Perplexity TAIL-DROP (the CCNet-style LM filter): per language,
+    * rank documents by the corpus-unigram mean log-prob
+    * ([[unigramLogProb]] — higher = more typical) and keep the top
+    * `keepFrac` by percent_rank. Ranking rides the ROUNDED logprob
+    * (the oracle-shared value) with a doc_id tie-break — a total
+    * order, so the kept set is engine-deterministic; percent_rank is
+    * (rank−1)/(n−1) over identical integers in both engines, so the
+    * boundary comparison is bit-identical. One window shuffle on the
+    * language key on top of logprob's one corpus shuffle. */
+  def pplFilter(docs: DataFrame, keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("mean_logprob").desc, col("doc_id"))
+    langId(docs).join(unigramLogProb(docs), "doc_id")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= lit(keepFrac))
+      .select(col("doc_id"), col("pred_lang"), col("mean_logprob"),
+        round(col("pr"), 6).as("ppl_rank"))
+  }
+
   /** Greedy sequence PACKING (concat-and-chunk): assign every document
     * to the fixed-`budget`-token training sequence its FIRST token
     * lands in — the step that turns a curated corpus into LM training

@@ -250,6 +250,18 @@ object PipelineQueries {
 
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // data-mixing: per-language TOKEN quotas (weight x budget) filled in
+    // deterministic md5 order — the domain-reweighting step before a
+    // training run; one fused scan + one window shuffle
+    "sample_domain_mix" -> ((s, dir) =>
+      TextAnalysis.domainMix(docs(s, dir),
+        Map("en" -> 0.6, "de" -> 0.15, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.05),
+        totalTokens = 20000L)),
+
+    // CCNet-style perplexity tail-drop: per language keep the top 80%
+    // by corpus-unigram mean log-prob
+    "text_ppl_filter" -> ((s, dir) => TextAnalysis.pplFilter(docs(s, dir), 0.8)),
+
     // canonical-doc SELECTION: after near-dup cluster assignment, keep
     // the highest-QUALITY member per cluster (tie: lowest doc_id) —
     // the retention-policy step that turns a cluster map into a kept
@@ -520,6 +532,41 @@ object PipelineQueries {
          SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
          FROM tok JOIN cnt USING (tok), tot
          GROUP BY 1""",
+    // token-quota greedy fill in md5 order; windowed SUM cast to BIGINT
+    // (never HUGEINT), doc_id tie-break makes the order total — the
+    // audited divergence classes all handled by construction
+    "sample_domain_mix" ->
+      s"""WITH lang AS ($langIdSql),
+           t AS (SELECT l.doc_id, l.pred_lang,
+                   CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+                 FROM lang l JOIN documents d USING (doc_id)),
+           c AS (SELECT doc_id, pred_lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY pred_lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM t)
+         SELECT doc_id, pred_lang, n_tokens FROM c
+         WHERE cum - n_tokens < CASE pred_lang
+           WHEN 'en' THEN 12000 WHEN 'de' THEN 3000 WHEN 'fr' THEN 2000
+           WHEN 'es' THEN 2000 WHEN 'zh' THEN 1000 ELSE 0 END""",
+    // percent_rank = (rank-1)/(n-1) over identical integers in both
+    // engines; ranking on the ROUNDED logprob with a doc_id tie-break
+    "text_ppl_filter" ->
+      s"""WITH lang AS ($langIdSql),
+           tok AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                   FROM documents),
+           cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+           tot AS (SELECT count(*) AS total FROM tok),
+           lp AS (SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
+                  FROM tok JOIN cnt USING (tok), tot
+                  GROUP BY 1)
+         SELECT doc_id, pred_lang, mean_logprob, round(pr, 6) AS ppl_rank
+         FROM (SELECT lp.doc_id, lang.pred_lang, lp.mean_logprob,
+                 percent_rank() OVER (PARTITION BY lang.pred_lang
+                   ORDER BY lp.mean_logprob DESC, lp.doc_id) AS pr
+               FROM lp JOIN lang USING (doc_id)) x
+         WHERE pr <= 0.8""",
     "dedup_keep_best" ->
       s"""WITH RECURSIVE
          t AS (SELECT doc_id, text,
