@@ -488,6 +488,53 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("domainMix: token quotas fill greedily in md5 order, boundary doc included") {
+    import graft.pipeline.TextAnalysis
+    // All-English fixture: quota semantics are testable without the
+    // langid heuristic in the way ("the and of" markers force en).
+    // md5-order within the language decides WHO fills the quota — pin
+    // it by computing the same order here.
+    val docs = Seq(
+      (1L, "the and of to a in one two three"),     // 9 tokens
+      (2L, "the and of to a in four five"),         // 8 tokens
+      (3L, "the and of to a in six"),               // 7 tokens
+      (4L, "the and of to a in"))                   // 6 tokens
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = Seq(1L, 2L, 3L, 4L).sortBy(id => (md5hex(id.toString), id))
+    val nTok = Map(1L -> 9L, 2L -> 8L, 3L -> 7L, 4L -> 6L)
+    // quota 0.5 * 32 = 16 tokens: keep docs while tokens taken BEFORE
+    // each is < 16 — the doc crossing the boundary stays
+    val expect = {
+      var cum = 0L
+      order.filter { id => val keep = cum < 16; cum += nTok(id); keep }.toSet
+    }
+    val got = TextAnalysis.domainMix(docs, Map("en" -> 0.5), totalTokens = 32L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.size < 4, "quota must actually cut the corpus")
+    // no weight for a language → quota 0 → nothing kept
+    assert(TextAnalysis.domainMix(docs, Map("de" -> 1.0), 32L).collect().isEmpty)
+  }
+
+  test("pplFilter: per-language tail drop keeps the top fraction by logprob rank") {
+    import graft.pipeline.TextAnalysis
+    // 5 en docs built from a shared vocab so their unigram logprobs
+    // differ deterministically: rarer words → lower mean logprob
+    val docs = Seq(
+      (1L, "the and of the and of"),                // most typical
+      (2L, "the and of the and rare1"),
+      (3L, "the and of the rare1 rare2"),
+      (4L, "the and of rare1 rare2 rare3"),
+      (5L, "the and rare1 rare2 rare3 rare4"))      // least typical
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.pplFilter(docs, keepFrac = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // ranks 0, .25, .5, .75, 1 → percent_rank <= 0.5 keeps the top 3
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("pageRankAuto dispatch: bounded probe, both branches agree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
     val edgeDf = edges.toDF("src", "dst")
