@@ -188,6 +188,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("sample_domain_mix: one fused scan, ONE window shuffle, nothing else") {
+    // the data-mixing op is a single projection (langid + token count
+    // fused) into a single language-keyed window — any second Exchange
+    // means the fusion regressed
+    val p = plan("sample_domain_mix")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one window Exchange:\n$p")
+    assert(!p.contains("Join"), s"the mix op must not join:\n$p")
+  }
+
   test("embeddings sidecar: rep-vector fetch joins the bucketed corpus shuffle-free") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
