@@ -286,27 +286,66 @@ object TextAnalysis {
     * discipline as sample_stratified, but quota'd in TOKENS, which is
     * what a training run budgets). A doc is kept iff the tokens taken
     * BEFORE it are still under its language's quota — the boundary doc
-    * is included, languages without a weight get quota 0. Scale shape:
-    * one pass for the fused lang+token projection, ONE window shuffle
-    * on the language key; the cumulative sum is CAST-stable BIGINT
-    * (the oracle-divergence classes of the SURVEY audit table all
-    * handled: no HUGEINT, total order via the doc_id tie-break,
-    * integer arithmetic). */
+    * is included, languages without a weight get quota 0. The
+    * oracle-divergence classes of the SURVEY audit table are all
+    * handled: no HUGEINT (BIGINT-cast cumulative sums), total order
+    * via the doc_id tie-break, integer quota arithmetic.
+    *
+    * TWO-PHASE at scale: a naive `Window.partitionBy(pred_lang)`
+    * cumulative sum serializes each language through ONE reducer — at
+    * 100 TB the majority language is ~60% of the corpus in a single
+    * window partition, a genuine scale-killer. Instead: (1) aggregate
+    * token sums per (language, 4-hex-char md5 prefix) — 65k coarse
+    * buckets whose order IS the md5 order; (2) a cumulative sum over
+    * that TINY aggregated relation finds each language's boundary
+    * bucket; (3) whole buckets strictly below the boundary keep
+    * everything with no window at all, buckets at/after the quota drop
+    * everything, and ONLY the boundary bucket (corpus/65k rows) runs
+    * the fine-grained cumulative window. Output is IDENTICAL to the
+    * naive window (same md5 total order; the oracle stays the direct
+    * formulation) — only the plan changes. */
   def domainMix(docs: DataFrame, weights: Map[String, Double],
                 totalTokens: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"),
       predLangCol(col("text")).as("pred_lang"),
       reTokens(col("text")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("hb", substring(col("h"), 1, 4))
     val quota = weights.foldLeft(lit(0L)) { case (acc, (l, wt)) =>
       when(col("pred_lang") === l, lit((wt * totalTokens).toLong)).otherwise(acc)
     }
-    base.withColumn("cum", sum(col("n_tokens")).over(w))
-      .filter(col("cum") - col("n_tokens") < quota)
-      .select(col("doc_id"), col("pred_lang"), col("n_tokens"))
+    // phase 1: coarse per-bucket token sums — at most langs × 65536
+    // rows, so the cumulative window over it is trivially small
+    val wb = Window.partitionBy(col("pred_lang")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoffs = base.groupBy(col("pred_lang"), col("hb"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum_before", sum(col("bt")).over(wb) - col("bt"))
+      .withColumn("q", quota)
+      // fullkeep: every doc's tokens-before is < quota even at the
+      // bucket's end; boundary: the quota lands inside; else drop
+      .withColumn("fullkeep", col("cum_before") + col("bt") < col("q"))
+      .withColumn("boundary", !col("fullkeep") && col("cum_before") < col("q"))
+      .filter(col("fullkeep") || col("boundary"))
+      .select(col("pred_lang"), col("hb"), col("cum_before"),
+        col("q"), col("boundary"))
+    // phase 2: surviving buckets join back (broadcast — the cutoff
+    // relation is tiny). Full-keep rows pass straight through with NO
+    // window; only boundary-bucket rows (≈ corpus/65k per language)
+    // enter the fine cumulative window, whose partition is one coarse
+    // bucket — never a whole language.
+    val joined = base.join(broadcast(cutoffs), Seq("pred_lang", "hb"))
+    val out = Seq(col("doc_id"), col("pred_lang"), col("n_tokens"))
+    val fullKeep = joined.filter(!col("boundary")).select(out: _*)
+    val wf = Window.partitionBy(col("pred_lang"), col("hb"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("boundary"))
+      .withColumn("cum_in", sum(col("n_tokens")).over(wf))
+      .filter(col("cum_before") + col("cum_in") - col("n_tokens") < col("q"))
+      .select(out: _*)
+    fullKeep.unionAll(boundary)
   }
 
   /** Perplexity TAIL-DROP (the CCNet-style LM filter): per language,
@@ -316,14 +355,39 @@ object TextAnalysis {
     * (the oracle-shared value) with a doc_id tie-break — a total
     * order, so the kept set is engine-deterministic; percent_rank is
     * (rank−1)/(n−1) over identical integers in both engines, so the
-    * boundary comparison is bit-identical. One window shuffle on the
-    * language key on top of logprob's one corpus shuffle. */
+    * boundary comparison is bit-identical.
+    *
+    * DISTRIBUTED ranking: a naive
+    * `percent_rank().over(partitionBy(pred_lang))` funnels each
+    * language through one reducer — the same 100 TB scale-killer as a
+    * single-partition sort. Instead rank = (docs with a strictly
+    * better ROUNDED logprob) + (row_number within the tie group):
+    * the doc-level window partitions by (language, exact logprob
+    * value) — tie-group-sized, never language-sized — and the
+    * strictly-better counts come from a cumulative window over the
+    * per-(language, value) AGGREGATED relation (one row per distinct
+    * rounded value). pr = (rank−1)/(n−1) explicitly, n==1 → 0.0 —
+    * the exact arithmetic both engines' percent_rank uses, so the
+    * result is bit-identical to the direct oracle formulation. */
   def pplFilter(docs: DataFrame, keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(col("mean_logprob").desc, col("doc_id"))
-    langId(docs).join(unigramLogProb(docs), "doc_id")
-      .withColumn("pr", percent_rank().over(w))
+    val lp = langId(docs).join(unigramLogProb(docs), "doc_id")
+    val wv = Window.partitionBy(col("pred_lang"), col("mean_logprob"))
+      .orderBy(col("doc_id"))
+    val ranked = lp.withColumn("r_in", row_number().over(wv))
+    val wc = Window.partitionBy(col("pred_lang"))
+      .orderBy(col("mean_logprob").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("pred_lang"))
+    val cum = lp.groupBy(col("pred_lang"), col("mean_logprob"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", sum(col("cnt")).over(wc) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    val rank = col("cum_before") + col("r_in")
+    val pr = when(col("n") === 1, lit(0.0))
+      .otherwise((rank - lit(1)).cast("double") / (col("n") - lit(1)).cast("double"))
+    ranked.join(cum, Seq("pred_lang", "mean_logprob"))
+      .withColumn("pr", pr)
       .filter(col("pr") <= lit(keepFrac))
       .select(col("doc_id"), col("pred_lang"), col("mean_logprob"),
         round(col("pr"), 6).as("ppl_rank"))

@@ -188,14 +188,53 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("sample_domain_mix: one fused scan, ONE window shuffle, nothing else") {
-    // the data-mixing op is a single projection (langid + token count
-    // fused) into a single language-keyed window — any second Exchange
-    // means the fusion regressed
-    val p = plan("sample_domain_mix")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"expected exactly one window Exchange:\n$p")
-    assert(!p.contains("Join"), s"the mix op must not join:\n$p")
+  /** Windows that consume CORPUS-scale rows (their child chain reaches
+    * the scan without passing an Aggregate) — these are the ones whose
+    * partition key must never be a whole language at 100 TB. Windows
+    * over aggregated relations (distinct-value / coarse-bucket rows)
+    * are exempt: their partitions are small by construction. */
+  private def docLevelWindowSpecs(name: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // AQE wraps the tree in an opaque adaptive node — disable it so
+    // the static plan is walkable (same discipline as the minhash pin)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = PipelineQueries.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      def reachesScanWithoutAgg(p: SparkPlan): Boolean = p match {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+             _: SortAggregateExec => false
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case other => other.children.exists(reachesScanWithoutAgg)
+      }
+      plan.collect {
+        case w: WindowExec if reachesScanWithoutAgg(w.child) =>
+          w.partitionSpec.map(_.toString)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sample_domain_mix: no language-wide window over corpus rows (two-phase mix)") {
+    // the cumulative fill must NEVER put a whole language through one
+    // window partition: corpus-level windows partition by
+    // (pred_lang, md5-prefix bucket) — the boundary bucket — while
+    // language-only windows are allowed solely over the tiny
+    // aggregated cutoff relation
+    val specs = docLevelWindowSpecs("sample_domain_mix")
+    assert(specs.nonEmpty, "expected the boundary-bucket window")
+    specs.foreach { s =>
+      assert(s.size >= 2, s"corpus-level window keyed by a whole language: $s")
+    }
+  }
+
+  test("text_ppl_filter: no language-wide window over corpus rows (tie-group ranking)") {
+    val specs = docLevelWindowSpecs("text_ppl_filter")
+    assert(specs.nonEmpty, "expected the tie-group row_number window")
+    specs.foreach { s =>
+      assert(s.size >= 2, s"corpus-level window keyed by a whole language: $s")
+    }
   }
 
   test("embeddings sidecar: rep-vector fetch joins the bucketed corpus shuffle-free") {
