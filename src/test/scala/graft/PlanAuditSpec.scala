@@ -237,6 +237,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sample_stratified: per-stratum top-N gets the map-side WindowGroupLimit") {
+    // the one remaining language-partitioned corpus window is a
+    // row_number <= N: Spark's WindowGroupLimit keeps only N rows per
+    // group BEFORE the shuffle, so the majority-language partition
+    // never materializes corpus-scale input — pin the optimization so
+    // a refactor that defeats it (e.g. filtering on a derived column)
+    // fails here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = PipelineQueries.queries("sample_stratified")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"expected map-side WindowGroupLimit for the rn <= N filter:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("embeddings sidecar: rep-vector fetch joins the bucketed corpus shuffle-free") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
