@@ -420,4 +420,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("rep").as("a"), col("id").as("b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Cross-document duplicated-SPAN coverage — the exact-substring
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") at n-token granularity: every n-token
+    * window of every document is hashed, and a window whose text also
+    * occurs in at least one OTHER document is a duplicated span. Output
+    * per doc: total spans, duplicated spans, duplicated fraction — the
+    * gate that drops or trims documents dominated by cross-corpus
+    * boilerplate (where whole-doc dedup like [[exact]]/[[ngramJaccard]]
+    * sees distinct documents).
+    *
+    * Scale shape: the exploded position→hash stream is reduced to
+    * (sh, doc_id, c) FIRST — ONE shuffle with map-side combine — and
+    * both the cross-doc flag and the per-doc rollup ride that reduced
+    * relation; the corpus×positions stream itself is never reshuffled.
+    * "Appears in ≥ 2 docs" is min(doc_id) ≠ max(doc_id) — partial-
+    * aggregatable, no count_distinct re-shuffle. All integer counts
+    * stay BIGINT on both engines (no windowed sums — see the SURVEY
+    * oracle-divergence table). */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val base = docs.select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= n)
+    val sp = base.select(col("doc_id"), explode(transform(
+      sequence(lit(0), size(col("tk")) - n),
+      i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " ")))).as("sh"))
+    val perDocSh = sp.groupBy(col("sh"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val cross = perDocSh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("sh"))
+    val dup = perDocSh.join(cross, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("dup_spans"))
+    base.select(col("doc_id"), (size(col("tk")) - n + 1).cast("long").as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
 }

@@ -239,6 +239,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Pairwise cross-SOURCE contamination matrix: for every pair of
+    * sources (subcorpora / crawl snapshots), the number of distinct
+    * n-token shingles present in both, plus the Jaccard overlap of the
+    * two shingle vocabularies — the corpus-level leakage report run
+    * between subcorpora before mixing them into one training set
+    * (doc-level flags are [[decontaminate]]; this is the corpus-level
+    * roll-up that decides whether two sources are near-copies).
+    *
+    * Scale shape: per-source shingle vocabularies are reduced FIRST
+    * (distinct (source, sh) — one shuffle with partial agg); the pair
+    * relation is a self-join on sh of that reduced relation (fan-out
+    * bounded by #sources per shingle, and #sources is small by
+    * definition); per-source totals are a tiny aggregate broadcast
+    * onto the pair rows. The corpus-sized position stream is scanned
+    * once and never joined raw. */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val sh = docs.select(col("source"), tk.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("source"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " "))))).as("sh"))
+      .distinct()
+    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n_sh").as("na"))),
+        "source_a")
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n_sh").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
+  /** Deterministic train/val/test split FREEZE: each row's id hashes
+    * (md5 → leading 8 hex chars → integer) into one of 10000 basis-
+    * point buckets; contiguous bucket ranges assign the split label —
+    * [0, trainBp) train, [trainBp, valBp) val, the rest test.
+    * Content-independent, engine- and run-reproducible, and a pure
+    * shuffle-free projection — the auditable assignment a training-data
+    * release records so any engine can re-derive exactly which rows
+    * were held out. (Bernoulli `randomSplit` is none of those things:
+    * partition-order-dependent and irreproducible across engines.) */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainBp: Int = 9000, valBp: Int = 9500): DataFrame = {
+    val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < trainBp, lit("train"))
+          .when(col("split_bucket") < valBp, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
     * of duplicate tokens and the share of the most frequent bigram —
     * the cheap repetition gates that drop degenerate/boilerplate docs.

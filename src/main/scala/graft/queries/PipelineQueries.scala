@@ -250,6 +250,20 @@ object PipelineQueries {
 
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // exact-substring dedup signal (Lee et al. 2022) at 8-token span
+    // granularity: per-doc duplicated-span coverage over the corpus
+    "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(docs(s, dir), n = 8)),
+
+    // corpus-level leakage report: pairwise cross-source shingle
+    // overlap + vocabulary Jaccard between subcorpora
+    "text_src_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(docs(s, dir), n = 8)),
+
+    // train/val/test freeze: content-independent md5 basis-point
+    // bucketing, engine-reproducible, shuffle-free
+    "sample_split" -> ((s, dir) =>
+      TextAnalysis.splitAssign(docs(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("split_bucket"), col("split"))),
+
     // data-mixing: per-language TOKEN quotas (weight x budget) filled in
     // deterministic md5 order — the domain-reweighting step before a
     // training run; one fused scan + one window shuffle
@@ -493,6 +507,62 @@ object PipelineQueries {
          FROM sh s JOIN ev USING (sh)
          WHERE s.source <> 'src0'
          GROUP BY 1""",
+    // NON-distinct spans with multiplicity: a doc repeating a span that
+    // also appears elsewhere counts every occurrence. count(*) keeps
+    // every integer BIGINT (no SUM→HUGEINT — SURVEY divergence table);
+    // the DOUBLE division is exact-int/exact-int, round(6) on both sides.
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sp AS (SELECT doc_id,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              g AS (SELECT sh FROM sp GROUP BY sh
+                    HAVING min(doc_id) <> max(doc_id)),
+              base AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+              d AS (SELECT doc_id, count(*) AS dup_spans
+                    FROM sp JOIN g USING (sh) GROUP BY 1)
+         SELECT b.doc_id, b.n_spans,
+                coalesce(d.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+                round(CAST(coalesce(d.dup_spans, 0) AS DOUBLE) / b.n_spans, 6)
+                  AS dup_frac
+         FROM base b LEFT JOIN d USING (doc_id)""",
+    "text_src_overlap" ->
+      """WITH toks AS (SELECT source,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sh AS (SELECT DISTINCT source,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT source, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+              pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                               count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.sh = b.sh AND a.source < b.source
+                        GROUP BY 1, 2)
+         SELECT source_a, source_b, shared,
+                round(CAST(shared AS DOUBLE) / (ta.n_sh + tb.n_sh - shared), 6)
+                  AS jaccard
+         FROM pairs
+         JOIN tot ta ON ta.source = source_a
+         JOIN tot tb ON tb.source = source_b""",
+    // ('0x'||hex8)::BIGINT is always non-negative (< 2^32), so DuckDB's
+    // sign-preserving % equals Spark's pmod here (same idiom as
+    // text_hashvec — SURVEY divergence table, pmod-vs-% class)
+    "sample_split" ->
+      """SELECT doc_id, split_bucket,
+                CASE WHEN split_bucket < 9000 THEN 'train'
+                     WHEN split_bucket < 9500 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 10000 AS split_bucket
+               FROM documents) t""",
     "text_repetition" ->
       """SELECT doc_id,
                 round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)

@@ -586,6 +586,58 @@ class GroundTruthSpec extends SparkSpec {
     assert(strict === Set(1L, 3L))
   }
 
+  test("duplicatedSpans: hand-computed cross-doc span coverage, multiplicity counted") {
+    // n=3 spans: "b c d" occurs in docs 0, 1 and TWICE in doc 3 →
+    // cross-doc, every occurrence counts. "c d b"/"d b c" repeat only
+    // WITHIN doc 3 (min=max) → not duplicated. Doc 2 shares nothing;
+    // doc 4 is shorter than n and yields no row at all.
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "x b c d y"),
+      (2L, "p q r"),
+      (3L, "b c d b c d b c"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 0.333333)),
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((1L, 0L, 0.0)),
+      3L -> ((6L, 2L, 0.333333))))
+  }
+
+  test("sourceOverlap: hand-computed pairwise shingle vocabulary overlap") {
+    // n=2 vocabularies: s1 = {a b, b c, c d} (across two docs),
+    // s2 = {b c, c d, d e}, s3 = {z z}. s1∩s2 = 2, J = 2/(3+3-2) = 0.5;
+    // s3 overlaps nothing → no row (the report lists overlapping pairs).
+    val docs = Seq(
+      (0L, "a b c", "s1"), (1L, "c d", "s1"),
+      (2L, "b c d e", "s2"),
+      (3L, "z z", "s3")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceOverlap(docs, n = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("s1", "s2", 2L, 0.5)))
+  }
+
+  test("splitAssign: deterministic bucket-ranged labels, ~train fraction holds") {
+    val df = spark.range(0, 2000).toDF("doc_id")
+    val a = TextAnalysis.splitAssign(df, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // label is exactly the bucket range — no row escapes the freeze
+    a.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 10000)
+      val expect = if (b < 9000) "train" else if (b < 9500) "val" else "test"
+      assert(s === expect)
+    }
+    // md5 spreads uniformly: the realized train share sits near 90%
+    val trainFrac = a.values.count(_._2 == "train").toDouble / a.size
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train frac $trainFrac")
+    // re-derivation is bit-identical — the audit property
+    val b = TextAnalysis.splitAssign(df, "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(a === b)
+  }
+
   test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
     // the bench/oracle edge set: nation ref-graph with parallel edges
     // (multiple labels between the same pair count separately in the
