@@ -441,16 +441,31 @@ object Dedup {
     * oracle-divergence table). */
   def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     val tk = split(lower(trim(col("text"))), "\\s+")
-    val base = docs.select(col("doc_id"), tk.as("tk"))
+    // the explicit non-null id filter matches the isnotnull() the final
+    // left-outer join infers on the count branch — with it, BOTH
+    // aggregate branches sit on byte-identical scan subtrees, which is
+    // what lets AQE reuse the (sh, doc_id) shuffle stage below
+    val base = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= n)
     val sp = base.select(col("doc_id"), explode(transform(
       sequence(lit(0), size(col("tk")) - n),
       i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " ")))).as("sh"))
     val perDocSh = sp.groupBy(col("sh"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
+    // occ >= 2 is IMPLIED by mn != mx (two docs means two occurrences)
+    // — it exists so the (sh, doc_id) pre-aggregate is not redundant
+    // for this branch: without a live reference to c, column pruning +
+    // RemoveRedundantAggregates collapse the rollup into a direct
+    // min/max over a SECOND corpus explode (re-scan + re-split +
+    // re-md5 of every position); with it, both branches share the
+    // byte-identical (sh, doc_id) exchange and AQE reuses the
+    // materialized stage — the corpus is exploded and hashed ONCE
+    // (spec-pinned on the adaptive plan).
     val cross = perDocSh.groupBy(col("sh"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        sum(col("c")).as("occ"))
+      .filter(col("mn") =!= col("mx") && col("occ") >= 2)
       .select(col("sh"))
     val dup = perDocSh.join(cross, "sh")
       .groupBy(col("doc_id"))

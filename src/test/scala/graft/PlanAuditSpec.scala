@@ -237,6 +237,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans: one corpus explode — the flag branch reuses the (sh, doc_id) stage") {
+    // both aggregate branches (per-doc span counts, cross-doc flags)
+    // sit on the SAME (sh, doc_id) shuffle: AQE materializes it once
+    // and the second branch is a ReusedExchange. A refactor that
+    // breaks canonical equality (a pruned aggregate, a missing
+    // isnotnull) silently re-explodes and re-hashes the whole corpus —
+    // the dominant cost at 100 TB — so pin the reuse on the final
+    // adaptive plan, not the initial one.
+    val df = PipelineQueries.queries("dedup_spans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected the flag branch to reuse the (sh, doc_id) stage:\n$finalSection")
+    assert("Generate explode".r.findAllIn(finalSection).size === 1,
+      s"expected exactly one corpus explode in the final plan:\n$finalSection")
+  }
+
   test("sample_stratified: per-stratum top-N gets the map-side WindowGroupLimit") {
     // the one remaining language-partitioned corpus window is a
     // row_number <= N: Spark's WindowGroupLimit keeps only N rows per
