@@ -10,7 +10,7 @@ object Bench {
     "q1_agg", "q3_topn", "q5_multijoin", "q6_filter", "q_window",
     "q_asof_join", "q_range_join",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
-    "dedup_exact", "dedup_minhash", "sim_topk", "sim_ann", "sim_ann_batch",
+    "dedup_exact", "dedup_minhash", "dedup_spans", "sim_topk", "sim_ann", "sim_ann_batch",
     "text_quality", "text_tfidf", "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc")
 

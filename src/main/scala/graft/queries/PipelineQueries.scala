@@ -254,6 +254,11 @@ object PipelineQueries {
     // granularity: per-doc duplicated-span coverage over the corpus
     "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(docs(s, dir), n = 8)),
 
+    // corpus datasheet: (source x language) rollup of docs / exact
+    // token sums / mean quality / PII rate — one fused scan, one
+    // grouping-sets shuffle
+    "corpus_profile" -> ((s, dir) => TextAnalysis.corpusProfile(docs(s, dir))),
+
     // corpus-level leakage report: pairwise cross-source shingle
     // overlap + vocabulary Jaccard between subcorpora
     "text_src_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(docs(s, dir), n = 8)),
@@ -507,6 +512,33 @@ object PipelineQueries {
          FROM sh s JOIN ev USING (sh)
          WHERE s.source <> 'src0'
          GROUP BY 1""",
+    // ROLLUP null-label semantics match Spark's rollup(); the token sum
+    // is integer (DuckDB SUM(BIGINT)→HUGEINT cast back — divergence
+    // table); the two double means are round(6) on n·ε-bounded avgs.
+    // The quality formula is textually the text_quality oracle's.
+    "corpus_profile" ->
+      s"""WITH lang AS ($langIdSql),
+              m AS (
+            SELECT d.doc_id, d.source, l.pred_lang,
+                   len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                     AS n_toks,
+                   least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
+                     + (CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
+                        / CAST(len($toksSql) AS DOUBLE)) * 0.3
+                     + (1.0 - least((CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                        / CAST(length(d.text) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+                     AS q,
+                   CAST(regexp_matches(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     OR regexp_matches(d.text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')
+                     OR regexp_matches(d.text, '\\b[0-9]{7,}\\b') AS INT) AS has_pii
+            FROM documents d JOIN lang l USING (doc_id))
+          SELECT coalesce(source, '<all>') AS source,
+                 coalesce(pred_lang, '<all>') AS pred_lang,
+                 count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 round(avg(q), 6) AS avg_quality,
+                 round(avg(has_pii), 6) AS pii_frac
+          FROM m GROUP BY ROLLUP(source, pred_lang)""",
     // NON-distinct spans with multiplicity: a doc repeating a span that
     // also appears elsewhere counts every occurrence. count(*) keeps
     // every integer BIGINT (no SUM→HUGEINT — SURVEY divergence table);

@@ -255,6 +255,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one corpus explode in the final plan:\n$finalSection")
   }
 
+  test("corpus_profile: one fused corpus scan, one grouping-sets shuffle") {
+    // every per-row metric (lang id, quality, PII probe) must ride ONE
+    // projection over ONE scan; the rollup is the only exchange. A
+    // second scan or a join here means the datasheet re-reads 100 TB.
+    val p = plan("corpus_profile")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size === 1,
+      s"expected one corpus scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected only the rollup exchange:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
+
   test("sample_stratified: per-stratum top-N gets the map-side WindowGroupLimit") {
     // the one remaining language-partitioned corpus window is a
     // row_number <= N: Spark's WindowGroupLimit keeps only N rows per
