@@ -460,28 +460,42 @@ object TextAnalysis {
     * which is map-side combinable. Token totals ride the integer
     * token count (BIGINT in both engines — no float-sum divergence);
     * the two double means are round(6) on an n·ε-bounded average. */
-  def corpusProfile(docs: DataFrame): DataFrame = {
+  /** The fused per-row projection under [[corpusProfile]] — also the
+    * map side of the streaming live datasheet (FactStream
+    * .profileStream), so the batch and streaming metrics can never
+    * drift apart. */
+  private[graft] def profilePerRow(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
     val digits = "\\b[0-9]{7,}\\b"
     val hasPii = col("text").rlike(email) || col("text").rlike(ssn) ||
       col("text").rlike(digits)
-    val perRow = docs.select(col("source") +:
+    docs.select(col("source") +:
         predLangCol(col("text")).as("pred_lang") +:
         reTokens(col("text")).cast("long").as("n_toks") +:
         hasPii.cast("long").as("has_pii") +:
         qualityMetricCols.drop(1): _*)
       .withColumn("quality_score", qualityScoreCol)
+  }
+
+  /** The datasheet aggregate columns over [[profilePerRow]] output —
+    * shared by the batch rollup and the streaming leaf-cell
+    * aggregation. */
+  private[graft] def profileAggCols: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_toks")).as("n_tokens"),
+    round(avg(col("quality_score")), 6).as("avg_quality"),
+    round(avg(col("has_pii")), 6).as("pii_frac"))
+
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val perRow = profilePerRow(docs)
     // rollup labels surface as the '<all>' sentinel, not NULL: the
     // datasheet is a published artifact and NULL-vs-NULL ordering is
     // exactly the kind of engine-dependent edge the oracle-divergence
     // table exists to keep out of the comparable surface
     perRow
       .rollup(col("source"), col("pred_lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        round(avg(col("quality_score")), 6).as("avg_quality"),
-        round(avg(col("has_pii")), 6).as("pii_frac"))
+      .agg(profileAggCols.head, profileAggCols.tail: _*)
       .select(coalesce(col("source"), lit("<all>")).as("source"),
         coalesce(col("pred_lang"), lit("<all>")).as("pred_lang"),
         col("n_docs"), col("n_tokens"), col("avg_quality"), col("pii_frac"))

@@ -284,6 +284,26 @@ object FactStream {
       .withColumn("text_hash", graft.pipeline.Dedup.contentHash(col("text")))
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** LIVE corpus datasheet: the leaf (source, language) cells of
+    * TextAnalysis.corpusProfile maintained incrementally over a
+    * document stream — the ingest-side dashboard a curation deployment
+    * watches (doc counts, exact token sums, mean quality, PII rate,
+    * updating per micro-batch). The map side IS the batch operator's
+    * fused projection (TextAnalysis.profilePerRow) and the aggregate
+    * columns are the batch operator's (profileAggCols), so streamed
+    * cells can never drift from the published datasheet. State is one
+    * row per (source, language) — bounded by construction, no
+    * watermark needed; Spark maintains count/sum/avg as mergeable
+    * partials, so the result is order-exact for the integer columns
+    * and n·ε-equal (round 6) for the two means. Rollup totals are a
+    * trivial downstream sum over this tiny cell relation — they need
+    * no corpus-sized state, so the stream does not carry them. */
+  def profileStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.profilePerRow(docs)
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(graft.pipeline.TextAnalysis.profileAggCols.head,
+        graft.pipeline.TextAnalysis.profileAggCols.tail: _*)
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserLatest(user_id: Long, last_event_id: Long, last_value: Double,
                               n_events: Long)

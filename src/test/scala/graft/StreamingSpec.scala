@@ -337,6 +337,44 @@ class StreamingSpec extends SparkSpec {
     assert(withText === (b0 ++ b1).toMap)
   }
 
+  test("stream_profile: live datasheet cells equal the batch corpus_profile leaf cells") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val q = FactStream.profileStream(docs).writeStream
+      .format("memory").queryName("live_profile")
+      .outputMode("complete").start()
+    val b0 = Seq(
+      (0L, "the cat and the dog sat on the mat", "srcA"),
+      (1L, "der hund und die katze ist nicht da", "srcA"),
+      (2L, "call me at 555-12-3456 the old number", "srcB"))
+    val b1 = Seq(
+      (3L, "a quiet morning by the lake is the best", "srcA"),
+      (4L, "el rio y los arboles por la manana", "srcB"))
+    input.addData(b0)
+    q.processAllAvailable()
+    input.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "pred_lang", "n_docs", "n_tokens", "avg_quality", "pii_frac")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    import spark.implicits._
+    val live = cells(spark.table("live_profile"))
+    // the incremental state after two micro-batches IS the batch
+    // datasheet of everything ingested (leaf cells; rollup totals are
+    // a downstream sum over this tiny relation, not stream state)
+    val batch = cells(graft.pipeline.TextAnalysis.corpusProfile(
+        (b0 ++ b1).toDF("doc_id", "text", "source"))
+      .filter(org.apache.spark.sql.functions.col("source") =!= "<all>" &&
+        org.apache.spark.sql.functions.col("pred_lang") =!= "<all>"))
+    assert(live === batch)
+    // the PII probe fires on the planted SSN-shaped doc
+    assert(live.exists { case (s, _, _, _, _, pii) => s == "srcB" && pii > 0.0 })
+  }
+
   test("curation pipeline composition: gate → dedup → pack → ANN refresh equals the batch pipeline") {
     implicit val sql = spark.sqlContext
     import graft.pipeline.{Dedup, Similarity, TextAnalysis}
