@@ -451,15 +451,6 @@ object TextAnalysis {
         round(col("pr"), 6).as("ppl_rank"))
   }
 
-  /** Corpus DATASHEET: the profiling rollup a training-data release
-    * publishes — per (source, language) cell plus per-source and
-    * whole-corpus totals (ROLLUP), each with document count, exact
-    * token sum, mean quality score and the PII-hit rate. Every per-row
-    * metric (language id, quality, PII probe) is computed in ONE fused
-    * corpus scan; the only shuffle is the grouping-sets aggregate,
-    * which is map-side combinable. Token totals ride the integer
-    * token count (BIGINT in both engines — no float-sum divergence);
-    * the two double means are round(6) on an n·ε-bounded average. */
   /** The fused per-row projection under [[corpusProfile]] — also the
     * map side of the streaming live datasheet (FactStream
     * .profileStream), so the batch and streaming metrics can never
@@ -487,6 +478,15 @@ object TextAnalysis {
     round(avg(col("quality_score")), 6).as("avg_quality"),
     round(avg(col("has_pii")), 6).as("pii_frac"))
 
+  /** Corpus DATASHEET: the profiling rollup a training-data release
+    * publishes — per (source, language) cell plus per-source and
+    * whole-corpus totals (ROLLUP), each with document count, exact
+    * token sum, mean quality score and the PII-hit rate. Every per-row
+    * metric (language id, quality, PII probe) is computed in ONE fused
+    * corpus scan; the only shuffle is the grouping-sets aggregate,
+    * which is map-side combinable. Token totals ride the integer
+    * token count (BIGINT in both engines — no float-sum divergence);
+    * the two double means are round(6) on an n·ε-bounded average. */
   def corpusProfile(docs: DataFrame): DataFrame = {
     val perRow = profilePerRow(docs)
     // rollup labels surface as the '<all>' sentinel, not NULL: the

@@ -543,10 +543,14 @@ object PipelineQueries {
     // also appears elsewhere counts every occurrence. count(*) keeps
     // every integer BIGINT (no SUM→HUGEINT — SURVEY divergence table);
     // the DOUBLE division is exact-int/exact-int, round(6) on both sides.
+    // doc_id IS NOT NULL mirrors the operator's explicit null-id
+    // filter (the stage-reuse precondition) — without it the two
+    // engines disagree on a corpus carrying NULL ids
     "dedup_spans" ->
       """WITH toks AS (SELECT doc_id,
                               string_split_regex(lower(trim(text)), '\s+') AS t
-                       FROM documents),
+                       FROM documents
+                       WHERE doc_id IS NOT NULL),
               sp AS (SELECT doc_id,
                             md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
                      FROM (SELECT doc_id, t,
