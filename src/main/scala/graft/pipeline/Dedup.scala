@@ -448,9 +448,11 @@ object Dedup {
     val base = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= n)
-    val sp = base.select(col("doc_id"), explode(transform(
-      sequence(lit(0), size(col("tk")) - n),
-      i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " ")))).as("sh"))
+    // NON-distinct with multiplicity — the shared window-hash builder,
+    // not shingleHashes' distinct form: a span repeated inside one doc
+    // counts every occurrence
+    val sp = base.select(col("doc_id"),
+      explode(TextAnalysis.shingleHashCol(col("tk"), n)).as("sh"))
     val perDocSh = sp.groupBy(col("sh"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     // occ >= 2 is IMPLIED by mn != mx (two docs means two occurrences)
@@ -470,7 +472,13 @@ object Dedup {
     val dup = perDocSh.join(cross, "sh")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("dup_spans"))
-    base.select(col("doc_id"), (size(col("tk")) - n + 1).cast("long").as("n_spans"))
+    // ONE output row per doc_id even on a corpus carrying duplicate
+    // ids (n_spans summed over the id's rows) — matching the oracle's
+    // per-id grouping; a per-INPUT-ROW output would emit two rows with
+    // doc-level dup counts against row-level span totals (dup_frac
+    // above 1.0) and hash-diverge from the oracle under duplicate ids
+    base.select(col("doc_id"), (size(col("tk")) - n + 1).cast("long").as("ns"))
+      .groupBy(col("doc_id")).agg(sum(col("ns")).as("n_spans"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),

@@ -159,17 +159,21 @@ object TextAnalysis {
           d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0))).as("vec"))
   }
 
+  /** The PII shapes — ONE definition shared by the [[redact]] scrubber
+    * and the [[corpusProfile]]/profileStream pii_frac probe, so the
+    * published datasheet always describes exactly what redact scrubs. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiSsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PiiDigitsRe = "\\b[0-9]{7,}\\b"
+
   /** PII scrubbing: mask email addresses, long digit runs (phone /
     * account numbers), and SSN-shaped patterns — the standard redaction
     * gate before training-data release. Pure regexp_replace chain
     * (codegen'd, no shuffle); emits the scrubbed text + a flag for
     * routing docs that contained PII to quarantine. */
   def redact(docs: DataFrame): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-    val digits = "\\b[0-9]{7,}\\b"
     val scrubbed = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      email, "[EMAIL]"), ssn, "[SSN]"), digits, "[NUMBER]")
+      PiiEmailRe, "[EMAIL]"), PiiSsnRe, "[SSN]"), PiiDigitsRe, "[NUMBER]")
     docs.select(col("doc_id"), scrubbed.as("clean_text"),
       (scrubbed =!= col("text")).as("had_pii"))
   }
@@ -209,18 +213,27 @@ object TextAnalysis {
       .drop("__rn")
   }
 
-  /** Distinct n-token shingle hashes per document (lowercased
+  /** THE n-token window-hash expression — md5 of each space-joined
+    * n-token slice of a token array. ONE definition shared by every
+    * shingle consumer (decontaminate/text_decontam, sourceOverlap,
+    * Dedup.duplicatedSpans) so the hash can never drift between the
+    * ops — and between their DuckDB oracles, which all share the
+    * array_to_string/md5 formulation. */
+  private[pipeline] def shingleHashCol(tkCol: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tkCol) - n),
+      i => md5(array_join(slice(tkCol, i + 1, lit(n)), " ")))
+
+  /** Distinct n-token shingle hashes per key column (lowercased
     * whitespace tokens, md5 of the space-joined shingle — reproducible
     * in any engine). One per-row generate, no shuffle: the unit of
-    * benchmark-overlap decontamination. Docs shorter than n tokens
+    * benchmark-overlap decontamination. Rows shorter than n tokens
     * yield no shingles. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int, keyCol: String = "doc_id"): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    docs.select(col("doc_id"), toks.as("toks"))
+    docs.select(col(keyCol), toks.as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => md5(array_join(slice(col("toks"), i + 1, lit(n)), " "))))).as("sh"))
+      .select(col(keyCol),
+        explode(array_distinct(shingleHashCol(col("toks"), n))).as("sh"))
   }
 
   /** Benchmark decontamination: flag every training document sharing
@@ -255,12 +268,12 @@ object TextAnalysis {
     * onto the pair rows. The corpus-sized position stream is scanned
     * once and never joined raw. */
   def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
-    val tk = split(lower(trim(col("text"))), "\\s+")
-    val sh = docs.select(col("source"), tk.as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("source"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("tk")) - n),
-        i => md5(array_join(slice(col("tk"), i + 1, lit(n)), " "))))).as("sh"))
+    // null sources can appear in no pair (the a<b comparison rejects
+    // them in both engines) — filtering them up front ALSO makes all
+    // three uses of this relation canonically identical, so AQE reuses
+    // one materialized (source, sh) stage instead of re-exploding the
+    // corpus per reference (plan-pinned)
+    val sh = shingleHashes(docs.filter(col("source").isNotNull), n, keyCol = "source")
       .distinct()
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
@@ -456,11 +469,8 @@ object TextAnalysis {
     * .profileStream), so the batch and streaming metrics can never
     * drift apart. */
   private[graft] def profilePerRow(docs: DataFrame): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
-    val digits = "\\b[0-9]{7,}\\b"
-    val hasPii = col("text").rlike(email) || col("text").rlike(ssn) ||
-      col("text").rlike(digits)
+    val hasPii = col("text").rlike(PiiEmailRe) || col("text").rlike(PiiSsnRe) ||
+      col("text").rlike(PiiDigitsRe)
     docs.select(col("source") +:
         predLangCol(col("text")).as("pred_lang") +:
         reTokens(col("text")).cast("long").as("n_toks") +:

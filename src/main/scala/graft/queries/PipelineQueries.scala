@@ -344,11 +344,14 @@ object PipelineQueries {
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
   private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** DuckDB SELECT producing (doc_id, pred_lang) — ONE definition shared
-    * by every language-gated oracle (text_langid, pipeline_e2e,
-    * sample_stratified) so the heuristic cannot drift between them. */
-  private val langIdSql: String =
-    s"""SELECT doc_id,
+  /** `extra` passes additional documents columns through both nesting
+    * levels (e.g. ", text, source" for corpus_profile) — a consumer
+    * can then profile per-row WITHOUT re-joining on doc_id, which
+    * would silently drop NULL ids and k-plicate duplicate ids (the
+    * adversarial-id divergence class of the SURVEY audit table). */
+  private def langIdSqlWith(extra: String): String = {
+    val inner = extra.replace(", text", "")
+    s"""SELECT doc_id$extra,
                CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
                     WHEN s_de = m AND m > 0 THEN 'de'
                     WHEN s_en = m AND m > 0 THEN 'en'
@@ -356,7 +359,7 @@ object PipelineQueries {
                     WHEN s_fr = m AND m > 0 THEN 'fr'
                     ELSE 'und' END AS pred_lang
         FROM (
-          SELECT doc_id, text,
+          SELECT doc_id, text$inner,
                  len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
                  len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
                  len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
@@ -366,9 +369,15 @@ object PipelineQueries {
                    len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))),
                    len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))),
                    len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas')))) AS m
-          FROM (SELECT doc_id, text,
+          FROM (SELECT doc_id, text$inner,
                        string_split_regex(lower(trim(text)), '\\s+') AS lt
                 FROM documents) x) t"""
+  }
+
+  /** DuckDB SELECT producing (doc_id, pred_lang) — ONE definition shared
+    * by every language-gated oracle so the heuristic cannot drift
+    * between them. */
+  private val langIdSql: String = langIdSqlWith("")
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -516,22 +525,26 @@ object PipelineQueries {
     // is integer (DuckDB SUM(BIGINT)→HUGEINT cast back — divergence
     // table); the two double means are round(6) on n·ε-bounded avgs.
     // The quality formula is textually the text_quality oracle's.
+    // lang passes text/source THROUGH (langIdSqlWith) instead of
+    // re-joining documents on doc_id — a join would drop NULL ids and
+    // k-plicate duplicate ids where the Spark operator (join-free,
+    // plan-pinned) does neither.
     "corpus_profile" ->
-      s"""WITH lang AS ($langIdSql),
+      s"""WITH lang AS (${langIdSqlWith(", text, source")}),
               m AS (
-            SELECT d.doc_id, d.source, l.pred_lang,
-                   len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            SELECT source, pred_lang,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
                      AS n_toks,
                    least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.5
                      + (CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
                         / CAST(len($toksSql) AS DOUBLE)) * 0.3
-                     + (1.0 - least((CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-                        / CAST(length(d.text) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+                     + (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)) * 0.2
                      AS q,
-                   CAST(regexp_matches(d.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
-                     OR regexp_matches(d.text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')
-                     OR regexp_matches(d.text, '\\b[0-9]{7,}\\b') AS INT) AS has_pii
-            FROM documents d JOIN lang l USING (doc_id))
+                   CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                     OR regexp_matches(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')
+                     OR regexp_matches(text, '\\b[0-9]{7,}\\b') AS INT) AS has_pii
+            FROM lang)
           SELECT coalesce(source, '<all>') AS source,
                  coalesce(pred_lang, '<all>') AS pred_lang,
                  count(*) AS n_docs,

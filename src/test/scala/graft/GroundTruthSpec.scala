@@ -606,6 +606,24 @@ class GroundTruthSpec extends SparkSpec {
       3L -> ((6L, 2L, 0.333333))))
   }
 
+  test("duplicatedSpans: adversarial ids — duplicates merge to one row, nulls drop") {
+    // two rows share doc_id 7: "b c d" repeats ACROSS the rows but
+    // min=max per id says not cross-doc; doc 8's copy makes it
+    // cross-doc, so id 7 counts BOTH its occurrences. Output is ONE
+    // row per id with n_spans summed (3+3) — the oracle's per-id
+    // grouping — and the null-id row vanishes on both engines.
+    val docs = Seq(
+      (java.lang.Long.valueOf(7L), "a b c d e"),
+      (java.lang.Long.valueOf(7L), "x b c d y"),
+      (java.lang.Long.valueOf(8L), "b c d"),
+      (null.asInstanceOf[java.lang.Long], "b c d")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      7L -> ((6L, 2L, 0.333333)),
+      8L -> ((1L, 1L, 1.0))))
+  }
+
   test("sourceOverlap: hand-computed pairwise shingle vocabulary overlap") {
     // n=2 vocabularies: s1 = {a b, b c, c d} (across two docs),
     // s2 = {b c, c d, d e}, s3 = {z z}. s1∩s2 = 2, J = 2/(3+3-2) = 0.5;

@@ -267,6 +267,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"expected no join:\n$p")
   }
 
+  test("text_src_overlap: the (source, sh) vocabulary stage materializes once") {
+    // the self-join's two sides and the per-source totals all read the
+    // SAME distinct (source, sh) relation: at least one branch must be
+    // an AQE ReusedExchange, and the final plan must not explode the
+    // corpus three times
+    val df = PipelineQueries.queries("text_src_overlap")(spark, sf)
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected vocabulary-stage reuse:\n$finalSection")
+    assert("Generate explode".r.findAllIn(finalSection).size <= 2,
+      s"expected at most two corpus explodes in the final plan:\n$finalSection")
+  }
+
   test("sample_stratified: per-stratum top-N gets the map-side WindowGroupLimit") {
     // the one remaining language-partitioned corpus window is a
     // row_number <= N: Spark's WindowGroupLimit keeps only N rows per
