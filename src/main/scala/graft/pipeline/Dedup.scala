@@ -485,4 +485,52 @@ object Dedup {
         round(coalesce(col("dup_spans"), lit(0L)).cast("double") / col("n_spans"), 6)
           .as("dup_frac"))
   }
+
+  /** [[duplicatedSpans]]' completion — the REMOVAL step of exact-
+    * substring dedup (Lee et al. 2022 drop duplicated spans, not whole
+    * documents): every token covered by any cross-document duplicated
+    * n-token window is cut, and the surviving tokens are re-joined.
+    * Output one row per INPUT ROW: (doc_id, clean_text, n_removed),
+    * clean_text token-normalized (lowercased, single-spaced).
+    *
+    * Rows are keyed by (doc_id, md5(text)) — not doc_id alone — so a
+    * corpus carrying duplicate ids with differing texts never mixes
+    * coverage across rows (each row is trimmed against its own span
+    * set; identical rows trim identically). Cross-doc means distinct
+    * doc_ids, exactly [[duplicatedSpans]]' flag. Scale shape: span
+    * stream → flag aggregate (map-side combinable), flag join →
+    * position explode (n rows per flagged span) → distinct + per-row
+    * coverage set; the reconstruct is a per-row codegen'd higher-order
+    * expression, no window, no driver state. */
+  def trimDuplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    // null text normalizes to "" (clean_text '' / 0 removed) — NOT
+    // null-out: DuckDB's array_to_string(empty) is NULL where Spark's
+    // array_join is '', so a fully-trimmed doc must reconstruct from
+    // the same non-null base in both engines (oracle coalesces too)
+    val tk = split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")
+    val base = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("rk"), tk.as("tk"))
+    val sp = base.filter(size(col("tk")) >= n)
+      .select(col("doc_id"), col("rk"),
+        posexplode(TextAnalysis.shingleHashCol(col("tk"), n)).as(Seq("i", "sh")))
+    val cross = sp.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("sh"))
+    val cov = sp.join(cross, "sh")
+      .select(col("doc_id"), col("rk"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"), col("rk"))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    base.join(cov, Seq("doc_id", "rk"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("array()")))
+      .select(col("doc_id"),
+        array_join(expr(
+          """transform(filter(sequence(0, size(tk) - 1),
+                              j -> NOT array_contains(cov, j)),
+                       j -> element_at(tk, cast(j + 1 as int)))"""), " ")
+          .as("clean_text"),
+        size(col("cov")).cast("long").as("n_removed"))
+  }
 }

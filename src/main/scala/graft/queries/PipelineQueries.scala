@@ -254,6 +254,10 @@ object PipelineQueries {
     // granularity: per-doc duplicated-span coverage over the corpus
     "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(docs(s, dir), n = 8)),
 
+    // the REMOVAL step of exact-substring dedup: cut every token
+    // covered by a cross-document duplicated 8-token span
+    "dedup_trim" -> ((s, dir) => Dedup.trimDuplicatedSpans(docs(s, dir), n = 8)),
+
     // corpus datasheet: (source x language) rollup of docs / exact
     // token sums / mean quality / PII rate — one fused scan, one
     // grouping-sets shuffle
@@ -556,6 +560,33 @@ object PipelineQueries {
     // also appears elsewhere counts every occurrence. count(*) keeps
     // every integer BIGINT (no SUM→HUGEINT — SURVEY divergence table);
     // the DOUBLE division is exact-int/exact-int, round(6) on both sides.
+    // rows keyed (doc_id, md5(text)) exactly like the operator, so
+    // duplicate ids with differing texts never mix coverage; every
+    // count stays BIGINT; clean_text is token-normalized identically
+    // (lower + single space) in both engines
+    "dedup_trim" ->
+      """WITH toks AS (SELECT doc_id, md5(coalesce(text, '')) AS rk,
+                              string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS t
+                       FROM documents WHERE doc_id IS NOT NULL),
+              sp AS (SELECT doc_id, rk, i,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, rk, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              g AS (SELECT sh FROM sp GROUP BY sh
+                    HAVING min(doc_id) <> max(doc_id)),
+              covp AS (SELECT DISTINCT doc_id, rk, p
+                       FROM (SELECT doc_id, rk, unnest(range(i, i + 8)) AS p
+                             FROM sp JOIN g USING (sh)) y),
+              cov AS (SELECT doc_id, rk, list_sort(list(p)) AS cv
+                      FROM covp GROUP BY 1, 2)
+         SELECT t.doc_id,
+                coalesce(array_to_string(list_transform(
+                  list_filter(range(0, len(t.t)),
+                              j -> NOT list_contains(coalesce(cv, []), j)),
+                  j -> t.t[j + 1]), ' '), '') AS clean_text,
+                CAST(len(coalesce(cv, [])) AS BIGINT) AS n_removed
+         FROM toks t LEFT JOIN cov USING (doc_id, rk)""",
     // doc_id IS NOT NULL mirrors the operator's explicit null-id
     // filter (the stage-reuse precondition) — without it the two
     // engines disagree on a corpus carrying NULL ids

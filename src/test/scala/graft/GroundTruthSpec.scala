@@ -624,6 +624,29 @@ class GroundTruthSpec extends SparkSpec {
       8L -> ((1L, 1L, 1.0))))
   }
 
+  test("trimDuplicatedSpans: covered tokens cut, short and clean docs intact") {
+    // n=3 over the duplicatedSpans fixture: "b c d" is cross-doc, so
+    // doc 0 keeps "a e" (positions 1-3 cut), doc 1 keeps "x y", doc 3
+    // loses BOTH its occurrences (positions 0-5) keeping the trailing
+    // "b c"; doc 2 (no overlap) and doc 4 (shorter than n) pass
+    // through; a null-id row is dropped like duplicatedSpans does.
+    val docs = Seq(
+      (java.lang.Long.valueOf(0L), "a b c d e"),
+      (java.lang.Long.valueOf(1L), "x b c d y"),
+      (java.lang.Long.valueOf(2L), "p q r"),
+      (java.lang.Long.valueOf(3L), "b c d b c d b c"),
+      (java.lang.Long.valueOf(4L), "a b"),
+      (null.asInstanceOf[java.lang.Long], "b c d")).toDF("doc_id", "text")
+    val got = Dedup.trimDuplicatedSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> (("a e", 3L)),
+      1L -> (("x y", 3L)),
+      2L -> (("p q r", 0L)),
+      3L -> (("b c", 6L)),
+      4L -> (("a b", 0L))))
+  }
+
   test("sourceOverlap: hand-computed pairwise shingle vocabulary overlap") {
     // n=2 vocabularies: s1 = {a b, b c, c d} (across two docs),
     // s2 = {b c, c d, d e}, s3 = {z z}. s1∩s2 = 2, J = 2/(3+3-2) = 0.5;
