@@ -252,6 +252,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[decontaminate]]'s SCALE path — same exact output, different
+    * plan shape for the regime where the eval shingle set itself is
+    * too large to broadcast (a union of benchmark suites can carry
+    * billions of shingles; the distinct md5 set costs ≥48 B/entry in
+    * a broadcast hash relation, while a 1%-fpp Bloom sketch costs
+    * ~1.2 B/entry — ~40× smaller, and built distributedly with only
+    * the sketch ever reaching the driver).
+    *
+    * Shape: eval shingles → count (one agg over the SMALL side, sizes
+    * the sketch) → `stat.bloomFilter` (distributed build) → corpus
+    * shingle stream probed by the codegen'd [[graft.functions.BloomMightContain]]
+    * INSIDE the map-only generate stage → only candidates (true
+    * matches + fpp×corpus false positives) reach the exact verify
+    * join, which therefore shuffles ~fpp of the corpus shingle stream
+    * instead of all of it — and needs no broadcast of the eval side.
+    * No false negatives (Bloom guarantee), so verify-join output ==
+    * [[decontaminate]] exactly, row for row. */
+  def decontaminateBloom(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalSh = shingleHashes(evalDocs, n).select(col("sh")).distinct()
+    val items = math.max(1L, evalSh.count())
+    val bloom = evalSh.stat.bloomFilter("sh", items, fpp)
+    shingleHashes(train, n)
+      .filter(graft.functions.BloomExpressions.bloomMightContain(col("sh"), bloom))
+      .join(evalSh, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Pairwise cross-SOURCE contamination matrix: for every pair of
     * sources (subcorpora / crawl snapshots), the number of distinct
     * n-token shingles present in both, plus the Jaccard overlap of the

@@ -227,6 +227,17 @@ object PipelineQueries {
         d.filter(col("source") === "src0"), n = 8)
     }),
 
+    // decontamination at eval-set scale: Bloom-sketch prune on the
+    // corpus shingle stream + exact verify join — output identical to
+    // text_decontam, plan broadcastable even when the eval shingle set
+    // is not
+    "text_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateBloom(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), n = 8)
+    }),
+
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
 
     // near-dup CLUSTER assignment: connected components over the
@@ -512,6 +523,23 @@ object PipelineQueries {
                 ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 6))::BIGINT AS fp_bucket
          FROM documents""",
     "text_decontam" ->
+      """WITH toks AS (SELECT doc_id, source,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sh AS (SELECT DISTINCT doc_id, source,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, source, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              ev AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+         SELECT s.doc_id, count(*) AS n_contaminated
+         FROM sh s JOIN ev USING (sh)
+         WHERE s.source <> 'src0'
+         GROUP BY 1""",
+    // the Bloom path's exact-verify join makes its output identical to
+    // text_decontam (no false negatives; false positives re-verified),
+    // so the oracle is the same query
+    "text_decontam_bloom" ->
       """WITH toks AS (SELECT doc_id, source,
                               string_split_regex(lower(trim(text)), '\s+') AS t
                        FROM documents),

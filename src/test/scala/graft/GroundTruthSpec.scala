@@ -237,6 +237,38 @@ class GroundTruthSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L)))
   }
 
+  test("decontaminateBloom: exact parity with decontaminate; sketch actually prunes") {
+    // fixture reuses the decontaminate shapes plus extra clean docs so
+    // the candidate prune has something to drop
+    val evalDocs = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x y a b c d e f g h z"),
+      (2L, "a b c d q e f g h r"),
+      (3L, "totally different content with no shared token runs at all here"),
+      (4L, "c d e f g h i j trailing eval tail match here")
+    ).toDF("doc_id", "text")
+    val want = TextAnalysis.decontaminate(train, evalDocs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = TextAnalysis.decontaminateBloom(train, evalDocs, n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(got === Map(1L -> 1L, 4L -> 1L))
+
+    // no false negatives: every eval shingle passes its own sketch;
+    // false positives bounded: 10k absent keys pass at ~fpp (1% here,
+    // asserted with 5x margin)
+    val evalSh = TextAnalysis.shingleHashes(evalDocs, 8).select("sh").distinct()
+    val bloom = evalSh.stat.bloomFilter("sh", 1000L, 0.01)
+    import graft.functions.BloomExpressions.bloomMightContain
+    val selfPass = evalSh
+      .filter(bloomMightContain(col("sh"), bloom)).count()
+    assert(selfPass === evalSh.count())
+    val absent = spark.range(10000)
+      .select(md5(concat(lit("absent:"), col("id").cast("string"))).as("sh"))
+    val fpPass = absent.filter(bloomMightContain(col("sh"), bloom)).count()
+    assert(fpPass <= 500L, s"bloom fp rate implausibly high: $fpPass/10000")
+  }
+
   test("repetition computes exact duplicate-token and top-bigram fractions") {
     val docs = Seq(
       (1L, "a a a a"),    // dup 1-1/4; bigrams "a a"×3 → 3/3

@@ -51,6 +51,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the eval-distinct and final-groupBy Exchanges:\n$p")
   }
 
+  test("text_decontam_bloom: codegen'd sketch probe prunes the corpus stream pre-join") {
+    val p = plan("text_decontam_bloom")
+    // the Bloom probe must sit in the corpus-side map stage (a Filter
+    // feeding the verify join) — if it disappears, the verify join is
+    // processing the FULL corpus shingle stream and the scale path is
+    // just text_decontam with extra steps
+    assert(p.contains("graft_bloom_might_contain"),
+      s"expected the native bloom probe in the plan:\n$p")
+    // probe is a Filter, not buried post-join
+    assert("Filter.*graft_bloom_might_contain".r.findFirstIn(p).isDefined,
+      s"expected the bloom probe as a pre-join Filter:\n$p")
+  }
+
   test("text_repetition: shuffle-free single-pass projection") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
