@@ -43,6 +43,45 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** Incremental snapshot-vs-corpus exact dedup — the production step
+    * that dedups a NEW crawl snapshot against the EXISTING (already
+    * deduped) corpus without reprocessing the corpus: survivors are the
+    * snapshot docs whose normalized content hash appears nowhere in the
+    * corpus, collapsed keep-min-id within the snapshot. Same
+    * [[contentHash]] as [[exact]] and the streaming dedup, so all
+    * three paths share one dedup key.
+    *
+    * Scale shape (both sides can be corpus-sized, so NEITHER side may
+    * broadcast or shuffle whole): corpus hashes → Bloom sketch (built
+    * distributedly, only the sketch reaches the driver) → snapshot
+    * hashes probed map-only → the few candidates (true dups +
+    * fpp×snapshot) are distinct-reduced and BROADCAST back over the
+    * corpus, whose exact verify pass is therefore a map-only
+    * broadcast-semi scan — the only shuffles touch candidate-sized
+    * data and the final snapshot keep-min-id agg. No false negatives
+    * from the sketch, so the output is exactly the anti-join. If the
+    * snapshot is mostly duplicate (hits ~ snapshot-sized), fall back
+    * to [[exact]] over the union instead of the broadcast. */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame,
+                       fpp: Double = 0.01): DataFrame = {
+    val newHashed = newDocs.select(col("doc_id"),
+      contentHash(col("text")).as("text_hash"))
+    val corpusHashes = corpus.select(contentHash(col("text")).as("text_hash"))
+    // non-distinct count oversizes the sketch (never undersizes) and
+    // stays a map-side-combined agg — a distinct here would shuffle
+    // the full corpus, which is what this path exists to avoid
+    val items = math.max(1L, corpusHashes.count())
+    val bloom = corpusHashes.stat.bloomFilter("text_hash", items, fpp)
+    val cand = newHashed
+      .filter(graft.functions.BloomExpressions.bloomMightContain(col("text_hash"), bloom))
+      .select(col("text_hash")).distinct()
+    val hits = corpusHashes.join(broadcast(cand), "text_hash")
+      .select(col("text_hash")).distinct()
+    newHashed.join(broadcast(hits), Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text_hash"))
+  }
+
   /** EXACT all-pairs token-set Jaccard >= `threshold`, via prefix
     * filtering: order tokens by global rarity; if J(a,b) >= t the two
     * prefixes (first |s|-ceil(t*|s|)+1 rarest tokens) must intersect.

@@ -120,6 +120,16 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    // incremental crawl-snapshot dedup: source 'src0' plays the
+    // existing corpus, every other source the new snapshot; survivors
+    // are snapshot docs absent from the corpus, keep-min-id within
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalExact(
+        d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"))
+    }),
+
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardFromToks(tokSidecar(s, dir), 0.8)),
 
     "dedup_minhash" -> ((s, dir) => {
@@ -399,6 +409,20 @@ object PipelineQueries {
       """SELECT min(doc_id) AS doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
          FROM documents GROUP BY 2""",
+    // Bloom prune + exact verify == plain anti-join (no false
+    // negatives; false positives re-verified), so the oracle is the
+    // declarative form; NOT IN is NULL-safe here because md5 over
+    // non-null text never yields NULL and ch is non-empty by fixture
+    "dedup_incremental" ->
+      """WITH nh AS (SELECT doc_id,
+                            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+                     FROM documents WHERE source <> 'src0'),
+              ch AS (SELECT DISTINCT
+                            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+                     FROM documents WHERE source = 'src0')
+         SELECT min(doc_id) AS doc_id, text_hash
+         FROM nh WHERE text_hash NOT IN (SELECT text_hash FROM ch)
+         GROUP BY text_hash""",
     "dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)
           SELECT a.doc_id AS a, b.doc_id AS b,

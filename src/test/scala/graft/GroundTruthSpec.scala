@@ -237,6 +237,26 @@ class GroundTruthSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L)))
   }
 
+  test("incrementalExact: snapshot dedups against corpus without reprocessing it") {
+    val corpus = Seq(
+      (1L, "the existing corpus doc"),
+      (2L, "another   KEPT doc")).toDF("doc_id", "text")  // normalization: ws+case
+    val snapshot = Seq(
+      (10L, "THE existing corpus DOC"),   // dup of corpus 1 after normalize → dropped
+      (11L, "a fresh snapshot doc"),      // unique → kept
+      (12L, "a fresh snapshot doc"),      // internal dup → collapsed, min id 11
+      (13L, "another kept doc")           // dup of corpus 2 after normalize → dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(snapshot, corpus).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(got === Seq(11L))
+    // parity with the declarative form: union-exact restricted to
+    // snapshot survivors whose hash is corpus-absent
+    val unionKeep = Dedup.exact(corpus.union(snapshot)).collect()
+      .map(r => r.getLong(0)).filter(_ >= 10L).toSet
+    assert(got.toSet === unionKeep)
+  }
+
   test("decontaminateBloom: exact parity with decontaminate; sketch actually prunes") {
     // fixture reuses the decontaminate shapes plus extra clean docs so
     // the candidate prune has something to drop

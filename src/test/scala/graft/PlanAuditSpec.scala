@@ -64,6 +64,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the bloom probe as a pre-join Filter:\n$p")
   }
 
+  test("dedup_incremental: corpus side verified map-only via broadcast candidates") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"expected the bloom prefilter on the snapshot side:\n$p")
+    // both the corpus verify pass and the snapshot anti-join must ride
+    // broadcasts of candidate-sized data — a sort-merge join anywhere
+    // here means a corpus-sized shuffle at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast verify joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"expected no corpus-sized shuffle join:\n$p")
+  }
+
   test("text_repetition: shuffle-free single-pass projection") {
     val p = plan("text_repetition")
     assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
