@@ -339,6 +339,45 @@ object TextAnalysis {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic sharded-export MANIFEST — the audit record a
+    * training-data release writes next to its shard files: per shard,
+    * the doc count, exact token sum, and an order-insensitive content
+    * signature (bit_xor of each doc's 60-bit content-hash prefix, so
+    * any engine re-reading a shard in any row order re-derives the
+    * same signature). Shard assignment is content-independent
+    * (md5(doc_id) → [0, nShards), the [[splitAssign]] discipline), so
+    * the layout is reproducible and stable under re-export; one
+    * map-side-combinable aggregate, one nShards-row output. */
+  def exportManifest(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nShards.toLong))
+    docs.select(shard.as("shard"),
+        reTokens(col("text")).cast("long").as("n_toks"),
+        conv(substring(Dedup.contentHash(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(h)").as("content_sig"))
+  }
+
+  /** The export itself: docs land under `outDir/docs/shard=<k>/` (one
+    * directory per manifest row, written in parallel straight from the
+    * shard column — no pre-shuffle; parquet splits big shards into
+    * multiple files) plus the [[exportManifest]] relation at
+    * `outDir/manifest/`. A consumer validates a shard by recomputing
+    * count/token-sum/bit_xor over the files and comparing to the
+    * manifest row — the check GroundTruthSpec performs. */
+  def writeTrainingShards(docs: DataFrame, outDir: String, nShards: Int = 64): Unit = {
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(nShards.toLong))
+    docs.withColumn("shard", shard)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/docs")
+    exportManifest(docs, nShards)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
     * of duplicate tokens and the share of the most frequent bigram —
     * the cheap repetition gates that drop degenerate/boilerplate docs.

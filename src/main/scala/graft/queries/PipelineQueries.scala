@@ -248,6 +248,11 @@ object PipelineQueries {
         d.filter(col("source") === "src0"), n = 8)
     }),
 
+    // sharded-export manifest: per-shard doc count / exact token sum /
+    // order-insensitive bit_xor content signature (the release audit
+    // record; the sink itself is writeTrainingShards, spec-checked)
+    "export_manifest" -> ((s, dir) => TextAnalysis.exportManifest(docs(s, dir), nShards = 64)),
+
     "text_repetition" -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
 
     // near-dup CLUSTER assignment: connected components over the
@@ -695,6 +700,21 @@ object PipelineQueries {
                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                         % 10000 AS split_bucket
                FROM documents) t""",
+    // shard from md5(doc_id) hex8 is non-negative → % == pmod (same
+    // idiom as sample_split); token sum cast back from HUGEINT; the
+    // 15-hex-char hash prefix stays under 2^60 so bit_xor agrees on
+    // BIGINT in both engines
+    "export_manifest" ->
+      """WITH d AS (SELECT
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 64 AS shard,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_toks,
+                ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS h
+              FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                bit_xor(h) AS content_sig
+         FROM d GROUP BY shard""",
     "text_repetition" ->
       """SELECT doc_id,
                 round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)

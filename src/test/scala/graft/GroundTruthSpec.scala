@@ -237,6 +237,42 @@ class GroundTruthSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L)))
   }
 
+  test("export shards: round-trip, manifest re-derivable from files, order-insensitive") {
+    val docs = Seq((1L, "a b c"), (2L, "d d"), (3L, "e"), (4L, "f g h i"),
+      (5L, "j k"), (6L, "l"), (7L, "m n o"), (8L, "p")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_export").toString
+    TextAnalysis.writeTrainingShards(docs, dir, nShards = 4)
+
+    // every doc lands exactly once, in the shard the manifest keys
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+
+    // a consumer's validation pass: recompute the manifest from the
+    // written files and compare to the written manifest
+    val man = spark.read.parquet(s"$dir/manifest").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val re = TextAnalysis.exportManifest(
+      back.select("doc_id", "text"), nShards = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(man === re)
+    assert(man.values.map(_._1).sum === 8L)
+
+    // physical partition dir == manifest shard key for every row
+    val mismatch = back.filter(
+      col("shard").cast("long") =!=
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(4L))).count()
+    assert(mismatch === 0L)
+
+    // bit_xor signature is row-order-insensitive: reversed input,
+    // identical manifest
+    val rev = TextAnalysis.exportManifest(docs.orderBy(desc("doc_id")), nShards = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rev === man)
+  }
+
   test("incrementalExact: snapshot dedups against corpus without reprocessing it") {
     val corpus = Seq(
       (1L, "the existing corpus doc"),
