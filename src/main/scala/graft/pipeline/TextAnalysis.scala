@@ -348,18 +348,30 @@ object TextAnalysis {
     * (md5(doc_id) → [0, nShards), the [[splitAssign]] discipline), so
     * the layout is reproducible and stable under re-export; one
     * map-side-combinable aggregate, one nShards-row output. */
-  def exportManifest(docs: DataFrame, nShards: Int = 64): DataFrame = {
-    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long"), lit(nShards.toLong))
-    docs.select(shard.as("shard"),
-        reTokens(col("text")).cast("long").as("n_toks"),
-        conv(substring(Dedup.contentHash(col("text")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+  def exportManifest(docs: DataFrame, nShards: Int = 64): DataFrame =
+    manifestPerRow(docs, nShards)
       .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        expr("bit_xor(h)").as("content_sig"))
-  }
+      .agg(manifestAggCols.head, manifestAggCols.tail: _*)
+
+  /** The manifest's per-row projection — ONE definition shared by
+    * [[exportManifest]] and the streaming manifest
+    * (FactStream.manifestStream), so live and published manifests can
+    * never drift. */
+  private[graft] def manifestPerRow(docs: DataFrame, nShards: Int): DataFrame =
+    docs.select(
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(nShards.toLong)).as("shard"),
+      reTokens(col("text")).cast("long").as("n_toks"),
+      conv(substring(Dedup.contentHash(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+
+  /** Manifest aggregates over [[manifestPerRow]]: count / exact sum /
+    * bit_xor — each commutative+associative, so they merge exactly
+    * across partitions AND micro-batches in any order. */
+  private[graft] def manifestAggCols: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_toks")).as("n_tokens"),
+    expr("bit_xor(h)").as("content_sig"))
 
   /** The export itself: docs land under `outDir/docs/shard=<k>/` (one
     * directory per manifest row, written in parallel straight from the

@@ -304,6 +304,22 @@ object FactStream {
       .agg(graft.pipeline.TextAnalysis.profileAggCols.head,
         graft.pipeline.TextAnalysis.profileAggCols.tail: _*)
 
+  /** LIVE export manifest: TextAnalysis.exportManifest maintained
+    * incrementally over the document stream — the release audit record
+    * kept current as docs land, so a snapshot cut at any micro-batch
+    * boundary ships with its manifest already computed. All three
+    * aggregates (count / exact token sum / bit_xor content signature)
+    * are commutative+associative, so the streamed state is EXACTLY the
+    * batch manifest of everything ingested — not an approximation —
+    * and state is bounded at nShards rows regardless of corpus size.
+    * The projection IS the batch operator's (manifestPerRow), shared
+    * so live and published manifests can never drift. */
+  def manifestStream(docs: DataFrame, nShards: Int = 64): DataFrame =
+    graft.pipeline.TextAnalysis.manifestPerRow(docs, nShards)
+      .groupBy(col("shard"))
+      .agg(graft.pipeline.TextAnalysis.manifestAggCols.head,
+        graft.pipeline.TextAnalysis.manifestAggCols.tail: _*)
+
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)
   final case class UserLatest(user_id: Long, last_event_id: Long, last_value: Double,
                               n_events: Long)

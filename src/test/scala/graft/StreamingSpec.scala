@@ -337,6 +337,31 @@ class StreamingSpec extends SparkSpec {
     assert(withText === (b0 ++ b1).toMap)
   }
 
+  test("stream_manifest: live export manifest equals the batch manifest exactly") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = FactStream.manifestStream(docs, nShards = 4).writeStream
+      .format("memory").queryName("live_manifest")
+      .outputMode("complete").start()
+    val b0 = Seq((0L, "alpha beta gamma"), (1L, "delta"), (2L, "epsilon zeta"))
+    val b1 = Seq((3L, "eta theta iota kappa"), (4L, "lambda mu"))
+    input.addData(b0)
+    q.processAllAvailable()
+    input.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    import spark.implicits._
+    val live = rows(spark.table("live_manifest"))
+    // count/sum/bit_xor all merge exactly across micro-batches: the
+    // streamed state IS the batch manifest, bit for bit
+    val batch = rows(graft.pipeline.TextAnalysis.exportManifest(
+      (b0 ++ b1).toDF("doc_id", "text"), nShards = 4))
+    assert(live === batch)
+  }
+
   test("stream_profile: live datasheet cells equal the batch corpus_profile leaf cells") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
