@@ -298,10 +298,7 @@ object Dedup {
     // O(docs × bands), never O(bucket²) — the production dedup pattern
     // (one survivor per near-dup cluster), immune to giant clusters.
     val reps = groups.select(col("rep").as("doc_id"), col("sig"))
-    val banded = reps.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*))
-        .as(Seq("band", "bucket")))
+    val banded = bandKeys(reps, k, bands)
     val bucketRep = banded.groupBy(col("band"), col("bucket"))
       .agg(min(col("doc_id")).as("a"))
     val cands = banded.join(bucketRep, Seq("band", "bucket"))
@@ -317,6 +314,20 @@ object Dedup {
       .filter(col("est_jac") >= estThreshold)
       .select(col("a"), col("b"), col("est_jac"))
     identical.unionAll(near)
+  }
+
+  /** LSH band keys over a (doc_id, sig) relation: band b's key is
+    * xxhash64 over rows b·(k/bands)..(b+1)·(k/bands) of the signature.
+    * ONE definition shared by [[minhashLshFromSigs]] and the streaming
+    * near-dup gate (FactStream.ingestNearDedup), so a banding change
+    * can never silently strand a durable band sidecar written under
+    * the old boundaries. */
+  private[graft] def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col("sig")(i)): _*)): _*))
+        .as(Seq("band", "bucket")))
   }
 
   /** The deduplicated corpus: drop every doc appearing as the MEMBER

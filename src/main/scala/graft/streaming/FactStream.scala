@@ -304,6 +304,80 @@ object FactStream {
       .agg(graft.pipeline.TextAnalysis.profileAggCols.head,
         graft.pipeline.TextAnalysis.profileAggCols.tail: _*)
 
+  /** Streaming NEAR-dup gate — the MinHash/LSH counterpart of
+    * [[dedupStream]] for continuous ingestion: each micro-batch is
+    * near-deduped within itself by the BATCH operator
+    * (Dedup.minhashLshFromSigs + keepSurvivors — reused, not
+    * re-stated), then against everything previously admitted via two
+    * durable sidecars under `path`: `bands/batch=N` (band, bucket,
+    * doc_id) and `sigs/batch=N` (doc_id, sig). A new doc is dropped
+    * iff it shares an LSH band bucket with a prior survivor AND the
+    * full-signature agreement fraction reaches `estThreshold` — the
+    * same candidate→verify shape as the batch path, so candidates stay
+    * O(batch × bands), never batch × corpus.
+    *
+    * Unlike exact streaming dedup (hash set bounded by watermark),
+    * near-dup state is inherently corpus-sized — so it lives in the
+    * LAYOUT (disk-resident bucketed parquet, the curation pipeline's
+    * durable-sidecar discipline), not executor memory; reading only
+    * dirs below the current batch id keeps retries idempotent.
+    * Signature stage is the map-only codegen'd expression; the band
+    * join's prior side grows one small dir per batch (compact by
+    * rewriting `bands/`+`sigs/` from the survivors dirs offline). */
+  def ingestNearDedup(docs: DataFrame, path: String, checkpoint: String,
+                      k: Int = 64, bands: Int = 16,
+                      estThreshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.pipeline.Dedup
+        val b = batch.select(col("doc_id"), col("text"))
+        val sigsAll = Dedup.minhashSignatures(b, k).persist()
+        try {
+          // within-batch: the batch pair generator + survivor policy
+          val kept = Dedup.keepSurvivors(b,
+            Dedup.minhashLshFromSigs(sigsAll, k, bands, estThreshold))
+          val keptSigs = sigsAll.join(kept.select("doc_id"), Seq("doc_id"))
+          // cross-batch: band-bucket candidates vs prior survivors,
+          // verified on full-signature agreement
+          def dirs(sub: String) = corpusBatchDirs(spark, s"$path/$sub")
+            .collect { case (id, p) if id < batchId => p }
+          val bandDirs = dirs("bands")
+          val survivors =
+            if (bandDirs.isEmpty) kept
+            else {
+              val priorBands = spark.read.parquet(bandDirs: _*)
+                .select(col("band"), col("bucket"), col("doc_id").as("old_id"))
+              val cand = Dedup.bandKeys(keptSigs, k, bands)
+                .join(priorBands, Seq("band", "bucket"))
+                .select(col("doc_id"), col("old_id")).distinct()
+              val priorSigs = spark.read.parquet(dirs("sigs"): _*)
+                .select(col("doc_id").as("old_id"), col("sig").as("so"))
+              val dupNew = cand
+                .join(keptSigs.select(col("doc_id"), col("sig").as("sn")), "doc_id")
+                .join(priorSigs, "old_id")
+                .withColumn("est_jac",
+                  size(filter(zip_with(col("sn"), col("so"), (x, y) => x === y),
+                    bb => bb)).cast("double") / k)
+                .filter(col("est_jac") >= estThreshold)
+                .select(col("doc_id")).distinct()
+              kept.join(dupNew, Seq("doc_id"), "left_anti")
+            }
+          val survSigs = sigsAll.join(survivors.select("doc_id"), Seq("doc_id"))
+            .persist()
+          try {
+            survSigs.write.mode("overwrite").parquet(s"$path/sigs/batch=$batchId")
+            Dedup.bandKeys(survSigs, k, bands)
+              .write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+            survivors.write.mode("overwrite")
+              .parquet(s"$path/survivors/batch=$batchId")
+          } finally survSigs.unpersist(false): Unit
+        } finally sigsAll.unpersist(false): Unit
+      }
+      .start()
+
   /** LIVE export manifest: TextAnalysis.exportManifest maintained
     * incrementally over the document stream — the release audit record
     * kept current as docs land, so a snapshot cut at any micro-batch

@@ -400,6 +400,42 @@ class StreamingSpec extends SparkSpec {
     assert(live.exists { case (s, _, _, _, _, pii) => s == "srcB" && pii > 0.0 })
   }
 
+  test("stream_near_dedup: cross-batch MinHash gate equals the batch near-dedup") {
+    implicit val sql = spark.sqlContext
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-near-dedup").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = FactStream.ingestNearDedup(docs, dir, s"$dir/ckpt",
+      k = 64, bands = 16, estThreshold = 0.8)
+    // identical token SETS (order/multiplicity differ) make the MinHash
+    // estimate exactly 1.0 — deterministic drops through both the
+    // within-batch path and the cross-batch band-sidecar path
+    val b0 = Seq(
+      (1L, "x y z w"),
+      (2L, "w z y x x"),      // same set as 1 → dropped within batch
+      (3L, "p q r s"))
+    val b1 = Seq(
+      (10L, "z w x y"),        // same set as 1 → dropped cross-batch
+      (11L, "fresh new content here"),
+      (12L, "s r q p p p"))    // same set as 3 → dropped cross-batch
+    input.addData(b0); q.processAllAvailable()
+    input.addData(b1); q.processAllAvailable()
+    q.stop()
+    def survivors(batch: Long) = spark.read
+      .parquet(s"$dir/survivors/batch=$batch")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors(0) === Set(1L, 3L))
+    assert(survivors(1) === Set(11L))
+    // streamed admission == the batch operator over the full corpus
+    import spark.implicits._
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    val batchKept = Dedup.keepSurvivors(all,
+      Dedup.minhashLsh(all, k = 64, bands = 16, estThreshold = 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors(0) ++ survivors(1) === batchKept)
+  }
+
   test("curation pipeline composition: gate → dedup → pack → ANN refresh equals the batch pipeline") {
     implicit val sql = spark.sqlContext
     import graft.pipeline.{Dedup, Similarity, TextAnalysis}
