@@ -66,7 +66,13 @@ object Dedup {
                        fpp: Double = 0.01): DataFrame = {
     val newHashed = newDocs.select(col("doc_id"),
       contentHash(col("text")).as("text_hash"))
+    // NULL hashes (null-text rows) stay out of the sketch: a NULL can
+    // never equal-match in the exact verify, and the sketch build
+    // itself requires non-null inputs. Snapshot-side NULL hashes fall
+    // through the probe (null predicate → filtered) and the anti-join
+    // (null never matches → kept), matching the oracle's NOT EXISTS.
     val corpusHashes = corpus.select(contentHash(col("text")).as("text_hash"))
+      .filter(col("text_hash").isNotNull)
     // non-distinct count oversizes the sketch (never undersizes) and
     // stays a map-side-combined agg — a distinct here would shuffle
     // the full corpus, which is what this path exists to avoid

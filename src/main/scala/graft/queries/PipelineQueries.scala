@@ -416,8 +416,10 @@ object PipelineQueries {
          FROM documents GROUP BY 2""",
     // Bloom prune + exact verify == plain anti-join (no false
     // negatives; false positives re-verified), so the oracle is the
-    // declarative form; NOT IN is NULL-safe here because md5 over
-    // non-null text never yields NULL and ch is non-empty by fixture
+    // declarative form. NOT EXISTS, deliberately NOT `NOT IN`: a
+    // single NULL corpus hash would make NOT IN return ZERO rows
+    // while Spark's left_anti keeps non-matching rows — NOT EXISTS
+    // matches left_anti's null semantics exactly (divergence table)
     "dedup_incremental" ->
       """WITH nh AS (SELECT doc_id,
                             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
@@ -426,7 +428,8 @@ object PipelineQueries {
                             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
                      FROM documents WHERE source = 'src0')
          SELECT min(doc_id) AS doc_id, text_hash
-         FROM nh WHERE text_hash NOT IN (SELECT text_hash FROM ch)
+         FROM nh WHERE NOT EXISTS
+           (SELECT 1 FROM ch WHERE ch.text_hash = nh.text_hash)
          GROUP BY text_hash""",
     "dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)

@@ -276,21 +276,29 @@ class GroundTruthSpec extends SparkSpec {
   test("incrementalExact: snapshot dedups against corpus without reprocessing it") {
     val corpus = Seq(
       (1L, "the existing corpus doc"),
-      (2L, "another   KEPT doc")).toDF("doc_id", "text")  // normalization: ws+case
+      (2L, "another   KEPT doc"),         // normalization: ws+case
+      (3L, null.asInstanceOf[String])     // null text: out of the sketch, no NPE
+    ).toDF("doc_id", "text")
     val snapshot = Seq(
       (10L, "THE existing corpus DOC"),   // dup of corpus 1 after normalize → dropped
       (11L, "a fresh snapshot doc"),      // unique → kept
       (12L, "a fresh snapshot doc"),      // internal dup → collapsed, min id 11
-      (13L, "another kept doc")           // dup of corpus 2 after normalize → dropped
+      (13L, "another kept doc"),          // dup of corpus 2 after normalize → dropped
+      (14L, null.asInstanceOf[String]),   // null hash never matches (NOT EXISTS
+      (15L, null.asInstanceOf[String])    // semantics) → kept, one NULL group
     ).toDF("doc_id", "text")
     val got = Dedup.incrementalExact(snapshot, corpus).collect()
       .map(r => r.getLong(0)).sorted.toSeq
-    assert(got === Seq(11L))
-    // parity with the declarative form: union-exact restricted to
-    // snapshot survivors whose hash is corpus-absent
-    val unionKeep = Dedup.exact(corpus.union(snapshot)).collect()
+    assert(got === Seq(11L, 14L))
+    // parity with the declarative form on the non-null rows: union-exact
+    // restricted to snapshot survivors whose hash is corpus-absent
+    // (null rows excluded — under union-exact the null group's min id
+    // sits in the corpus, which is exactly what incremental avoids)
+    val nn = (df: org.apache.spark.sql.DataFrame) => df.filter(col("text").isNotNull)
+    val unionKeep = Dedup.exact(nn(corpus).union(nn(snapshot))).collect()
       .map(r => r.getLong(0)).filter(_ >= 10L).toSet
-    assert(got.toSet === unionKeep)
+    assert(Dedup.incrementalExact(nn(snapshot), nn(corpus)).collect()
+      .map(r => r.getLong(0)).toSet === unionKeep)
   }
 
   test("decontaminateBloom: exact parity with decontaminate; sketch actually prunes") {
