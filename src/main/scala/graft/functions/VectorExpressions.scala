@@ -216,14 +216,37 @@ case class MinHashSigs(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** md5-derived 64-bit token hash: the first 8 digest bytes big-endian,
+  * i.e. the bit pattern of `('0x' || substr(md5(tok), 1, 16))::UBIGINT`
+  * in any engine with md5 — the engine-reproducibility contract that
+  * makes persisted SimHash signature sidecars re-derivable (and the
+  * whole dedup_simhash output oracle-checkable) without an
+  * engine-private hash like xxhash64. ThreadLocal digest: one
+  * MessageDigest per executor thread, no per-row allocation. */
+object HashUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+    ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+    ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+    ((dig(6) & 0xffL) << 8)  |  (dig(7) & 0xffL)
+  }
+}
+
 /** One-pass 64-bit SimHash over a token array: per-bit ±1 votes from
-  * each token's xxhash64 (seed 42, matching `xxhash64(tok)`), sign of
+  * each token's md5-derived hash ([[HashUtil.md5Hash64]]), sign of
   * the vote sum becomes the bit. Replaces the explode + 64 sum-
   * aggregates formulation with a map-only, codegen'd per-row loop —
-  * bit-identical output, zero shuffle. */
+  * bit-identical output, zero shuffle; md5 (not xxhash64) so any
+  * engine re-derives published signatures value-for-value. */
 case class SimHashSig(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -242,7 +265,7 @@ case class SimHashSig(child: Expression)
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = HashUtil.md5Hash64(s)
         var i = 0
         while (i < 64) {
           votes(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
@@ -258,7 +281,6 @@ case class SimHashSig(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
     nullSafeCodeGen(ctx, ev, arr => {
       val votes = ctx.freshName("votes")
       val i = ctx.freshName("i")
@@ -271,8 +293,7 @@ case class SimHashSig(child: Expression)
          |for (int $j = 0; $j < $arr.numElements(); $j++) {
          |  if (!$arr.isNullAt($j)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
-         |    long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |      $s.numBytes(), 42L);
+         |    long $h = graft.functions.HashUtil.md5Hash64($s);
          |    for (int $i = 0; $i < 64; $i++) {
          |      $votes[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
          |    }

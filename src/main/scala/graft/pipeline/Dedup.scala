@@ -381,10 +381,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc: per-bit +1/-1 votes from each token's
-    * xxhash64, sign of the vote sum becomes the bit — computed by the
-    * native one-pass expression (functions.SimHashSig): map-only,
-    * codegen'd, no token explode/shuffle (bit-identical to the
-    * 64-sum-aggregates formulation it replaces, spec-pinned). */
+    * md5-derived hash, sign of the vote sum becomes the bit — computed
+    * by the native one-pass expression (functions.SimHashSig):
+    * map-only, codegen'd, no token explode/shuffle (bit-identical to
+    * the 64-sum-aggregates formulation it replaces, spec-pinned).
+    * md5 rather than xxhash64 so persisted signature sidecars are
+    * re-derivable by ANY engine — and the full dedup_simhash output
+    * is oracle-checked value-for-value, not rows-only. */
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.VectorExpressions.simhashSig(toks(col("text"))).as("simhash"))

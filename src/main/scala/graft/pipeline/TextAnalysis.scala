@@ -93,13 +93,20 @@ object TextAnalysis {
     * k-gram hashes, minimum per sliding window, distinct sorted set.
     * Guarantees any shared substring of length >= w+k-1 produces a
     * shared fingerprint hash — the plagiarism/near-dup detection
-    * primitive. Pure codegen'd higher-order functions, no UDF. */
+    * primitive. Pure codegen'd higher-order functions, no UDF.
+    *
+    * The gram hash is md5-derived (first 60 bits), NOT an
+    * engine-private hash: published fingerprints must be re-derivable
+    * by whatever engine later probes against them (the same
+    * engine-reproducibility argument as [[hashVectors]] and the
+    * sample_split freeze), and it makes the whole fingerprint set
+    * oracle-checkable value-by-value. */
   def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
     docs.select(col("doc_id"), expr(
       s"""sort_array(array_distinct(transform(
             sequence(0, greatest(length(text) - $k - ${w - 1}, 0)),
             j -> array_min(transform(sequence(j + 1, j + $w),
-                   i -> xxhash64(substr(text, i, $k)))))))""").as("fingerprint"))
+                   i -> cast(conv(substr(md5(substr(text, i, $k)), 1, 15), 16, 10) as bigint))))))""").as("fingerprint"))
 
   /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln((N+1)/(df+1)) (smoothed), deterministic (score desc, token)

@@ -189,10 +189,12 @@ object PipelineQueries {
         emb(s, dir).filter(col("vec_id") < 16), "vec_id", "vec",
         k = 5, nprobe = 2, excludeSelf = true)),
 
+    // exploded to one row per (doc, fingerprint hash) so the oracle
+    // checks EVERY published fingerprint value, not a per-doc summary
+    // (md5-derived gram hash — both engines derive identical sets)
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir))
-        .select(col("doc_id"), size(col("fingerprint")).as("n_hashes"),
-          col("fingerprint")(0).as("min_hash"))),
+        .select(col("doc_id"), explode(col("fingerprint")).as("fp"))),
 
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
 
@@ -439,6 +441,51 @@ object PipelineQueries {
           FROM t a JOIN t b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    // the FULL simhash near-dup pipeline, value-for-value: md5-derived
+    // 64-bit token hash (bit pattern of the first 16 md5 hex digits —
+    // UBIGINT here, assembled big-endian byte-wise in HashUtil), per-bit
+    // ±1 votes, sign → signature (HUGEINT sum folded back to the signed
+    // BIGINT bit pattern), identical-signature star pairs, 16-bit
+    // pigeonhole blocks over reps, bucket-min-rep candidates, hamming
+    // verify at <= 8. Arithmetic-vs-logical shift on negative sigs is
+    // immaterial: every extracted field is masked (& 65535, & 1).
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+                       FROM documents),
+              hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                     FROM tok),
+              bits AS (SELECT doc_id, b,
+                              sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+                       FROM hv, (SELECT unnest(range(64)) AS b) bs GROUP BY 1, 2),
+              raw AS (SELECT doc_id,
+                             sum(CASE WHEN vote > 0
+                                      THEN (CAST(1 AS UBIGINT) << b)::HUGEINT
+                                      ELSE 0 END) AS s
+                      FROM bits GROUP BY 1),
+              sigs AS (SELECT doc_id,
+                              CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                                        THEN s - 18446744073709551616::HUGEINT
+                                        ELSE s END AS BIGINT) AS simhash
+                       FROM raw),
+              grp AS (SELECT simhash, min(doc_id) AS rep FROM sigs GROUP BY 1),
+              identical AS (SELECT g.rep AS a, s.doc_id AS b, 0::INT AS hamming
+                            FROM sigs s JOIN grp g USING (simhash)
+                            WHERE s.doc_id > g.rep),
+              blocked AS (SELECT g.rep AS doc_id, bs.blk,
+                                 (g.simhash >> (bs.blk * 16)) & 65535 AS blkval
+                          FROM grp g, (SELECT unnest(range(4)) AS blk) bs),
+              bucketrep AS (SELECT blk, blkval, min(doc_id) AS a
+                            FROM blocked GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT br.a, bl.doc_id AS b
+                        FROM blocked bl JOIN bucketrep br USING (blk, blkval)
+                        WHERE bl.doc_id > br.a),
+              near AS (SELECT c.a, c.b,
+                              bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+                       FROM cands c JOIN sigs sa ON sa.doc_id = c.a
+                                    JOIN sigs sb ON sb.doc_id = c.b
+                       WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 8)
+         SELECT a, b, hamming FROM identical
+         UNION ALL SELECT a, b, hamming FROM near""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
               p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
@@ -549,6 +596,17 @@ object PipelineQueries {
                                         ORDER BY score DESC, tok) AS rn
            FROM scored) t
          WHERE rn <= 3""",
+    // winnowing, value-for-value: outer list ranges over window starts
+    // (Spark sequence(0, n) inclusive == range(0, n+1)), inner over the
+    // w gram positions; gram hash is the shared md5-derived 60-bit int
+    // (divergence table: no xxhash64/engine-private hash in anything
+    // oracle-checked). list_distinct before unnest == array_distinct.
+    "text_winnow" ->
+      """SELECT doc_id, unnest(list_distinct(
+                  list_transform(range(0, greatest(length(text) - 8, 0) + 1),
+                    j -> list_min(list_transform(range(j + 1, j + 5),
+                           i -> ('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT))))) AS fp
+         FROM documents""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -369,7 +369,8 @@ class GroundTruthSpec extends SparkSpec {
       else (0 to t.length - k).map(i => (id, i, t.substring(i, i + k)))
     }
     val hashes = grams.toDF("doc_id", "pos", "g")
-      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        expr("cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)").as("h"))
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
     val expected = texts.collect { case (id, t) if t.length >= k + w - 1 =>
       // graft's winnow window j covers gram positions j .. j+w-1

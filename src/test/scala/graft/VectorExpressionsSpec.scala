@@ -79,7 +79,13 @@ class VectorExpressionsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val toks = array_distinct(split(trim(col("text")), "\\s+"))
     val tokDf = docs.select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      // the md5-derived 64-bit hash, built from SQL primitives alone
+      // (two 32-bit halves — conv of 16 hex digits would overflow
+      // BIGINT's signed range and null out): the independent
+      // formulation of HashUtil.md5Hash64's big-endian first 8 bytes
+      .select(col("doc_id"), expr(
+        """shiftleft(cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint), 32) |
+           cast(conv(substr(md5(tok), 9, 8), 16, 10) as bigint)""").as("h"))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
     val old = tokDf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
