@@ -139,15 +139,19 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 /** All-k MinHash signatures in ONE pass over a document's token array:
-  * sig[i] = min over tokens of xxhash64(i, token) — bit-identical to
-  * the explode + groupBy(64 × min) formulation (same seed chain as
-  * Spark's XxHash64: fold int i, then the token bytes, from seed 42),
-  * but computed per-row with no explode, no shuffle, and full
-  * whole-stage codegen. Turns the signature stage of MinHash dedup
-  * from a corpus-wide exchange into a map-only pass. */
+  * sig[i] = min over tokens of h1(tok) + i·h2(tok) (64-bit wraparound,
+  * signed min), where (h1, h2) are the two md5 halves
+  * ([[HashUtil.md5Hash128]]) — the Kirsch-Mitzenmacher construction
+  * (two base hashes simulate k independent ones with no loss for LSH
+  * purposes). Computed per-row with no explode, no shuffle, and full
+  * whole-stage codegen: one digest + k multiply-adds per token beats
+  * the previous k-independent-xxhash64 loop AND is md5-derived, so
+  * persisted signature sidecars are re-derivable by ANY engine and
+  * the full dedup_minhash output is oracle-checked value-for-value.
+  * Bit-identical to the explode + groupBy(k × min) formulation
+  * (spec-pinned against a driver-side reimplementation). */
 case class MinHashSigs(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
@@ -162,18 +166,20 @@ case class MinHashSigs(child: Expression, k: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    // seed chain parity with xxhash64(lit(i), tok): int literals hash
-    // through the 4-byte path (hashInt), then the token bytes
-    val seeds = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+    val buf = new Array[Long](2)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < arr.numElements()) {
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
+        // Kirsch-Mitzenmacher: one md5 per token, permutation i is
+        // h1 + i*h2 (64-bit wraparound) — signed-long min per slot
+        HashUtil.md5Hash128(s, buf)
+        var h = buf(0)
         var i = 0
         while (i < k) {
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(i))
           if (h < mins(i)) mins(i) = h
+          h += buf(1)
           i += 1
         }
       }
@@ -183,11 +189,7 @@ case class MinHashSigs(child: Expression, k: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
-    val seeds = ctx.addMutableState("long[]", "graftMinhashSeeds",
-      v => s"""$v = new long[$k];
-               |for (int i = 0; i < $k; i++) $v[i] = $xxh.hashInt(i, 42L);
-             """.stripMargin)
+    val buf = ctx.addMutableState("long[]", "graftMd5Buf", v => s"$v = new long[2];")
     nullSafeCodeGen(ctx, ev, arr => {
       val mins = ctx.freshName("mins")
       val i = ctx.freshName("i")
@@ -200,10 +202,11 @@ case class MinHashSigs(child: Expression, k: Int)
          |for (int $j = 0; $j < $arr.numElements(); $j++) {
          |  if (!$arr.isNullAt($j)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($j);
+         |    graft.functions.HashUtil.md5Hash128($s, $buf);
+         |    long $h = $buf[0];
          |    for (int $i = 0; $i < $k; $i++) {
-         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |        $s.numBytes(), $seeds[$i]);
          |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |      $h += $buf[1];
          |    }
          |  }
          |}
@@ -232,11 +235,28 @@ object HashUtil {
     val d = md.get()
     d.reset()
     val dig = d.digest(s.getBytes)
-    ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
-    ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
-    ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
-    ((dig(6) & 0xffL) << 8)  |  (dig(7) & 0xffL)
+    be64(dig, 0)
   }
+
+  /** Both 64-bit halves of the md5 digest (big-endian), written into
+    * `out(0)` / `out(1)` — the bit patterns of
+    * `('0x' || substr(md5(tok), 1|17, 16))::UBIGINT`. Caller supplies
+    * the 2-slot buffer so the per-token hot loop (MinHashSigs) does
+    * zero allocation. */
+  def md5Hash128(s: org.apache.spark.unsafe.types.UTF8String,
+                 out: Array[Long]): Unit = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    out(0) = be64(dig, 0)
+    out(1) = be64(dig, 8)
+  }
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 56)     | ((b(o + 1) & 0xffL) << 48) |
+    ((b(o + 2) & 0xffL) << 40) | ((b(o + 3) & 0xffL) << 32) |
+    ((b(o + 4) & 0xffL) << 24) | ((b(o + 5) & 0xffL) << 16) |
+    ((b(o + 6) & 0xffL) << 8)  |  (b(o + 7) & 0xffL)
 }
 
 /** One-pass 64-bit SimHash over a token array: per-bit ±1 votes from

@@ -206,13 +206,17 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: k permutations h_i(s) = xxhash64(i, token),
+  /** MinHash signatures: k Kirsch-Mitzenmacher permutations
+    * h_i(tok) = md5hi(tok) + i·md5lo(tok) (64-bit wraparound),
     * signature[i] = min over tokens — computed by the native one-pass
     * expression (functions.MinHashSigs): per-document, map-only, fully
-    * codegen'd. The previous explode + k-min-aggregates formulation
-    * shuffled every token of the corpus; this shuffles NOTHING (the
-    * signature stage of 100 TB dedup becomes embarrassingly parallel).
-    * Output is bit-identical (spec-pinned). */
+    * codegen'd, ONE digest + k multiply-adds per token. The previous
+    * explode + k-min-aggregates formulation shuffled every token of
+    * the corpus; this shuffles NOTHING (the signature stage of 100 TB
+    * dedup becomes embarrassingly parallel). md5-derived so persisted
+    * sidecars are engine-re-derivable and dedup_minhash is
+    * oracle-checked value-for-value (spec-pinned vs a driver-side
+    * reimplementation). */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.VectorExpressions.minhashSigs(toks(col("text")), k).as("sig"))

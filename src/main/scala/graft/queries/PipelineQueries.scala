@@ -433,6 +433,56 @@ object PipelineQueries {
          FROM nh WHERE NOT EXISTS
            (SELECT 1 FROM ch WHERE ch.text_hash = nh.text_hash)
          GROUP BY text_hash""",
+    // the FULL MinHash+LSH pipeline, value-for-value: Kirsch-
+    // Mitzenmacher signatures from the two md5 halves (HUGEINT mod-2^64
+    // wraparound folded back to the signed BIGINT bit pattern, signed
+    // min — exactly MinHashSigs' Java arithmetic), identical-signature
+    // star pairs, then LSH banding. The Spark side buckets by
+    // xxhash64(band slice) but the bucket key never reaches the output:
+    // grouping by the SLICE VALUES here is the same partition (a hash
+    // collision merging two buckets has probability ~2^-64 and would
+    // only add a candidate the est-Jaccard verify re-checks anyway).
+    // est_jac = agreeing-positions/64 is dyadic — FP-exact both engines.
+    "dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+                       FROM documents),
+              hp AS (SELECT doc_id,
+                            ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h1,
+                            ('0x' || substr(md5(tok), 17, 16))::UBIGINT::HUGEINT AS h2
+                     FROM tok),
+              hx AS (SELECT doc_id, i,
+                            (h1 + i * h2) % 18446744073709551616::HUGEINT AS w
+                     FROM hp, (SELECT unnest(range(64)) AS i) ii),
+              hs AS (SELECT doc_id, i,
+                            CAST(CASE WHEN w >= 9223372036854775808::HUGEINT
+                                      THEN w - 18446744073709551616::HUGEINT
+                                      ELSE w END AS BIGINT) AS v
+                     FROM hx),
+              sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig
+                       FROM (SELECT doc_id, i, min(v) AS mv FROM hs GROUP BY 1, 2)
+                       GROUP BY 1),
+              grp AS (SELECT sig, min(doc_id) AS rep FROM sigs GROUP BY 1),
+              identical AS (SELECT g.rep AS a, s.doc_id AS b, 1.0 AS est_jac
+                            FROM sigs s JOIN grp g ON s.sig = g.sig
+                            WHERE s.doc_id > g.rep),
+              banded AS (SELECT g.rep AS doc_id, bs.band,
+                                g.sig[bs.band * 4 + 1 : bs.band * 4 + 4] AS key
+                         FROM grp g, (SELECT unnest(range(16)) AS band) bs),
+              bucketrep AS (SELECT band, key, min(doc_id) AS a
+                            FROM banded GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT br.a, bd.doc_id AS b
+                        FROM banded bd JOIN bucketrep br
+                          ON bd.band = br.band AND bd.key = br.key
+                        WHERE bd.doc_id > br.a),
+              near AS (SELECT a, b, est_jac FROM (
+                         SELECT c.a, c.b,
+                                len(list_filter(range(1, 65),
+                                    j -> sa.sig[j] = sb.sig[j])) / 64.0 AS est_jac
+                         FROM cands c JOIN sigs sa ON sa.doc_id = c.a
+                                      JOIN sigs sb ON sb.doc_id = c.b) t
+                       WHERE est_jac >= 0.8)
+         SELECT a, b, est_jac FROM identical
+         UNION ALL SELECT a, b, est_jac FROM near""",
     "dedup_ngram" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)
           SELECT a.doc_id AS a, b.doc_id AS b,

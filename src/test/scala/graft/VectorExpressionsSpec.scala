@@ -46,21 +46,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(0) - 1000.0) < 1e-9)
   }
 
-  test("one-pass minhash signature matches the explode+groupBy formulation bit-for-bit") {
+  test("one-pass minhash signature matches a driver-side KM reimplementation bit-for-bit") {
     val k = 16
-    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "zz yy xx"), (3L, "single"))
-      .toDF("doc_id", "text")
+    val texts = Map(1L -> "alpha beta gamma delta", 2L -> "zz yy xx", 3L -> "single")
+    val docs = texts.toSeq.toDF("doc_id", "text")
     val toks = array_distinct(split(trim(col("text")), "\\s+"))
-    // old formulation: explode + k min-aggregates
-    val tokDf = docs.select(col("doc_id"), explode(toks).as("tok"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i"))
-    val old = tokDf.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    // independent formulation: md5 via java.security directly, the two
+    // big-endian 64-bit halves, hash_i = h1 + i*h2 with natural Long
+    // wraparound, signed min per slot — no HashUtil, no Spark exprs
+    def halves(tok: String): (Long, Long) = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      def be(o: Int) = (0 until 8).foldLeft(0L)((a, b) => (a << 8) | (dig(o + b) & 0xffL))
+      (be(0), be(8))
+    }
+    val expected = texts.map { case (id, t) =>
+      val hs = t.trim.split("\\s+").distinct.map(halves)
+      id -> (0 until k).map(i => hs.map { case (h1, h2) => h1 + i * h2 }.min).toSeq
+    }
     val fused = docs.select(col("doc_id"),
         VectorExpressions.minhashSigs(toks, k).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
-    assert(fused === old)
+    assert(fused === expected)
   }
 
   test("one-pass minhash survives whole-stage codegen (many rows)") {
