@@ -36,7 +36,15 @@ object Bench {
       // bucket count IS the scan-parallelism ceiling — graft sizes it
       // by volume up to the core budget (DatalogQueries.bucketedDb).
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      // Broadcast sizing, the 100 TB way: the STATIC threshold stays at
+      // Spark's conservative default (10 MB) because it judges COMPRESSED
+      // file bytes — an RLE'd parquet of millions of low-cardinality fact
+      // rows "fits" on disk but explodes hundreds-of-MB in the driver
+      // (measured: the 100x scale probe OOM'd dl_agg's pattern-join
+      // broadcast under a 64 MB static threshold). The ADAPTIVE threshold
+      // is where aggression is safe: AQE re-plans SMJ→BHJ from MEASURED
+      // post-shuffle bytes, which cannot lie about build size.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup runs EVERY headline query once, unmeasured: JIT + codegen
