@@ -36,15 +36,17 @@ object Bench {
       // bucket count IS the scan-parallelism ceiling — graft sizes it
       // by volume up to the core budget (DatalogQueries.bucketedDb).
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      // Broadcast sizing, the 100 TB way: the STATIC threshold stays at
-      // Spark's conservative default (10 MB) because it judges COMPRESSED
-      // file bytes — an RLE'd parquet of millions of low-cardinality fact
-      // rows "fits" on disk but explodes hundreds-of-MB in the driver
-      // (measured: the 100x scale probe OOM'd dl_agg's pattern-join
-      // broadcast under a 64 MB static threshold). The ADAPTIVE threshold
-      // is where aggression is safe: AQE re-plans SMJ→BHJ from MEASURED
-      // post-shuffle bytes, which cannot lie about build size.
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+      // Broadcast thresholds stay at Spark's conservative defaults, a
+      // decision the 100x scale probe made empirically: a 64 MB STATIC
+      // threshold OOM'd dl_agg's pattern-join broadcast (RLE'd parquet of
+      // millions of low-cardinality fact rows "fits" on disk, explodes
+      // hundreds-of-MB as a driver HashedRelation), and a 64 MB ADAPTIVE
+      // threshold intermittently OOM'd text_tfidf's df-relation broadcast
+      // under full-run memory pressure — measured post-shuffle bytes ALSO
+      // under-estimate hash-build size ~5-10x. Genuinely-small dimensions
+      // carry explicit broadcast() hints at their call sites; everything
+      // else rides co-partitioned SMJ, which is the plan that survives
+      // 100x. A threshold that gambles on estimates is not a scale story.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup runs EVERY headline query once, unmeasured: JIT + codegen
