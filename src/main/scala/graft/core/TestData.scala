@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Ingestion of the driver's TPC-H-ish parquet tables into the EAV fact
   * log (SURVEY.md §5). Entity-id spaces are disjoint per table (base
@@ -25,6 +26,32 @@ object TestData {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-adaptive epoch-nanos for a timestamp-ish column. The test
+    * data has shipped `events.ts` in different physical parquet
+    * encodings across regenerations — INT64 TIMESTAMP(NANOS) (read as
+    * a raw long under spark.sql.legacy.parquet.nanosAsLong),
+    * timestamp[us] (read as TIMESTAMP_NTZ), with-tz TIMESTAMP — so
+    * never assume one encoding; branch on the type Spark actually
+    * inferred. The NTZ→TIMESTAMP cast is value-preserving only
+    * because every entry point pins spark.sql.session.timeZone=UTC,
+    * which makes the naive instant map to the same epoch DuckDB's
+    * epoch_us(ts) computes on the oracle side. */
+  def tsNs(df: DataFrame, c: String = "ts"): Column = df.schema(c).dataType match {
+    case LongType => col(c) // INT64 TIMESTAMP(NANOS) as raw epoch-nanos
+    case TimestampNTZType | TimestampType =>
+      expr(s"unix_micros(cast(`$c` as timestamp)) * 1000")
+    case DateType => expr(s"unix_micros(cast(`$c` as timestamp)) * 1000")
+    case other =>
+      throw new IllegalStateException(s"unsupported encoding for `$c`: $other")
+  }
+
+  /** The events table with a normalized `ts_ns` epoch-nanos column —
+    * the single loader every events-consuming query goes through. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    raw.withColumn("ts_ns", tsNs(raw))
+  }
 
   private case class T(name: String, id: String, base: Long, refs: Map[String, Long])
 

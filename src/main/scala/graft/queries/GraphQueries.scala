@@ -93,8 +93,8 @@ object GraphQueries {
     // edges; which users does user 0 reach through increasing-time paths?
     "graph_temporal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val ev = TestData.read(s, dir, "events")
-        .select(col("user_id"), expr("CAST(ts AS LONG) div 1000").as("ts_us"))
+      val ev = TestData.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
       val radius = 60L * 1000 * 1000
       val tEdges = RangeJoin.within(
           ev.select(col("user_id").as("src"), col("ts_us")),

@@ -22,12 +22,11 @@ object RelationalQueries {
   /** Exact avg: exact sum / count, one double division at the end. */
   private def davg(c: Column): Column = dsum(c) / count(c)
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark reads as a
-    * raw long under spark.sql.legacy.parquet.nanosAsLong; keep it as a
-    * long everywhere — exact, and oracle-comparable via DuckDB's
-    * epoch_us()/epoch_ns(). */
+  /** events with `ts_ns` epoch-nanos, whatever physical encoding the
+    * parquet carries (see TestData.tsNs) — exact, and oracle-comparable
+    * via DuckDB's epoch_us()/epoch_ns(). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    read(s, dir, "events").withColumn("ts_ns", col("ts").cast("long"))
+    graft.core.TestData.events(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) =>
