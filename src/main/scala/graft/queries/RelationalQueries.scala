@@ -184,6 +184,17 @@ object RelationalQueries {
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
           count(lit(1)).as("n"))),
 
+    // The exact slice of the sketch query under a hard oracle: same
+    // grouping, exact COUNT(DISTINCT) + COUNT(*) — hash-checks against
+    // DuckDB and doubles as the ground truth the q_approx error-bound
+    // spec measures HLL drift against. This shrinks the rows-only set
+    // to the genuinely non-replicable sketch columns. (At 100 TB you
+    // run q_approx; this exists to certify it.)
+    "q_approx_exact" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n"))),
+
     // Exact interpolated percentiles per group (the SLA/latency-report
     // aggregate): Spark's percentile == DuckDB's quantile_cont. Exact
     // percentile needs the group's values together — one hash shuffle,
@@ -367,6 +378,10 @@ object RelationalQueries {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "q_approx_exact" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+                COUNT(*) AS n
+         FROM events GROUP BY 1""",
     "q_percentile" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.25), 6) AS p25,
