@@ -207,15 +207,20 @@ object RelationalQueries {
           round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
     // PIVOT: long-form events to one wide row per user with a column
-    // per event type. Pivot values are declared (not discovered), so
-    // the plan is a single groupBy with conditional aggregates — one
-    // shuffle, no value-collection pre-pass. Exact decimal sums; a
-    // (user, type) cell with no events is NULL in Spark's pivot and
-    // DuckDB's FILTER alike.
-    "q_pivot" -> ((s, dir) =>
-      events(s, dir).groupBy(col("user_id"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType))),
+    // per event type, as declared-value conditional aggregates — ONE
+    // groupBy shuffle. Deliberately NOT RelationalGroupedDataset.pivot:
+    // even with declared values it plans a two-stage aggregation
+    // (groupBy(user, type) Exchange, then a pivotfirst Exchange on
+    // user) — double the shuffle for nothing at corpus scale
+    // (plan-pinned in PlanAuditSpec). Exact decimal sums; a
+    // (user, type) cell with no events is NULL here and in DuckDB's
+    // FILTER alike (sum over an empty conditional group).
+    "q_pivot" -> ((s, dir) => {
+      val cols = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        sum(when(col("event_type") === t, col("value").cast(DecimalType(25, 6))))
+          .cast(DoubleType).as(t))
+      events(s, dir).groupBy(col("user_id")).agg(cols.head, cols.tail: _*)
+    }),
 
     // Promo revenue share in a month (TPC-H Q14 shape): lineitem⋈part
     // with a conditional aggregate — part is broadcast-size at any SF

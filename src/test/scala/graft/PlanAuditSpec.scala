@@ -361,4 +361,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
     assert(p.contains("/ivf/v0-"), s"expected the published version dir in the scan:\n$p")
   }
+
+  // --- events family (restored r11 after the ts-encoding break): pin
+  // the scale shapes so a regression fails CI even while results match.
+
+  test("q_asof_join: union+window merge — no join operator, one key shuffle") {
+    val p = plan("q_asof_join")
+    // the whole point of the union+window as-of is that NO join runs:
+    // a per-row probe join (or worse, an inequality nested-loop) is the
+    // shape that dies at 100 TB
+    assert(!p.contains("Join"), s"expected the union+window merge, no join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the one user_id window shuffle:\n$p")
+  }
+
+  test("q_range_join: banded equi-join — never a nested-loop/cartesian") {
+    val p = plan("q_range_join")
+    // a raw |t1-t2| <= r join degenerates to BroadcastNestedLoopJoin /
+    // CartesianProduct: O(n²) compares. The band bucketing must keep
+    // this an equi hash/merge join on __bucket.
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"expected banded equi-join, not an O(n²) shape:\n$p")
+  }
+
+  test("q_sessionize: both windows and the session agg share ONE user shuffle") {
+    val p = plan("q_sessionize")
+    // lag-window, cumulative-sum window, and the (user_id, session_id)
+    // aggregation are all user_id-clustered: hashpartitioning(user_id)
+    // satisfies every downstream distribution, so exactly one Exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected one shared user_id shuffle:\n$p")
+    assert(!p.contains("Join"), s"expected no join in sessionization:\n$p")
+  }
+
+  test("q_pivot: declared pivot values — one conditional-agg shuffle, no discovery pass") {
+    val p = plan("q_pivot")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected the single groupBy shuffle:\n$p")
+  }
+
+  test("q_props_extract: extraction stays in the map stage before the one agg shuffle") {
+    val p = plan("q_props_extract")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected map-side extract + one groupBy shuffle:\n$p")
+    assert(p.contains("regexp_extract"),
+      s"expected the codegen'd extraction in the plan:\n$p")
+  }
 }
