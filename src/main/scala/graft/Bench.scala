@@ -9,6 +9,9 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_topn", "q5_multijoin", "q6_filter", "q_window",
     "q_asof_join", "q_range_join",
+    // events analytics (restored r11 after two blind rounds — benched
+    // so a future loader/encoding break also shows up as a perf hole)
+    "q_sessionize", "q_pivot", "q_percentile",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans", "sim_topk", "sim_ann", "sim_ann_batch",
     "text_quality", "text_tfidf", "pipeline_pack", "pipeline_e2e",
