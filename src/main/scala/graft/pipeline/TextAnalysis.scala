@@ -220,6 +220,54 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis-Spirakis A-ES): each row draws a reproducible uniform
+    * u from md5 of its id and competes with key ln(u)/w — the k
+    * largest keys are exactly a w-weighted sample without replacement.
+    * Selection is content-independent and engine-reproducible (the
+    * uniform is hash-derived, the output carries no float), so any
+    * engine re-derives the same sample — the quality-weighted
+    * subsampling step of a data freeze, auditable like
+    * [[stratifiedSample]].
+    *
+    * Scale: the key is a map-only projection and the top-k plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows, no global sort, no shuffle of the corpus). For corpus-scale
+    * k (billions of survivors) switch to the threshold variant: take
+    * the k-th key on a sample, keep rows above it map-only, and
+    * top-up — same keys, no global ordering at all. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    df.withColumn("__key", key)
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** BPE merge-candidate counting — the scoring step a byte-pair-
+    * encoding tokenizer trainer runs each merge round: count adjacent
+    * character pairs inside words, weighted by corpus word frequency.
+    * The corpus is reduced to its VOCABULARY first (the one shuffle;
+    * 100 TB of text collapses to ~millions of distinct words), then
+    * pairs explode over vocab rows only and reduce map-side — the
+    * reason real BPE trainers count words before counting pairs. All
+    * counts are integers: exact in any engine. */
+  def bpePairCounts(docs: DataFrame, topK: Int): DataFrame = {
+    val wordFreq = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    wordFreq
+      .select(explode(transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** THE n-token window-hash expression — md5 of each space-joined
     * n-token slice of a token array. ONE definition shared by every
     * shingle consumer (decontaminate/text_decontam, sourceOverlap,

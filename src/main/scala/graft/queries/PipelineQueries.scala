@@ -223,6 +223,18 @@ object PipelineQueries {
     // reproducible stratified sample: 20 docs per predicted language,
     // ranked by an engine-neutral id hash (md5) — exact quotas,
     // bit-identical selection in Spark and the DuckDB oracle.
+    // Efraimidis-Spirakis weighted sampling without replacement,
+    // weight = n_chars (longer docs favored): map-only hash-derived
+    // keys + TakeOrderedAndProject — no corpus shuffle.
+    "sample_weighted" -> ((s, dir) =>
+      TextAnalysis.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("n_chars").as("weight")),
+        "doc_id", "weight", k = 40)),
+
+    // BPE tokenizer-training merge scoring: corpus → word vocab (one
+    // shuffle) → char-pair explode over vocab only → weighted counts.
+    "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(docs(s, dir), topK = 100)),
+
     "sample_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(
           TextAnalysis.langId(docs(s, dir)), "pred_lang", "doc_id", perStratum = 20)
@@ -582,6 +594,25 @@ object PipelineQueries {
           SELECT doc_id, n_tokens, round(quality_score, 6) AS quality_score
           FROM lang JOIN qual USING (doc_id) JOIN surv USING (doc_id)
           WHERE pred_lang = 'en' AND quality_score >= 0.5""",
+    // Same A-ES keys as the Spark side: u from md5(doc_id), key
+    // ln(u)/w. The output carries no float (ids + integer weights),
+    // so FP only orders — and the hash-derived keys are spread far
+    // beyond ln()'s ulp, so the k-boundary is engine-stable.
+    "sample_weighted" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+                ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE
+                 + 0.5) / 4294967296.0 AS u
+         FROM documents)
+         SELECT doc_id, n_chars AS weight FROM k
+         ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 40""",
+    "text_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+                        FROM documents),
+              wf AS (SELECT word, COUNT(*) AS f FROM words
+                     WHERE length(word) >= 2 GROUP BY 1),
+              pe AS (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+         SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(f) AS BIGINT) AS n
+         FROM pe GROUP BY 1 ORDER BY n DESC, pair LIMIT 100""",
     "sample_stratified" ->
       s"""WITH lang AS ($langIdSql)
           SELECT doc_id, pred_lang FROM (

@@ -120,6 +120,17 @@ object RelationalQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
 
+    // Arbitrary GROUPING SETS (not a rollup/cube lattice): the two
+    // 1-D marginals plus the grand total in ONE pass — Spark expands
+    // the sets inside a single Expand+HashAggregate, one shuffle, vs
+    // three scans + a union if written naively.
+    "q_grouping_sets" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
     // Gap-based sessionization (30-min inactivity): lag + cumulative
     // session counter per user — one shuffle on user_id, both windows
     // share the partitioning.
@@ -339,6 +350,11 @@ object RelationalQueries {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY ROLLUP (r_name, n_name)""",
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                 ${dsumSql("o_totalprice")} AS total
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "q_sessionize" ->
       """SELECT user_id, session_id, COUNT(*) AS n_events, min(ts_us) AS sess_start
          FROM (

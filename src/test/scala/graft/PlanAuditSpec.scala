@@ -407,4 +407,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("regexp_extract"),
       s"expected the codegen'd extraction in the plan:\n$p")
   }
+
+  test("q_grouping_sets: the three sets expand in ONE pass — one Expand, one shuffle") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"expected a single-pass Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected one aggregation shuffle (not a per-set union of scans):\n$p")
+  }
+
+  test("sample_weighted: hash keys map-only; top-k without any shuffle or global sort") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange"),
+      s"expected a shuffle-free A-ES selection (keys are a projection):\n$p")
+  }
+
+  test("text_bpe_pairs: corpus reduces to vocab before the pair explode — two shuffles") {
+    val p = plan("text_bpe_pairs")
+    // shuffle 1: word-frequency reduce (corpus → vocab); shuffle 2:
+    // pair-count reduce over vocab rows. The pair explode must sit
+    // between them, never over raw corpus rows.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly the two reduce shuffles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+  }
 }
