@@ -55,7 +55,7 @@ object Similarity {
     * queries read both instead of re-running Lloyd per probe. */
   final case class IvfIndex(assigned: DataFrame, centroids: Seq[Seq[Double]])
 
-  private def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+  private[pipeline] def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
     // squared L2 via dot products; argmin with first-wins tie-break
     val dists = cents.map { c =>
       val cCol = array(c.map(lit): _*)
@@ -65,19 +65,29 @@ object Similarity {
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
-  /** Train the coarse quantizer + assign every vector to its cell —
-    * the one-off indexing pass. */
-  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-               nlist: Int = 8, iters: Int = 2): IvfIndex = {
-    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+  /** Distributed Lloyd's over an (id, vec) frame — the shared k-means
+    * core of the IVF coarse quantizer and the PQ sub-codebooks
+    * (Quantize). Seeds = the k vectors with smallest xxhash64(id)
+    * (content-independent, engine-reproducible); a FIXED `iters`
+    * count; per-dimension means through the EXACT decimal path, so the
+    * trained centroids are bit-identical regardless of partitioning or
+    * accumulation order (a plain double avg() is neither). Each
+    * iteration is one assignment projection (codegen'd distance
+    * argmin, map-only) + one (cell, dim) reduce; collecting the k×dim
+    * model to the driver per iteration is standard and
+    * scale-independent. */
+  private[pipeline] def lloyd(data: DataFrame, dim: Int, k: Int,
+                              iters: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     var centroids: Seq[Seq[Double]] = data
-      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select("vec").collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iters) {
       val assigned = data.withColumn("cell", nearestCell(col("vec"), centroids))
       val means = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x").cast(DecimalType(30, 15))).cast(DoubleType).as("m"))
         .groupBy("cell").agg(map_from_arrays(
           collect_list(col("dim")), collect_list(col("m"))).as("byDim"))
         .collect().map { r =>
@@ -86,6 +96,15 @@ object Similarity {
         }.toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
+
+  /** Train the coarse quantizer + assign every vector to its cell —
+    * the one-off indexing pass. */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+               nlist: Int = 8, iters: Int = 2): IvfIndex = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = lloyd(data, dim, nlist, iters)
     IvfIndex(data.withColumn("cell", nearestCell(col("vec"), centroids)), centroids)
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.TestData.read
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,24 @@ object PipelineQueries {
       Dedup.writeTokenSetSidecar(docs(s, dir), table): Unit
     }
 
+  /** PQ model per (session, dir): trained once (deterministic Lloyd's
+    * per block), cached like the other model artifacts; the encoded
+    * codes are a PERSISTED sidecar table — queries serve from the
+    * 64×-compressed (id, code) artifact, never the raw vectors
+    * (except the bounded re-rank fetch). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Quantize.PqModel]
+  private def pqModel(s: SparkSession, dir: String): Quantize.PqModel =
+    pqCache.getOrElseUpdate((s, dir),
+      Quantize.pqTrain(emb(s, dir), "vec_id", "vec",
+        dim = probeVec(s, dir).length, m = 8, ks = 16, iters = 2))
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    sessionTable(s, dir, "pq_codes") { table =>
+      Quantize.pqEncode(pqModel(s, dir), emb(s, dir), "vec_id", "vec")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(table)
+    }
+
   /** Embeddings served from a vec_id-bucketed catalog table — the
     * co-bucketed corpus layout: the rep-vector fetch join in
     * dedup_embed's verify stage never reshuffles the corpus
@@ -192,6 +210,20 @@ object PipelineQueries {
     // exploded to one row per (doc, fingerprint hash) so the oracle
     // checks EVERY published fingerprint value, not a per-doc summary
     // (md5-derived gram hash — both engines derive identical sets)
+    // PQ compressed-domain ANN: ADC over the persisted (id, code)
+    // sidecar (map-only shift/mask/LUT scoring, no shuffle), exact
+    // re-rank of the 50 survivors. Recall vs brute force spec-bound.
+    "sim_pq" -> ((s, dir) =>
+      Quantize.pqTopKReranked(pqModel(s, dir), pqCodes(s, dir), emb(s, dir),
+        "vec_id", "vec", probeVec(s, dir), k = 10, rerankDepth = 50,
+        excludeId = Some(0L))),
+
+    // Deterministic distributed k-means over the embedding corpus:
+    // per-cluster sizes + compactness datasheet.
+    "embed_kmeans" -> ((s, dir) =>
+      Quantize.kmeansProfile(emb(s, dir), "vec_id", "vec",
+        dim = probeVec(s, dir).length, k = 8, iters = 3)),
+
     "text_winnow" -> ((s, dir) =>
       TextAnalysis.winnow(docs(s, dir))
         .select(col("doc_id"), explode(col("fingerprint")).as("fp"))),

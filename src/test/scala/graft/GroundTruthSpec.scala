@@ -1,7 +1,7 @@
 package graft
 
 import graft.graph.GraphOps
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Quantize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Hard ground-truth checks for the operators whose driver-side status
@@ -155,6 +155,59 @@ class GroundTruthSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect ann).size / 10.0
     assert(recall >= 0.6, s"ANN recall $recall; exact=$exact ann=$ann")
+  }
+
+  test("pqTopKReranked recall vs exact brute-force top-k") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    val exact = Similarity.topK(emb, "id", "vec", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val model = Quantize.pqTrain(emb, "id", "vec", dim, m = 4, ks = 16, iters = 2)
+    val codes = Quantize.pqEncode(model, emb, "id", "vec")
+    // the packed code is ONE long — the compressed corpus representation
+    assert(codes.schema("code").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val pq = Quantize.pqTopKReranked(model, codes, emb, "id", "vec",
+        probe, k = 10, rerankDepth = 40)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect pq).size / 10.0
+    assert(recall >= 0.6, s"PQ recall $recall; exact=$exact pq=$pq")
+  }
+
+  test("ADC cosine approximates true cosine in the compressed domain") {
+    val dim = 8
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))
+      .toDF("id", "vec")
+    val probe = clusterVec(3, 50, dim)
+    val model = Quantize.pqTrain(emb, "id", "vec", dim, m = 4, ks = 16, iters = 2)
+    val approx = Quantize.pqTopK(model, Quantize.pqEncode(model, emb, "id", "vec"),
+        probe, k = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactCos = Similarity.topK(emb, "id", "vec", probe, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mae = exactCos.map { case (id, c) => math.abs(approx(id) - c) }.sum / 200
+    assert(mae < 0.1, s"ADC mean abs error $mae vs exact cosine")
+  }
+
+  test("kmeansProfile: deterministic partition of planted clusters") {
+    val dim = 8
+    // 4 well-separated planted clusters, 50 members each
+    val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 4, i / 4, dim)))
+      .toDF("id", "vec")
+    val prof = Quantize.kmeansProfile(emb, "id", "vec", dim, k = 4, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(prof.map(_._2).sum === 200L, s"sizes must cover the corpus: ${prof.toSeq}")
+    // members sit ~1e-6 from their planted base; hash seeding can merge
+    // two bases into one cell (a k-means local optimum, observed), so
+    // pin: every cell coherent, and most cells exactly on a base
+    assert(prof.forall(_._3 > 0.95), s"compactness: ${prof.toSeq}")
+    assert(prof.count(_._3 > 0.999) >= 3, s"tight cells: ${prof.toSeq}")
+    // exact-decimal means → bit-identical re-run
+    val again = Quantize.kmeansProfile(emb, "id", "vec", dim, k = 4, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(prof.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
   test("adaptive multi-probe widens the ring until the top-k is fully served") {

@@ -408,6 +408,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the codegen'd extraction in the plan:\n$p")
   }
 
+  test("sim_pq: ADC scores the compressed sidecar map-only; rerank fetch broadcast") {
+    val p = plan("sim_pq")
+    // candidate selection: LUT scoring projection + heap top-k over
+    // the (id, code) sidecar — no shuffle, no sort of the corpus
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+    assert(p.contains("shiftrightunsigned"), s"expected codegen'd ADC probe:\n$p")
+    // re-rank: the bounded candidate list broadcasts to the raw
+    // vectors; the vector table must never shuffle
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rerank join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vector table must not shuffle:\n$p")
+  }
+
   test("q_grouping_sets: the three sets expand in ONE pass — one Expand, one shuffle") {
     val p = plan("q_grouping_sets")
     assert(p.contains("Expand"), s"expected a single-pass Expand:\n$p")
