@@ -182,6 +182,53 @@ object GraphOps {
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** k-core: the maximal subgraph in which every node has (undirected)
+    * degree ≥ k, by distributed peeling — each round drops every node
+    * below k and the edges touching it, until a fixpoint. The standard
+    * graph-curation gate (peel off low-engagement tendrils before
+    * community detection / embedding training).
+    *
+    * Scale shape, per round: one degree reduce over the surviving
+    * edges + two semi-joins — all key-partitioned shuffles AQE can
+    * coalesce; only the shrinking edge set is localCheckpointed
+    * (frontier discipline shared with [[bfs]]/[[ccDataFrame]]).
+    * Rounds = peeling depth of the graph, ≤ max coreness — not
+    * O(diameter). Returns surviving (node, deg) — degrees within the
+    * core. */
+  def kCore(edgeDf: DataFrame, k: Int, maxIter: Int = 50)
+           (implicit spark: SparkSession): DataFrame = {
+    // canonical undirected, self-loops dropped, parallel edges merged
+    var edges = edgeDf.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var prev = edges.count()
+    var done = prev == 0
+    var i = 0
+    while (!done && i < maxIter) {
+      i += 1
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint(true)
+      val n = next.count()
+      done = n == prev
+      edges = next
+      prev = n
+    }
+    require(done, s"kCore did not converge in $maxIter rounds")
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
   /** True iff the edge set has at most `threshold` edges. Probed with
     * `limit(threshold+1).count()`, which short-circuits after reading
     * at most threshold+1 rows — NEVER a full scan, so the dispatch

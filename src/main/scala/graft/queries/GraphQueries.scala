@@ -91,6 +91,19 @@ object GraphQueries {
     // time-respecting reachability over a temporal co-activity graph:
     // users interacting (events within 60s of each other) form timed
     // edges; which users does user 0 reach through increasing-time paths?
+    // 4-core of the customer->nation ref graph + same-region nation
+    // cliques: pendant customers peel in round one, which strips the
+    // ref edges; the 5-cliques (degree 4) survive — distributed
+    // peeling with a real cascade.
+    "graph_kcore" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val refs = GraphOps.edges(db(s, dir))
+        .filter(col("label") === "c_nationkey_ref")
+        .select(col("src"), col("dst"))
+      GraphOps.kCore(refs.unionAll(nationEdges(s, dir)), k = 4)
+        .select((col("node") - TestData.NationBase).as("n_nationkey"), col("deg"))
+    }),
+
     "graph_temporal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val ev = TestData.events(s, dir)
@@ -168,6 +181,15 @@ object GraphQueries {
            WHERE n.n_nationkey > 0
          )
          SELECT 2000000000 + k AS node, dist FROM d""",
+    // Structural form of the fixpoint (the graph_cc oracle
+    // discipline): degree-1 customers always peel, so the 4-core is
+    // exactly the nation cliques whose region holds >= 5 nations,
+    // each node at clique degree.
+    "graph_kcore" ->
+      """WITH sz AS (SELECT n_regionkey, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey)
+         SELECT n_nationkey, CAST(cnt - 1 AS BIGINT) AS deg
+         FROM nation JOIN sz USING (n_regionkey)
+         WHERE cnt - 1 >= 4""",
     // 2-hop unrolling of the time-respecting reachability: hop-1
     // arrivals from user 0, hop-2 expansion through strictly later
     // edges, min arrival per node (source pinned at Long.MinValue).

@@ -498,6 +498,24 @@ class GroundTruthSpec extends SparkSpec {
     assert(edgePairs(Long.MaxValue) === Set.empty) // retraction cancels at latest
   }
 
+  test("kCore peels a tendril chain iteratively; clique survives at its coreness") {
+    // 6-clique (nodes 0-5, coreness 5) + chain 5-10-11-12 hanging off it
+    val clique = for (a <- 0 until 6; b <- 0 until 6 if a != b) yield (a.toLong, b.toLong)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    // k=2: 12 peels (deg 1), then 11, then 10 — a 3-round cascade;
+    // the clique keeps internal degree 5
+    val core2 = GraphOps.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 === (0 until 6).map(_.toLong -> 5L).toMap)
+    // k=6 exceeds max coreness: empty core
+    assert(GraphOps.kCore(edges, k = 6).isEmpty)
+    // k=1 peels nothing: every node at its full degree
+    val core1 = GraphOps.kCore(edges, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1(5L) === 6L && core1(12L) === 1L && core1.size === 9)
+  }
+
   test("ccDataFrame matches GraphX on the graph_cc fixture") {
     val e = GraphOps.edges(graft.core.TestData.staticDb(spark, "/root/testdata/sf0.001"))
       .filter(org.apache.spark.sql.functions.col("label") === "n_regionkey_ref")
