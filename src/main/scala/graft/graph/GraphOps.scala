@@ -229,6 +229,120 @@ object GraphOps {
       .filter(col("deg") >= k)
   }
 
+  /** Strongly connected components of a DIRECTED edge set, fully
+    * DataFrame-native (trim + forward-min-label coloring + backward
+    * collection — the FW-BW-Trim family, Hong et al. 2013 / Orzan's
+    * coloring). Returns (node, scc) with scc = the minimum node id in
+    * the component (deterministic canonical labels, partitioning-
+    * independent).
+    *
+    * Per outer round:
+    *  1. TRIM — nodes with no incoming or no outgoing edge in the
+    *     remaining subgraph are singleton SCCs; peeled iteratively
+    *     (two semi-joins per peel). On real graphs (web/ref graphs)
+    *     this removes the vast majority of nodes before any fixpoint
+    *     work — the standard FW-BW preprocessing.
+    *  2. COLOR — forward min-label fixpoint: color(v) = min node id
+    *     that reaches v. Semi-naive: only improved labels join edges
+    *     next round (frontier discipline shared with [[bfs]]).
+    *  3. COLLECT — every color root (color(v) == v) is in exactly one
+    *     SCC: the nodes backward-reachable from it through its own
+    *     color class. All roots collect simultaneously — one BFS over
+    *     the color-restricted reversed edges, O(frontier ⋈ edges) per
+    *     hop.
+    *  Collected SCCs leave the graph; uncollected nodes re-run with
+    *  their blocking components gone. Outer rounds = nesting depth of
+    *  the SCC condensation reachable from per-round minima — small on
+    *  real graphs; every per-round step is key-partitioned
+    *  reduce/semi-join work AQE can coalesce, nothing is ever
+    *  collected to the driver. */
+  def scc(edgeDf: DataFrame, maxOuter: Int = 25, maxIter: Int = 100)
+         (implicit spark: SparkSession): DataFrame = {
+    var edges = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val assigned = collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    var remaining = nodes.count()
+    while (remaining > 0 && outer < maxOuter) {
+      outer += 1
+      // 1. trim: peel trivial SCCs until every node is on a cycle-able
+      // position (has both in- and out-edges in the remaining graph)
+      var trimming = true
+      var it = 0
+      while (trimming && it < maxIter) {
+        it += 1
+        val nontrivial = nodes
+          .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+          .join(edges.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
+          .localCheckpoint(true)
+        val trivial = nodes.join(nontrivial, Seq("node"), "left_anti")
+        if (trivial.isEmpty) trimming = false
+        else {
+          assigned += trivial.select(col("node"), col("node").as("scc")).localCheckpoint(true)
+          nodes = nontrivial
+          edges = edges
+            .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+            .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .localCheckpoint(true)
+        }
+      }
+      require(it < maxIter, s"scc trim did not converge in $maxIter peels")
+      remaining = nodes.count()
+      if (remaining > 0) {
+        // 2. color: forward min-label fixpoint, improvements-only frontier
+        var colors = nodes.select(col("node"), col("node").as("color")).localCheckpoint(true)
+        var frontier = colors
+        it = 0
+        while (!frontier.isEmpty && it < maxIter) {
+          it += 1
+          val cand = frontier.join(edges, frontier("node") === edges("src"))
+            .groupBy(col("dst").as("node")).agg(min(col("color")).as("cand"))
+          val improved = cand.join(colors, Seq("node"))
+            .filter(col("cand") < col("color"))
+            .select(col("node"), col("cand").as("color")).localCheckpoint(true)
+          if (!improved.isEmpty) {
+            colors = colors.join(improved.withColumnRenamed("color", "c2"), Seq("node"), "left")
+              .select(col("node"), coalesce(col("c2"), col("color")).as("color"))
+              .localCheckpoint(true)
+          }
+          frontier = improved
+        }
+        require(it < maxIter, s"scc coloring did not converge in $maxIter rounds")
+        // 3. collect: backward BFS from the color roots inside each color
+        // class; the reached set IS the root's SCC
+        val cEdges = edges
+          .join(colors.select(col("node").as("src"), col("color").as("sc")), Seq("src"))
+          .join(colors.select(col("node").as("dst"), col("color").as("dc")), Seq("dst"))
+          .filter(col("sc") === col("dc"))
+          .select(col("src"), col("dst"), col("sc").as("color")).localCheckpoint(true)
+        var reach = colors.filter(col("node") === col("color")).localCheckpoint(true)
+        var bfsFrontier = reach
+        it = 0
+        while (!bfsFrontier.isEmpty && it < maxIter) {
+          it += 1
+          val pred = bfsFrontier.join(cEdges,
+              bfsFrontier("node") === cEdges("dst") && bfsFrontier("color") === cEdges("color"))
+            .select(cEdges("src").as("node"), bfsFrontier("color").as("color")).distinct()
+          bfsFrontier = pred.join(reach, Seq("node"), "left_anti").localCheckpoint(true)
+          if (!bfsFrontier.isEmpty) reach = reach.unionAll(bfsFrontier).localCheckpoint(true)
+        }
+        require(it < maxIter, s"scc collection did not converge in $maxIter hops")
+        assigned += reach.select(col("node"), col("color").as("scc"))
+        nodes = nodes.join(reach, Seq("node"), "left_anti").localCheckpoint(true)
+        edges = edges
+          .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        remaining = nodes.count()
+      }
+    }
+    require(remaining == 0, s"scc did not converge in $maxOuter outer rounds")
+    if (assigned.isEmpty) nodes.select(col("node"), col("node").as("scc"))
+    else assigned.reduce(_ unionAll _)
+  }
+
   /** True iff the edge set has at most `threshold` edges. Probed with
     * `limit(threshold+1).count()`, which short-circuits after reading
     * at most threshold+1 rows — NEVER a full scan, so the dispatch

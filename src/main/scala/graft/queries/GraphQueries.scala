@@ -4,6 +4,7 @@ import graft.core.{TestData, FactDb}
 import graft.graph.GraphOps
 import graft.operators.RangeJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2D — graph analytics over fact-derived edges. */
@@ -24,6 +25,20 @@ object GraphQueries {
         col("a.n_nationkey") =!= col("b.n_nationkey"))
       .select((col("a.n_nationkey") + TestData.NationBase).as("src"),
         (col("b.n_nationkey") + TestData.NationBase).as("dst"))
+  }
+
+  /** Directed ring per region (nation k → next nation in the region,
+    * wrapping): the minimal deterministic edge set with real directed
+    * cycles — each region's ring is one SCC. */
+  private def regionRings(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    TestData.read(s, dir, "nation")
+      .select(col("n_regionkey"), col("n_nationkey"))
+      .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+      .withColumn("mn", first(col("n_nationkey")).over(w))
+      .select((col("n_nationkey") + TestData.NationBase).as("src"),
+        (coalesce(col("nxt"), col("mn")) + TestData.NationBase).as("dst"))
+      .filter(col("src") =!= col("dst"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,6 +117,19 @@ object GraphQueries {
         .select(col("src"), col("dst"))
       GraphOps.kCore(refs.unionAll(nationEdges(s, dir)), k = 4)
         .select((col("node") - TestData.NationBase).as("n_nationkey"), col("deg"))
+    }),
+
+    // strongly connected components of region rings + customer->nation
+    // ref tendrils: trim peels every customer (no in-edges) as a
+    // singleton SCC, coloring+backward-collect resolves each ring as
+    // one SCC labeled by its min nation — a directed-cycle workload the
+    // undirected CC family cannot express.
+    "graph_scc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val refs = GraphOps.edges(db(s, dir))
+        .filter(col("label") === "c_nationkey_ref")
+        .select(col("src"), col("dst"))
+      GraphOps.scc(refs.unionAll(regionRings(s, dir)))
     }),
 
     "graph_temporal" -> ((s, dir) => {
@@ -190,6 +218,16 @@ object GraphQueries {
          SELECT n_nationkey, CAST(cnt - 1 AS BIGINT) AS deg
          FROM nation JOIN sz USING (n_regionkey)
          WHERE cnt - 1 >= 4""",
+    // Structural form (the graph_cc oracle discipline): each region's
+    // directed ring is one SCC labeled by its min nation; customers
+    // (in-degree 0) are singleton SCCs.
+    "graph_scc" ->
+      """WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn
+                    FROM nation GROUP BY n_regionkey)
+         SELECT 2000000000 + n_nationkey AS node, 2000000000 + mn AS scc
+         FROM nation JOIN m USING (n_regionkey)
+         UNION ALL
+         SELECT 3000000000 + c_custkey, 3000000000 + c_custkey FROM customer""",
     // 2-hop unrolling of the time-respecting reachability: hop-1
     // arrivals from user 0, hop-2 expansion through strictly later
     // edges, min arrival per node (source pinned at Long.MinValue).

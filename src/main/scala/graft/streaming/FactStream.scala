@@ -40,6 +40,22 @@ object FactStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Gap-based sessionization on the LIVE event stream — the streaming
+    * twin of q_sessionize, via `session_window` (dynamic-gap session
+    * merge maintained in the streaming aggregation state). A session's
+    * row is emitted exactly once, when the watermark passes its close
+    * (append mode), so state per user is bounded by the open-session
+    * horizon, not the stream's history. Works identically on batch
+    * frames (Structured Streaming's contract) — the batch-parity spec
+    * runs THIS function both ways. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+
   /** Continuous ingestion into the durable fact-log layout
     * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
     * each micro-batch lands as new files inside the attribute

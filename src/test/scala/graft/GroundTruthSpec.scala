@@ -516,6 +516,33 @@ class GroundTruthSpec extends SparkSpec {
     assert(core1(5L) === 6L && core1(12L) === 1L && core1.size === 9)
   }
 
+  test("scc resolves planted cycles, nested condensation, and tendrils exactly") {
+    // two 3-cycles bridged by a DAG edge, plus a tendril into the first:
+    // SCCs {1,2,3} (label 1), {4,5,6} (label 4), {7} — the bridge 3->4
+    // and tendril 7->1 must NOT merge components.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),  // cycle A
+      (3L, 4L),                       // condensation edge A -> B
+      (4L, 5L), (5L, 6L), (6L, 4L),  // cycle B
+      (7L, 1L)                        // tendril (trim peels it)
+    ).toDF("src", "dst")
+    val got = GraphOps.scc(edges)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // a pure DAG is all singletons (everything trims, no fixpoint runs)
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val dagScc = GraphOps.scc(dag)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dagScc === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a single global cycle through ALL nodes survives trim entirely
+    // and resolves in one color/collect pass
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val ringScc = GraphOps.scc(ring)(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ringScc === (0L until 8L).map(_ -> 0L).toMap)
+  }
+
   test("ccDataFrame matches GraphX on the graph_cc fixture") {
     val e = GraphOps.edges(graft.core.TestData.staticDb(spark, "/root/testdata/sf0.001"))
       .filter(org.apache.spark.sql.functions.col("label") === "n_regionkey_ref")

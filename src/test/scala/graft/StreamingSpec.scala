@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream_session: gap sessions merge across micro-batches, emit once closed, match batch") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = FactStream.sessionCounts(events, gap = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((t(0), 1L), (t(5), 1L), (t(8), 1L), (t(2), 2L))
+    q.processAllAvailable()
+    input.addData((t(40), 1L)) // watermark -> 40: closes both early sessions
+    q.processAllAvailable()
+    // t(44) extends user 1's open session ACROSS the batch boundary;
+    // t(59) pushes the watermark past its close
+    input.addData((t(44), 1L), (t(59), 2L))
+    q.processAllAvailable()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))
+    val streamed = spark.table("sess").collect().map(key).toSet
+    assert(streamed === Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:18:00.0", 3L),
+      (2L, "2024-01-01 00:02:00.0", "2024-01-01 00:12:00.0", 1L),
+      (1L, "2024-01-01 00:40:00.0", "2024-01-01 00:54:00.0", 2L)))
+    q.stop()
+    // batch parity: the same function over the full batch frame yields
+    // the streamed sessions plus only the one never-closed tail session
+    val batch = Seq(t(0) -> 1L, t(5) -> 1L, t(8) -> 1L, t(2) -> 2L,
+      t(40) -> 1L, t(44) -> 1L, t(59) -> 2L).toDF("ts", "user_id")
+    val batchRows = FactStream.sessionCounts(batch, gap = "10 minutes").collect().map(key).toSet
+    assert(batchRows === streamed +
+      ((2L, "2024-01-01 00:59:00.0", "2024-01-01 01:09:00.0", 1L)))
+  }
+
   test("streaming exact dedup emits only first-seen content, state bounded by watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
