@@ -268,6 +268,81 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Collocation mining: PMI-ranked adjacent-token bigrams over the
+    * corpus — the phrase-discovery pass (e.g. word2vec-style phrase
+    * joining, tokenizer-vocab seeding). Three reduce shuffles total
+    * (unigram counts, bigram counts, scalar totals); the PMI join
+    * touches only the REDUCED vocab/bigram relations, never the token
+    * stream, so the post-reduce cost is vocabulary-sized at any corpus
+    * scale. PMI is computed in double (never long products — a corpus
+    * total squared overflows BIGINT at ~3 B tokens) with the exact
+    * expression shape the oracle shares, then rounded; top-K rides
+    * TakeOrderedAndProject on the (pmi, w1, w2) total order. */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val tk = docs.select(split(lower(trim(col("text"))), "\\s+").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = tk.select(size(col("tk")).cast("long").as("n"))
+      .agg(sum(col("n")).as("ntok"))
+    val withPairs = tk.filter(size(col("tk")) >= 2)
+    val big = withPairs
+      .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val nb = withPairs.select((size(col("tk")) - 1).cast("long").as("n"))
+      .agg(sum(col("n")).as("nbig"))
+    big.filter(col("cxy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        (col("cxy").cast("double") * col("ntok") * col("ntok")) /
+          (col("nbig").cast("double") * col("c1") * col("c2"))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("cxy"), col("pmi"))
+  }
+
+  /** Temperature-scaled domain mixture — the multilingual-training
+    * reweighting (e.g. mT5 §3.1): per-source sampling weight
+    * w_i ∝ p_i^(1/T) with T = 2, i.e. sqrt — chosen because IEEE sqrt
+    * is correctly rounded, so the weights are bit-identical in any
+    * engine, unlike pow(p, α). The per-source relation is tiny
+    * (|sources| rows) — the only corpus-sized work is the one token
+    * reduce; the normalizing sum is a double over that handful of
+    * rows, and the ulp-level order sensitivity it carries sits ~10
+    * orders of magnitude below the round(6)/round-to-integer surface
+    * (a DECIMAL cast would NOT help here: Spark's double→decimal goes
+    * through the shortest decimal representation while DuckDB rounds
+    * the exact binary expansion, which diverges at scale ≥ 15).
+    * Returns the datasheet a sampler consumes: share p, weight w, and
+    * the token allocation out of `budgetTokens`. */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // whole-relation windows (NOT branch-and-rejoin): branching the
+    // per-source aggregate into scalar sub-queries re-plans the corpus
+    // reduce once per branch — three full scans for one datasheet. The
+    // windows collapse to a single-partition pass over the
+    // |sources|-row relation, so the corpus is read exactly once and
+    // the "single partition" is bounded by the source vocabulary, not
+    // the data.
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .select(col("source"), reTokens(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+      .withColumn("tt", sum(col("tokens")).over(w))
+      .withColumn("p", col("tokens").cast("double") / col("tt"))
+      .withColumn("sq", sqrt(col("p")))
+      .withColumn("s", sum(col("sq")).over(w))
+      .withColumn("w", col("sq") / col("s"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("p"), round(col("w"), 6).as("w"),
+        round(col("w") * budgetTokens).cast("long").as("alloc_tokens"))
+  }
+
   /** THE n-token window-hash expression — md5 of each space-joined
     * n-token slice of a token array. ONE definition shared by every
     * shingle consumer (decontaminate/text_decontam, sourceOverlap,

@@ -267,6 +267,16 @@ object PipelineQueries {
     // shuffle) → char-pair explode over vocab only → weighted counts.
     "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(docs(s, dir), topK = 100)),
 
+    // PMI-ranked adjacent-bigram collocations: phrase discovery over
+    // the reduced vocab/bigram relations, never the raw token stream.
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), minCount = 5, topK = 50)),
+
+    // temperature-scaled (T=2) domain mixture datasheet: per-source
+    // sampling weights + token allocations out of a 1M-token budget.
+    "sample_temperature" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(docs(s, dir), budgetTokens = 1000000L)),
+
     "sample_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(
           TextAnalysis.langId(docs(s, dir)), "pred_lang", "doc_id", perStratum = 20)
@@ -645,6 +655,46 @@ object PipelineQueries {
               pe AS (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
          SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(SUM(f) AS BIGINT) AS n
          FROM pe GROUP BY 1 ORDER BY n DESC, pair LIMIT 100""",
+    // PMI computed in DOUBLE with the exact expression shape the Spark
+    // side uses (cast-first, left-assoc products) → bit-identical
+    // before round(6); (pmi, w1, w2) is a total order so the LIMIT
+    // picks the same set
+    "text_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS tk
+                     FROM documents),
+              uni AS (SELECT unnest(tk) AS w FROM tk),
+              cw AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1),
+              tot AS (SELECT COUNT(*) AS ntok FROM uni),
+              pe AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk
+                     WHERE len(tk) >= 2),
+              pairs AS (SELECT tk[CAST(i AS INT)] AS w1,
+                               tk[CAST(i AS INT) + 1] AS w2 FROM pe),
+              big AS (SELECT w1, w2, COUNT(*) AS cxy FROM pairs GROUP BY 1, 2),
+              nb AS (SELECT COUNT(*) AS nbig FROM pairs)
+         SELECT w1, w2, cxy,
+                round(ln((CAST(cxy AS DOUBLE) * ntok * ntok)
+                         / (CAST(nbig AS DOUBLE) * c1.cw * c2.cw)), 6) AS pmi
+         FROM big JOIN cw c1 ON big.w1 = c1.w JOIN cw c2 ON big.w2 = c2.w, tot, nb
+         WHERE cxy >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+    // sqrt is IEEE-correctly-rounded (identical in both engines); the
+    // normalizing sum is a double over |sources| rows — ulp noise ~10
+    // orders below the rounded surface
+    "sample_temperature" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS tokens
+               FROM documents GROUP BY 1),
+              tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM per),
+              sc AS (SELECT source, n_docs, tokens,
+                            CAST(tokens AS DOUBLE) / tt AS p,
+                            sqrt(CAST(tokens AS DOUBLE) / tt) AS sq
+                     FROM per, tot),
+              nrm AS (SELECT SUM(sq) AS s FROM sc)
+         SELECT source, n_docs, tokens, round(p, 6) AS p,
+                round(sq / s, 6) AS w,
+                CAST(round(sq / s * 1000000) AS BIGINT) AS alloc_tokens
+         FROM sc, nrm""",
     "sample_stratified" ->
       s"""WITH lang AS ($langIdSql)
           SELECT doc_id, pred_lang FROM (

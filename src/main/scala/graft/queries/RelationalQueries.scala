@@ -206,6 +206,31 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))),
 
+    // LISTAGG / string_agg: suppliers rolled up to one sorted
+    // name-list row per nation. sort_array(collect_list) is the
+    // deterministic form (a SQL LISTAGG without ORDER BY is
+    // unspecified); the group payload is the operator's inherent
+    // memory shape — one nation's names must meet in one place.
+    "q_string_agg" -> ((s, dir) =>
+      read(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("names"),
+          count(lit(1)).as("n"))),
+
+    // INTERSECT / EXCEPT set semantics (distinct in both engines):
+    // customers ordering in both of two years vs only the first.
+    // Range-form date filters keep the predicate encoding-neutral
+    // (string or DATE column both compare correctly).
+    "q_setops" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      def yr(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01"))
+        .select(col("o_custkey"))
+      yr(1995).intersect(yr(1996)).withColumn("tag", lit("both"))
+        .unionAll(yr(1995).except(yr(1996)).withColumn("tag", lit("only_1995")))
+    }),
+
     // Exact interpolated percentiles per group (the SLA/latency-report
     // aggregate): Spark's percentile == DuckDB's quantile_cont. Exact
     // percentile needs the group's values together — one hash shuffle,
@@ -403,6 +428,21 @@ object RelationalQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                 COUNT(*) AS n
          FROM events GROUP BY 1""",
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+                string_agg(s_name, ',' ORDER BY s_name) AS names,
+                COUNT(*) AS n
+         FROM supplier GROUP BY 1""",
+    "q_setops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+                      WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'),
+              y96 AS (SELECT o_custkey FROM orders
+                      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01')
+         SELECT o_custkey, 'both' AS tag
+         FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+         UNION ALL
+         SELECT o_custkey, 'only_1995' AS tag
+         FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)""",
     "q_percentile" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.25), 6) AS p25,

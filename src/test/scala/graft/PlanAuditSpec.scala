@@ -443,4 +443,32 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the two reduce shuffles:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
   }
+
+  test("text_collocations: PMI joins ride the reduced relations; heap top-k, scalar totals broadcast") {
+    val p = plan("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+    assert(!p.contains("\nSort "), s"expected no global Sort:\n$p")
+    // the two scalar totals must arrive as broadcast nested loops over
+    // ONE row, never a shuffled join against the bigram relation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast scalar totals:\n$p")
+  }
+
+  test("sample_temperature: ONE corpus scan + reduce; normalization is |sources|-sized windows") {
+    val p = plan("sample_temperature")
+    // the tempting branch-and-rejoin form re-plans the corpus reduce
+    // per scalar branch (three full scans); the shipped whole-relation
+    // window form reads the corpus once
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"expected exactly one corpus scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the per-source reduce shuffle:\n$p")
+  }
+
+  test("q_setops: set ops plan as aggregates/joins, never a cartesian") {
+    val p = plan("q_setops")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"expected pushed year-range filters:\n$p")
+  }
 }
