@@ -182,4 +182,52 @@ object Multimodal {
       sequence(lit(0),
         greatest(((octet_length(media) - 1) / lit(frameSize)).cast(IntegerType), lit(0))),
       i => media.substr(i * frameSize + 1, lit(frameSize)))
+
+  val AudioWinSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("win_idx", IntegerType),
+    StructField("n_samples", IntegerType), StructField("rms", DoubleType),
+    StructField("zero_crossings", IntegerType)))
+
+  /** Audio feature extraction: the payload is interpreted as
+    * little-endian PCM16 mono samples (the WAV data-chunk layout) —
+    * for PCM, "decode" IS the byte reinterpretation, so unlike image
+    * pixels there is nothing to stub here. Emits one row per
+    * `winSamples`-sample window with RMS energy (full-scale-normalized)
+    * and the zero-crossing count — the classic VAD / silence-trim /
+    * segmentation features. One mapPartitions pass, no shuffle: the
+    * window fan-out inherits the input partitioning exactly like
+    * [[frameSample]], and downstream per-window gates (drop silence,
+    * route speech/music) stay map-side. A codec decoder (mp3/opus)
+    * would plug in ahead of the sample loop, same batch shape. */
+  def audioFeatures(withMedia: DataFrame, winSamples: Int = 256): DataFrame = {
+    val spark = withMedia.sparkSession
+    require(winSamples > 0, "winSamples must be positive")
+    val rdd = withMedia.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val nSamples = bytes.length / 2
+        (0 until nSamples by winSamples).iterator.map { start =>
+          val end = math.min(start + winSamples, nSamples)
+          var i = start
+          var sumSq = 0.0
+          var zc = 0
+          var prevNonNeg = true
+          while (i < end) {
+            // little-endian int16
+            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            val x = s / 32768.0
+            sumSq += x * x
+            val nonNeg = s >= 0
+            if (i > start && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          val n = end - start
+          Row(docId, start / winSamples, n, math.sqrt(sumSq / n), zc)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, AudioWinSchema)
+  }
 }

@@ -424,7 +424,15 @@ object PipelineQueries {
     // one emitted as its own row (rows-only; shapes spec-asserted).
     "mm_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asBinary(docs(s, dir)), frameSize = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes")))
+        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))),
+
+    // audio plumbing: payload bytes as PCM16 mono → per-window RMS +
+    // zero-crossing features (map-only; planted-waveform spec carries
+    // the hard check — text-bytes payloads here exercise the plumbing)
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.audioFeatures(Multimodal.asBinary(docs(s, dir)), winSamples = 256)
+        .select(col("doc_id"), col("win_idx"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("zero_crossings")))
   )
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"

@@ -77,6 +77,31 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.toSeq === Seq(0, 2, 4))
   }
 
+  test("multimodal audio: PCM16 windows carry exact RMS and zero-crossing features") {
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    val half = 16384 // 0.5 full-scale exactly
+    val media = Seq(
+      (1L, pcm(Seq.fill(512)(0))),                                  // silence
+      (2L, pcm(Seq.fill(512)(half))),                               // DC at 0.5
+      (3L, pcm((0 until 512).map(i => if (i % 2 == 0) half else -half))), // alternating
+      (4L, pcm(Seq.fill(100)(half)))                                // short tail window
+    ).toDF("doc_id", "media")
+    val rows = Multimodal.audioFeatures(media, winSamples = 256).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(rows.size === 7) // 2 + 2 + 2 + 1 windows
+    assert(rows((1L, 0)) === ((256, 0.0, 0)) && rows((1L, 1)) === ((256, 0.0, 0)))
+    assert(rows((2L, 0)) === ((256, 0.5, 0)))
+    // alternating sign flips at every sample boundary within a window
+    assert(rows((3L, 0)) === ((256, 0.5, 255)) && rows((3L, 1)) === ((256, 0.5, 255)))
+    assert(rows((4L, 0)) === ((100, 0.5, 0)))
+  }
+
   test("multimodal: real PNG/JPEG decode via ImageIO, resize re-encodes true pixels") {
     def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
       val imgType =
