@@ -206,6 +206,35 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))),
 
+    // Salted skew join: hot keys spread over (key, salt) reducers —
+    // result must be IDENTICAL to the plain equi-join (the oracle is
+    // exactly that), only the plan changes. Aggregated afterward so
+    // the surface is the join, not a row dump.
+    "q_skew_join" -> ((s, dir) => {
+      val cust = read(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey").as("key"))
+      val nat = read(s, dir, "nation")
+        .select(col("n_nationkey").as("key"), col("n_name"))
+      graft.operators.SkewJoin.salted(cust, nat, "key", salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+    }),
+
+    // Time-interval moving window (RANGE frame): per event, the sum /
+    // count of the user's events in the trailing hour — the rolling-
+    // metric shape rows-based frames (q_running) can't express.
+    "q_window_range" -> ((s, dir) => {
+      val hour = 3600L * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-hour, 0)
+      events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          sum(col("value").cast(DecimalType(25, 6))).over(w)
+            .cast(DoubleType).as("win_sum"),
+          count(lit(1)).over(w).as("win_n"))
+    }),
+
     // LISTAGG / string_agg: suppliers rolled up to one sorted
     // name-list row per nation. sort_array(collect_list) is the
     // deterministic form (a SQL LISTAGG without ORDER BY is
@@ -428,6 +457,23 @@ object RelationalQueries {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
                 COUNT(*) AS n
          FROM events GROUP BY 1""",
+    // the salted join MUST equal the plain join — the oracle is the
+    // plain formulation
+    "q_skew_join" ->
+      """SELECT n_name, COUNT(*) AS n,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q_window_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS win_sum,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS win_n
+         FROM events""",
     "q_string_agg" ->
       """SELECT s_nationkey,
                 string_agg(s_name, ',' ORDER BY s_name) AS names,
