@@ -235,6 +235,31 @@ object RelationalQueries {
           count(lit(1)).over(w).as("win_n"))
     }),
 
+    // Time-series RESAMPLE + gap-fill + LOCF: per user, every day
+    // from first to last activity — silent days materialized with
+    // zero counts and the last observed max carried forward. The
+    // spine explode is bounded by span-days per user; the fill join
+    // and LOCF window are both (user, day)-keyed, so no partition
+    // ever exceeds one user's day span.
+    "q_resample" -> ((s, dir) => {
+      val dayUs = 86400L * 1000 * 1000
+      val e = events(s, dir)
+        .withColumn("day", expr(s"(ts_ns div 1000) div $dayUs"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("vsum"),
+          max(col("value")).as("maxv"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("vsum"), lit(0.0)).as("vsum"),
+          round(last(col("maxv"), ignoreNulls = true).over(w), 6).as("locf"))
+    }),
+
     // LISTAGG / string_agg: suppliers rolled up to one sorted
     // name-list row per nation. sort_array(collect_list) is the
     // deterministic form (a SQL LISTAGG without ORDER BY is
@@ -474,6 +499,23 @@ object RelationalQueries {
                                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS win_n
          FROM events""",
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+                    FROM events),
+              daily AS (SELECT user_id, day, COUNT(*) AS n,
+                               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS vsum,
+                               MAX(value) AS maxv
+                        FROM e GROUP BY 1, 2),
+              span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                       FROM e GROUP BY 1),
+              spine AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+         SELECT s.user_id, s.day,
+                COALESCE(n, 0) AS n, COALESCE(vsum, 0.0) AS vsum,
+                round(last_value(maxv IGNORE NULLS)
+                      OVER (PARTITION BY s.user_id ORDER BY s.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf
+         FROM spine s LEFT JOIN daily d
+           ON s.user_id = d.user_id AND s.day = d.day""",
     "q_string_agg" ->
       """SELECT s_nationkey,
                 string_agg(s_name, ',' ORDER BY s_name) AS names,
