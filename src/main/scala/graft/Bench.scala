@@ -11,11 +11,11 @@ object Bench {
     "q_asof_join", "q_range_join",
     // events analytics (restored r11 after two blind rounds — benched
     // so a future loader/encoding break also shows up as a perf hole)
-    "q_sessionize", "q_pivot", "q_percentile",
+    "q_sessionize", "q_pivot", "q_percentile", "q_resample",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans", "sim_topk", "sim_ann", "sim_ann_batch",
-    "text_quality", "text_tfidf", "pipeline_pack", "pipeline_e2e",
-    "graph_reach", "graph_pagerank", "graph_cc")
+    "text_quality", "text_tfidf", "text_collocations", "pipeline_pack", "pipeline_e2e",
+    "graph_reach", "graph_pagerank", "graph_cc", "graph_scc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
