@@ -23,9 +23,16 @@ object RunOne {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
     val t0 = System.nanoTime()
-    val rows = df.collect()
-    println(f"[runone] $name: ${rows.length} rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    rows.take(20).foreach(r => println("[runone] " + r))
+    if (args.contains("count")) {
+      // count-only mode for big outputs: measures the plan without
+      // hauling rows to the driver
+      val n = df.count()
+      println(f"[runone] $name: $n rows (count) in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    } else {
+      val rows = df.collect()
+      println(f"[runone] $name: ${rows.length} rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      rows.take(20).foreach(r => println("[runone] " + r))
+    }
     spark.stop()
   }
 }
