@@ -56,6 +56,61 @@ object FactStream {
       .select(col("user_id"), col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("n_events"))
 
+  /** Stream-stream INTERVAL join (the attribution join, streaming twin
+    * of q_range_join): for every left event, the right-stream events of
+    * the SAME user within `withinSec` seconds AFTER it. Both sides are
+    * watermarked, so the join state Structured Streaming buffers is
+    * bounded to watermark + interval on each side — the planner derives
+    * the eviction bound from the time-range predicate itself; without
+    * the range condition this state would grow forever. Equi-key
+    * (user_id) keeps it a state-store hash join, never a broadcast of
+    * a stream. Works identically on batch frames. */
+  def intervalJoin(left: DataFrame, right: DataFrame, withinSec: Long,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $withinSec seconds"))
+      .select(col("user_id"), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"))
+  }
+
+  /** Stream-static ENRICHMENT against the durable fact log: each
+    * micro-batch joins the CURRENT snapshot value of `attr` for its
+    * user entity. The dimension is re-READ inside foreachBatch — not a
+    * static DataFrame captured at stream start, whose cached file
+    * index would never see files transacted after launch — so facts
+    * written between batches are visible to the next batch: the
+    * streaming counterpart of dl_lookup per event, with the batch
+    * engine's own time-travel knob (`asOfTx` pins a historical
+    * version instead of tracking HEAD). The per-batch join reads only
+    * the attribute's partition directory of the durable layout.
+    * Enriched rows land in batch-owned dirs (idempotent on replay,
+    * the single-writer discipline shared with ingestGatedDocuments). */
+  def enrichWithFactLog(events: DataFrame, logPath: String, attr: String,
+                        userBase: Long, outPath: String, checkpoint: String,
+                        asOfTx: Long = Long.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dim = graft.sources.FactLogIO.read(spark, logPath)
+          .snapshot(asOfTx)
+          .filter(col("a") === attr)
+          .select((col("e") - userBase).as("user_id"),
+            col("vstr").as(s"${attr}_str"), col("vlong").as(s"${attr}_long"),
+            col("vdbl").as(s"${attr}_dbl"))
+        batch.join(dim, Seq("user_id"), "left")
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Continuous ingestion into the durable fact-log layout
     * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
     * each micro-batch lands as new files inside the attribute

@@ -91,6 +91,69 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream_join: interval join buffers bounded state, matches the batch interval join") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def evts(m: MemoryStream[(java.sql.Timestamp, Long, String)]) =
+      m.toDF().toDF("ts", "user_id", "event_type")
+    val q = FactStream.intervalJoin(evts(views), evts(buys), withinSec = 600,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    views.addData((t(0), 1L, "view_a"), (t(2), 2L, "view_b"))
+    buys.addData((t(5), 1L, "buy_a")) // within 10 min of user 1's view
+    q.processAllAvailable()
+    // cross-batch: a later purchase still inside user 2's window, plus
+    // one OUTSIDE user 1's window (t(0)+10min < t(15)) — must not match
+    buys.addData((t(9), 2L, "buy_b"), (t(15), 1L, "buy_late"))
+    q.processAllAvailable()
+    val got = spark.table("attrib")
+      .select("user_id", "l_type", "r_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "view_a", "buy_a"), (2L, "view_b", "buy_b")))
+    q.stop()
+    // batch parity: the same function over batch frames
+    val bv = Seq((t(0), 1L, "view_a"), (t(2), 2L, "view_b")).toDF("ts", "user_id", "event_type")
+    val bb = Seq((t(5), 1L, "buy_a"), (t(9), 2L, "buy_b"), (t(15), 1L, "buy_late"))
+      .toDF("ts", "user_id", "event_type")
+    val batch = FactStream.intervalJoin(bv, bb, withinSec = 600)
+      .select("user_id", "l_type", "r_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch === got)
+  }
+
+  test("stream_enrich: per-batch fact-log snapshot join sees facts transacted between batches") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val conn = graft.Graft.open(spark)
+    import graft.transact.Transactor.Add
+    import graft.core.FactDb
+    def publishLog(): Unit = graft.sources.FactLogIO.write(
+      FactDb(conn.db.log, Map("segment" -> "vstr"), Set.empty, versioned = true),
+      s"$dir/log")
+    // entity 107 = user 7 with segment "bronze" at tx 1
+    conn.transact(Seq(Add(107L, "segment", "bronze")))
+    publishLog()
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val q = FactStream.enrichWithFactLog(events, s"$dir/log", "segment",
+      userBase = 100L, outPath = s"$dir/out", checkpoint = s"$dir/ckpt")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    input.addData((1L, t(1), 7L))
+    q.processAllAvailable()
+    // segment changes BETWEEN batches; the next batch must see gold
+    conn.transact(Seq(Add(107L, "segment", "gold")))
+    publishLog()
+    input.addData((2L, t(2), 7L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("event_id", "segment_str").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "bronze", 2L -> "gold"))
+  }
+
   test("streaming ingestion lands in the durable fact-log layout and is queryable") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-log").toString
