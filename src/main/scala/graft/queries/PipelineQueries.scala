@@ -474,6 +474,16 @@ object PipelineQueries {
   private val langIdSql: String = langIdSqlWith("")
 
   val oracle: Map[String, String] = Map(
+    // the frame fan-out is pure integer arithmetic over utf8 byte
+    // lengths — fully SQL-replicable, no reason to stay rows-only
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+                    WHERE octet_length(encode(text)) > 0),
+              f AS (SELECT doc_id, unnest(range(0, (nb - 1) // 64 + 1)) AS frame_idx, nb
+                    FROM d)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                CAST(least(64, nb - frame_idx * 64) AS INT) AS frame_bytes
+         FROM f WHERE frame_idx % 2 = 0""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
