@@ -256,8 +256,10 @@ object GraphOps {
     *  real graphs; every per-round step is key-partitioned
     *  reduce/semi-join work AQE can coalesce, nothing is ever
     *  collected to the driver. */
-  def scc(edgeDf: DataFrame, maxOuter: Int = 25, maxIter: Int = 100)
+  def scc(edgeDf: DataFrame, maxOuter: Int = 25, maxIter: Int = 100,
+          smallGraphEdges: Long = 1L << 16)
          (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
     var edges = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var nodes = edges.select(col("src").as("node"))
@@ -265,7 +267,8 @@ object GraphOps {
     val assigned = collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     var remaining = nodes.count()
-    while (remaining > 0 && outer < maxOuter) {
+    var dispatchedLocal = false
+    while (remaining > 0 && outer < maxOuter && !dispatchedLocal) {
       outer += 1
       // 1. trim: peel trivial SCCs until every node is on a cycle-able
       // position (has both in- and out-edges in the remaining graph)
@@ -290,7 +293,22 @@ object GraphOps {
       }
       require(it < maxIter, s"scc trim did not converge in $maxIter peels")
       remaining = nodes.count()
-      if (remaining > 0) {
+      // Adaptive dispatch (the pageRankAuto discipline): trim is the
+      // DISTRIBUTED bulk-reduction — on real ref/web graphs it removes
+      // the overwhelmingly-trivial majority at any scale. What remains
+      // is the cyclic core; when that core is interactive-sized, the
+      // per-round stage floor of the coloring fixpoint (~40 scheduled
+      // jobs for a handful of rings) costs more than the whole
+      // problem — a driver-side Tarjan over the collected remainder is
+      // exact, deterministic, and bounded by `smallGraphEdges`.
+      // Larger cores run the distributed coloring path (the 100× path;
+      // parity between the two is spec-pinned).
+      if (remaining > 0 && isSmallGraph(edges, smallGraphEdges)) {
+        val local = sccLocal(edges.as[(Long, Long)].collect().toSeq)
+        assigned += local.toDF("node", "scc")
+        remaining = 0
+        dispatchedLocal = true
+      } else if (remaining > 0) {
         // 2. color: forward min-label fixpoint, improvements-only frontier
         var colors = nodes.select(col("node"), col("node").as("color")).localCheckpoint(true)
         var frontier = colors
@@ -341,6 +359,57 @@ object GraphOps {
     require(remaining == 0, s"scc did not converge in $maxOuter outer rounds")
     if (assigned.isEmpty) nodes.select(col("node"), col("node").as("scc"))
     else assigned.reduce(_ unionAll _)
+  }
+
+  /** Iterative (explicit-stack) Tarjan over a driver-local edge list —
+    * the small-core serving path of [[scc]]. Components labeled by
+    * their minimum node id, matching the distributed path exactly. */
+  private[graft] def sccLocal(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val index = mutable.HashMap.empty[Long, Int]
+    val low = mutable.HashMap.empty[Long, Int]
+    val onStack = mutable.HashSet.empty[Long]
+    val stack = mutable.ArrayBuffer.empty[Long]
+    val comp = mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      val work = mutable.Stack.empty[(Long, Iterator[Long])]
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack += root
+      work.push((root, adj.getOrElse(root, Nil).iterator))
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack += w
+            work.push((w, adj.getOrElse(w, Nil).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = mutable.ArrayBuffer.empty[Long]
+            var done = false
+            while (!done) {
+              val w = stack.remove(stack.length - 1)
+              onStack -= w
+              members += w
+              if (w == v) done = true
+            }
+            val label = members.min
+            members.foreach(m => comp(m) = label)
+          }
+        }
+      }
+    }
+    comp.toSeq
   }
 
   /** True iff the edge set has at most `threshold` edges. Probed with

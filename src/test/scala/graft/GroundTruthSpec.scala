@@ -526,21 +526,23 @@ class GroundTruthSpec extends SparkSpec {
       (4L, 5L), (5L, 6L), (6L, 4L),  // cycle B
       (7L, 1L)                        // tendril (trim peels it)
     ).toDF("src", "dst")
-    val got = GraphOps.scc(edges)(spark)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
-    // a pure DAG is all singletons (everything trims, no fixpoint runs)
-    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
-    val dagScc = GraphOps.scc(dag)(spark)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(dagScc === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
-    // a single global cycle through ALL nodes survives trim entirely
-    // and resolves in one color/collect pass
-    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
-    val ringScc = GraphOps.scc(ring)(spark)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ringScc === (0L until 8L).map(_ -> 0L).toMap)
+    // BOTH serving paths must agree with the ground truth: the
+    // post-trim driver Tarjan (default dispatch) and the distributed
+    // coloring fixpoint (smallGraphEdges = 0 forces the 100× path)
+    def run(df: org.apache.spark.sql.DataFrame, small: Long) =
+      GraphOps.scc(df, smallGraphEdges = small)(spark)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (small <- Seq(1L << 16, 0L)) {
+      assert(run(edges, small) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+      // a pure DAG is all singletons (everything trims, no fixpoint runs)
+      val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+      assert(run(dag, small) === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+      // a single global cycle through ALL nodes survives trim entirely
+      // and resolves in one color/collect pass
+      val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+      assert(run(ring, small) === (0L until 8L).map(_ -> 0L).toMap)
+    }
   }
 
   test("ccDataFrame matches GraphX on the graph_cc fixture") {
