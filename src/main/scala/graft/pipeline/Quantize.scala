@@ -126,6 +126,17 @@ object Quantize {
     * per-cluster sizes and the cluster's mean cosine to its centroid
     * (a compactness datasheet). One map-only assignment pass over the
     * corpus + one k-row aggregate. */
+  /** Deterministic k-means ASSIGNMENT: train centroids with the shared
+    * exact-decimal Lloyd's core and return every row with its cluster
+    * id — the building block compositions (topic clustering, IVF
+    * cells, PQ codebooks) share. Map-only after the training pass. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   k: Int, iters: Int = 3): DataFrame = {
+    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = Similarity.lloyd(data, dim, k, iters)
+    data.withColumn("cluster", Similarity.nearestCell(col("vec"), centroids))
+  }
+
   def kmeansProfile(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                     k: Int, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}

@@ -277,6 +277,31 @@ object PipelineQueries {
     "sample_temperature" -> ((s, dir) =>
       TextAnalysis.temperatureMix(docs(s, dir), budgetTokens = 1000000L)),
 
+    // TOPIC clustering of the text corpus: hashing-trick embeddings,
+    // L2-normalized (token MIX, not doc length), deterministic k-means
+    // assignment, then a per-topic datasheet with the majority source
+    // resolved by a deterministic (count, source) argmax window.
+    "doc_topics" -> ((s, dir) => {
+      val emb = TextAnalysis.hashEmbedding(docs(s, dir), dims = 16)
+      val norm = emb
+        .withColumn("nrm", sqrt(aggregate(
+          transform(col("vec"), x => x * x), lit(0.0), (a, b) => a + b)))
+        .filter(col("nrm") > 0)
+        .select(col("doc_id"), transform(col("vec"), x => x / col("nrm")).as("nvec"))
+      val assigned = Quantize.kmeansAssign(norm, "doc_id", "nvec",
+          dim = 16, k = 4, iters = 3)
+        .select(col("id").as("doc_id"), col("cluster").as("topic"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      val bySrc = assigned.groupBy(col("topic"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("topic"))
+        .orderBy(col("n").desc, col("source"))
+      bySrc.withColumn("rk", row_number().over(w))
+        .groupBy(col("topic"))
+        .agg(sum(col("n")).as("n_docs"),
+          max(when(col("rk") === 1, col("source"))).as("top_source"))
+    }),
+
     "sample_stratified" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(
           TextAnalysis.langId(docs(s, dir)), "pred_lang", "doc_id", perStratum = 20)

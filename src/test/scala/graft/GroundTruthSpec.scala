@@ -516,6 +516,30 @@ class GroundTruthSpec extends SparkSpec {
     assert(core1(5L) === 6L && core1(12L) === 1L && core1.size === 9)
   }
 
+  test("kmeansAssign separates planted vocabulary clusters on normalized hash embeddings") {
+    val fruit = (0 until 30).map(i =>
+      (i.toLong, s"apple banana cherry fruit orchard harvest sweet ripe grove $i"))
+    val cars = (100 until 130).map(i =>
+      (i.toLong, s"engine wheel road highway diesel torque chassis brake gear $i"))
+    val docs = (fruit ++ cars).toDF("doc_id", "text")
+    val emb = graft.pipeline.TextAnalysis.hashEmbedding(docs, dims = 16)
+    val norm = emb
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("vec"), x => x * x), lit(0.0), (a, b) => a + b)))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"), transform(col("vec"), x => x / col("nrm")).as("nvec"))
+    val assigned = Quantize.kmeansAssign(norm, "doc_id", "nvec", dim = 16, k = 2, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val fruitTopics = fruit.map(f => assigned(f._1)).toSet
+    val carTopics = cars.map(c => assigned(c._1)).toSet
+    // each vocabulary group lands in ONE topic, and the two differ
+    assert(fruitTopics.size === 1 && carTopics.size === 1 && fruitTopics != carTopics)
+    // determinism: a second run assigns identically
+    val again = Quantize.kmeansAssign(norm, "doc_id", "nvec", dim = 16, k = 2, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again === assigned)
+  }
+
   test("scc resolves planted cycles, nested condensation, and tendrils exactly") {
     // two 3-cycles bridged by a DAG edge, plus a tendril into the first:
     // SCCs {1,2,3} (label 1), {4,5,6} (label 4), {7} — the bridge 3->4
