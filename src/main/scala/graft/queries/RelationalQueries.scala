@@ -235,6 +235,30 @@ object RelationalQueries {
           count(lit(1)).over(w).as("win_n"))
     }),
 
+    // Top-N per group (the "latest/k-best per key" shape): top-2
+    // orders by price per customer. The rank filter compiles to
+    // WindowGroupLimit — a MAP-SIDE per-group heap before the window
+    // shuffle (plan-pinned), so the shuffle carries ≤ N rows per
+    // (partition, key), not the whole history.
+    "q_topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      read(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // UNPIVOT wide→long (the inverse of q_pivot): part's numeric
+    // measures stacked into (metric, value) rows — a map-only Expand,
+    // no shuffle at all.
+    "q_unpivot" -> ((s, dir) =>
+      read(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "value")),
+
     // Time-series RESAMPLE + gap-fill + LOCF: per user, every day
     // from first to last activity — silent days materialized with
     // zero counts and the last observed max carried forward. The
@@ -499,6 +523,17 @@ object RelationalQueries {
                                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS win_n
          FROM events""",
+    "q_topk_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) r
+         WHERE rk <= 2""",
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) FROM part""",
     "q_resample" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
                     FROM events),

@@ -465,6 +465,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the per-source reduce shuffle:\n$p")
   }
 
+  test("q_topk_group: rank filter becomes a map-side WindowGroupLimit before the shuffle") {
+    val p = plan("q_topk_group")
+    // Spark 3.5's WindowGroupLimit: a per-group heap runs on the MAP
+    // side, so the window shuffle carries <= N rows per key per
+    // partition — the difference between shipping 2 rows and a
+    // customer's whole order history at 100 TB
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("q_unpivot: wide-to-long is a map-only Expand — zero shuffles") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"expected Expand:\n$p")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+  }
+
   test("q_setops: set ops plan as aggregates/joins, never a cartesian") {
     val p = plan("q_setops")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
