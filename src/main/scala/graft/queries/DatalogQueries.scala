@@ -239,6 +239,34 @@ object DatalogQueries {
         Pattern(V("u"), C("purchase_bucket"), V("b")),
         userId))),
 
+    // SCHEMA-AS-FACTS (reference schema.clj): the cardinality-many
+    // declaration lives IN the log as ordinary facts and the engine
+    // derives resolution from them — this db starts with NO configured
+    // cardMany; only the transacted [?e :unifydb/schema
+    // "purchase_bucket"] [?e :unifydb/cardinality "cardinality/many"]
+    // facts make every purchase bucket live. Oracle identical to
+    // dl_card_many: the schema-driven path must resolve exactly like
+    // the config-driven path.
+    "dl_schema" -> ((s, dir) => {
+      import graft.core.{FactStore, Schema}
+      val base = TestData.eventsDb(s, dir)
+      val se = 9100000001L
+      val sf = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(se, Schema.SchemaAttr, "s",
+            "purchase_bucket", null, null, null, null, 0L, true),
+          org.apache.spark.sql.Row(se, Schema.CardinalityAttr, "s",
+            Schema.CardinalityMany, null, null, null, null, 0L, true)),
+        FactStore.factSchema)
+      val db = Schema.applySchema(
+        base.copy(log = base.log.unionAll(sf), cardMany = Set.empty))
+      Compiler.run(Db(db), Query(
+        find = Seq(FVar(V("user_id"), "user_id"), FVar(V("b"), "bucket")),
+        where = And(
+          Pattern(V("u"), C("purchase_bucket"), V("b")),
+          userId)))(s)
+    }),
+
     // Flagship compound query: TPC-H Q5 expressed entirely in datalog —
     // deductive rule, graph ref-traversal, the same-nation constraint
     // Widened fn/pred registry (reference resolves any clojure.core fn,
@@ -505,6 +533,10 @@ object DatalogQueries {
            FROM events) t
          WHERE rn = 1""",
     "dl_card_many" ->
+      """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
+         FROM events WHERE event_type = 'purchase'""",
+    // schema-driven resolution must equal config-driven resolution
+    "dl_schema" ->
       """SELECT DISTINCT user_id, CAST(floor(value) AS BIGINT) AS bucket
          FROM events WHERE event_type = 'purchase'""",
     "dl_q5" ->
