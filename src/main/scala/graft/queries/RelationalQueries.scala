@@ -235,6 +235,22 @@ object RelationalQueries {
           count(lit(1)).over(w).as("win_n"))
     }),
 
+    // FULL OUTER join (the reconciliation shape): per-nation customer
+    // vs supplier counts where either side may be absent — the join
+    // family semi/anti don't cover. Aggregate-then-join: both inputs
+    // reduce before the join, so the outer join is key-cardinality
+    // sized, never row-sized.
+    "q_outer_join" -> ((s, dir) => {
+      val c = read(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val su = read(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full_outer")
+        .select(col("nk").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // Top-N per group (the "latest/k-best per key" shape): top-2
     // orders by price per customer. The rank filter compiles to
     // WindowGroupLimit — a MAP-SIDE per-group heap before the window
@@ -523,6 +539,15 @@ object RelationalQueries {
                                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS win_n
          FROM events""",
+    "q_outer_join" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey,
+                COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1) s
+           ON c.nk = s.nk""",
     "q_topk_group" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
