@@ -36,6 +36,20 @@ object Similarity {
     filtered.orderBy(col("cos").desc, col("id")).limit(k)
   }
 
+  /** Cosine RANGE search: every vector within `minCos` of the probe —
+    * the radius-query dual of [[topK]] (dedup wants "everything closer
+    * than τ", not "the 10 closest"). Map-only: one codegen'd cosine per
+    * row and a filter; no sort, no shuffle, output unbounded by design. */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  probe: Seq[Double], minCos: Double,
+                  excludeId: Option[Long] = None): DataFrame = {
+    val p = array(probe.map(lit): _*)
+    val scored = emb.select(col(idCol).as("id"),
+      round(cosine(col(vecCol), p), 6).as("cos"))
+    val filtered = excludeId.fold(scored)(x => scored.filter(col("id") =!= x))
+    filtered.filter(col("cos") >= minCos)
+  }
+
   /** IVF (inverted-file) approximate top-k: a deterministic k-means
     * coarse quantizer partitions the corpus into `nlist` cells; queries
     * scan only the `nprobe` cells nearest the probe, with exact

@@ -184,6 +184,12 @@ object PipelineQueries {
       Similarity.topK(emb(s, dir), "vec_id", "vec", probeVec(s, dir), 10,
         excludeId = Some(0L))),
 
+    // radius query: everything with cosine >= 0.2 of the probe —
+    // map-only scan+filter, the shape a near-dup radius pass uses
+    "sim_range" -> ((s, dir) =>
+      Similarity.rangeSearch(emb(s, dir), "vec_id", "vec", probeVec(s, dir),
+        minCos = 0.2, excludeId = Some(0L))),
+
     "sim_ann" -> ((s, dir) =>
       Similarity.annTopKIndexed(annIdx(s, dir), probeVec(s, dir), 10,
         excludeId = Some(0L))),
@@ -639,6 +645,12 @@ object PipelineQueries {
          SELECT vec_id AS id, round(list_cosine_similarity(v, pv), 6) AS cos
          FROM e, p WHERE vec_id <> 0
          ORDER BY cos DESC, id LIMIT 10""",
+    "sim_range" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+         SELECT vec_id AS id, round(list_cosine_similarity(v, pv), 6) AS cos
+         FROM e, p WHERE vec_id <> 0
+           AND round(list_cosine_similarity(v, pv), 6) >= 0.2""",
     "text_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS ws_tokens,
                  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
