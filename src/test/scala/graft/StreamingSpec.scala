@@ -152,6 +152,20 @@ class StreamingSpec extends SparkSpec {
       .select("event_id", "segment_str").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "bronze", 2L -> "gold"))
+    // time-travel pin: the SAME stream enriched asOf tx 1 must see
+    // bronze for every batch, even though HEAD says gold
+    val input2 = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q2 = FactStream.enrichWithFactLog(
+      input2.toDF().toDF("event_id", "ts", "user_id"), s"$dir/log", "segment",
+      userBase = 100L, outPath = s"$dir/out2", checkpoint = s"$dir/ckpt2",
+      asOfTx = 1L)
+    input2.addData((3L, t(3), 7L))
+    q2.processAllAvailable()
+    q2.stop()
+    val pinned = spark.read.parquet(s"$dir/out2")
+      .select("event_id", "segment_str").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pinned === Map(3L -> "bronze"))
   }
 
   test("streaming ingestion lands in the durable fact-log layout and is queryable") {
