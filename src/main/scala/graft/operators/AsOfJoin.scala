@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
   /** @param right must share `key` + `timeCol` names with `left` and
     *              carry `valueCols` (+ `tieBreak`); `valueCols` get
-    *              prefixed `asof_` in the output. */
+    *              prefixed `asof_` in the output.
+    * @param tolerance max staleness (same unit as `timeCol`): a match
+    *              older than `left.time - tolerance` is nulled out
+    *              (pandas merge_asof tolerance semantics — the left
+    *              row survives with NULL asof values). None = match at
+    *              any age. Tolerance costs nothing extra: the matched
+    *              right TIME rides the same window carry. */
   def leftAsOf(left: DataFrame, right: DataFrame, key: String,
                timeCol: String, valueCols: Seq[String],
-               tieBreak: String): DataFrame = {
+               tieBreak: String, tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val taggedLeft = left
       .withColumn("__side", lit(1))
@@ -33,6 +39,7 @@ object AsOfJoin {
         (valueCols :+ tieBreak).distinct.map(col)): _*)
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(tieBreak).cast("long"))
+      .withColumn("__rt", col(timeCol))
     val taggedRight = valueCols.foldLeft(
       if (valueCols.contains(tieBreak)) base else base.drop(tieBreak)
     ) { (df, c) => df.withColumnRenamed(c, s"asof_$c") }
@@ -43,8 +50,16 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
+    val carried0 = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    val carried = tolerance match {
+      case None => carried0
+      case Some(tol) =>
+        val fresh = col(timeCol) - last(col("__rt"), ignoreNulls = true).over(w) <= tol
+        valueCols.foldLeft(carried0) { (df, c) =>
+          df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+        }
     }
     carried.filter(col("__side") === 1)
       .select((leftCols ++ valueCols.map(c => s"asof_$c")).map(col): _*)

@@ -381,6 +381,25 @@ object RelationalQueries {
           expr("asof_signup_ns div 1000").as("signup_us"))
     }),
 
+    // As-of with a max-staleness TOLERANCE (pandas merge_asof
+    // semantics): a signup older than 7 days nulls out, the purchase
+    // row survives. Same single-shuffle union+window merge — the
+    // matched right time rides the same carry.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ns"), col("ts_ns").as("signup_ns"),
+          col("event_id").as("signup_id"))
+      AsOfJoin.leftAsOf(purchases, signups, key = "user_id",
+          timeCol = "ts_ns", valueCols = Seq("signup_ns"), tieBreak = "signup_id",
+          tolerance = Some(7L * 86400 * 1000 * 1000 * 1000))
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          expr("asof_signup_ns div 1000").as("signup_us"))
+    }),
+
     // For each error event: # of click events within ±5 minutes
     // (banded interval join; oracle = inequality join in DuckDB).
     "q_range_join" -> ((s, dir) => {
@@ -608,6 +627,13 @@ object RelationalQueries {
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
                 epoch_us(s.ts) AS signup_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id AND p.ts >= s.ts""",
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 604800000000
+                     THEN epoch_us(s.ts) END AS signup_us
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            ON p.user_id = s.user_id AND p.ts >= s.ts""",
