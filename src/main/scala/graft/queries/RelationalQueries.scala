@@ -235,6 +235,21 @@ object RelationalQueries {
           count(lit(1)).over(w).as("win_n"))
     }),
 
+    // Quantile bucketing (NTILE): per event type, assign each event to
+    // its value quartile — the binning step calibration/stratification
+    // pipelines run. Total order (value, event_id) keeps bucket edges
+    // engine-deterministic.
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("event_type"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+    }),
+
     // FULL OUTER join (the reconciliation shape): per-nation customer
     // vs supplier counts where either side may be absent — the join
     // family semi/anti don't cover. Aggregate-then-join: both inputs
@@ -558,6 +573,14 @@ object RelationalQueries {
                                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                   AS win_n
          FROM events""",
+    "q_ntile" ->
+      """SELECT event_type, quartile, COUNT(*) AS n,
+                round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+         FROM (SELECT event_type, value,
+                      ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS quartile
+               FROM events) t
+         GROUP BY 1, 2""",
     "q_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk) AS nationkey,
                 COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
