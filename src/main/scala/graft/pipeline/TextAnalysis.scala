@@ -282,17 +282,20 @@ object TextAnalysis {
     val tk = docs.select(split(lower(trim(col("text"))), "\\s+").as("tk"))
     val uni = tk.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val tot = tk.select(size(col("tk")).cast("long").as("n"))
-      .agg(sum(col("n")).as("ntok"))
+    // totals COUNT the exploded streams rather than summing size(tk):
+    // size(NULL) is -1 in Spark but len(NULL) is NULL in DuckDB — a
+    // null-text doc would silently skew a size-sum on one engine only
+    // (the adversarial-null divergence class of the SURVEY audit);
+    // explode and unnest agree: null array → no rows.
+    val tot = tk.select(explode(col("tk")).as("w")).agg(count(lit(1)).as("ntok"))
     val withPairs = tk.filter(size(col("tk")) >= 2)
-    val big = withPairs
+    val pairs = withPairs
       .select(explode(transform(sequence(lit(0), size(col("tk")) - 2),
         i => struct(element_at(col("tk"), i + 1).as("w1"),
           element_at(col("tk"), i + 2).as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
-    val nb = withPairs.select((size(col("tk")) - 1).cast("long").as("n"))
-      .agg(sum(col("n")).as("nbig"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val nb = pairs.agg(count(lit(1)).as("nbig"))
     big.filter(col("cxy") >= minCount)
       .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
@@ -330,7 +333,11 @@ object TextAnalysis {
     // the data.
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     docs
-      .select(col("source"), reTokens(col("text")).cast("long").as("nt"))
+      // null text → null count (NOT size()'s -1), so the token sum
+      // skips it on both engines (the adversarial-null class)
+      .select(col("source"),
+        when(col("text").isNotNull, reTokens(col("text")))
+          .cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
       .withColumn("tt", sum(col("tokens")).over(w))

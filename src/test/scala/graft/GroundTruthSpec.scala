@@ -516,6 +516,23 @@ class GroundTruthSpec extends SparkSpec {
     assert(core1(5L) === 6L && core1(12L) === 1L && core1.size === 9)
   }
 
+  test("collocations and temperatureMix ignore null-text docs (no size(-1) skew)") {
+    val docs = Seq(
+      (1L, "a b a b a b", "s1"), (2L, "a b a b a b", "s1"),
+      (3L, null.asInstanceOf[String], "s1"), (4L, "c d", "s2")
+    ).toDF("doc_id", "text", "source")
+    val withNull = TextAnalysis.collocations(docs, minCount = 2, topK = 10).collect()
+    val withoutNull = TextAnalysis.collocations(
+      docs.filter(col("text").isNotNull), minCount = 2, topK = 10).collect()
+    // a null-text doc must not perturb counts or PMI totals at all
+    assert(withNull.map(_.toString).sorted.toSeq ===
+      withoutNull.map(_.toString).sorted.toSeq)
+    val mix = TextAnalysis.temperatureMix(docs, budgetTokens = 1000)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the null doc is COUNTED as a doc but contributes zero tokens
+    assert(mix("s1") === ((3L, 12L)) && mix("s2") === ((1L, 2L)))
+  }
+
   test("kmeansAssign separates planted vocabulary clusters on normalized hash embeddings") {
     val fruit = (0 until 30).map(i =>
       (i.toLong, s"apple banana cherry fruit orchard harvest sweet ripe grove $i"))
