@@ -206,7 +206,9 @@ object Multimodal {
       rows.flatMap { r =>
         val docId = r.getAs[Long]("doc_id")
         val bytes = r.getAs[Array[Byte]]("media")
-        val nSamples = bytes.length / 2
+        // null payload (e.g. a null-text doc through asBinary) = zero
+        // windows, not a task-killing NPE
+        val nSamples = if (bytes == null) 0 else bytes.length / 2
         (0 until nSamples by winSamples).iterator.map { start =>
           val end = math.min(start + winSamples, nSamples)
           var i = start

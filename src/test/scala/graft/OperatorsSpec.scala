@@ -91,6 +91,11 @@ class OperatorsSpec extends SparkSpec {
       (3L, pcm((0 until 512).map(i => if (i % 2 == 0) half else -half))), // alternating
       (4L, pcm(Seq.fill(100)(half)))                                // short tail window
     ).toDF("doc_id", "media")
+    val rowsWithNull = Multimodal.audioFeatures(
+      media.unionAll(Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "media")),
+      winSamples = 256).collect()
+    // a null payload yields zero windows, not an NPE
+    assert(!rowsWithNull.exists(_.getLong(0) == 9L))
     val rows = Multimodal.audioFeatures(media, winSamples = 256).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getDouble(3), r.getInt(4))))
       .toMap
