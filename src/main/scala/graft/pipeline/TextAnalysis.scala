@@ -144,6 +144,28 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** MODEL-based quality gate (the fasttext-classifier shape): a
+    * linear model over the hashed bag-of-words, applied at corpus
+    * scale with NO UDF — score = sigmoid(Σ cnt·w(dim) / Σ cnt), i.e. a
+    * length-normalized dot product against a weight vector. Weights
+    * here are md5-derived stand-ins (deterministic, oracle-shared);
+    * a trained model drops its real weights into the same dim-keyed
+    * join shape (broadcast — the weight relation is `dims` rows).
+    * Cost = the hashVectors reduce + one per-doc reduce; the gate
+    * comparison rides the ROUNDED score so the keep set is
+    * engine-deterministic. */
+  def qualityModelGate(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val w = (conv(substring(md5(col("dim").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)) * 2.0 - 1.0
+    val score = round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6)
+    hashVectors(docs, dims)
+      .withColumn("w", w)
+      .groupBy(col("doc_id"))
+      .agg((sum(col("cnt") * col("w")) / sum(col("cnt"))).as("raw"))
+      .select(col("doc_id"), score.as("model_score"),
+        (score >= 0.5).as("keep"))
+  }
+
   /** [[hashVectors]] folded into a DENSE fixed-width embedding column
     * (doc_id, vec: array<double>) — the hashing-trick document vector
     * that feeds the similarity/ANN stages when no learned embedding

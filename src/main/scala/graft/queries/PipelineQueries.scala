@@ -273,6 +273,11 @@ object PipelineQueries {
     // shuffle) → char-pair explode over vocab only → weighted counts.
     "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(docs(s, dir), topK = 100)),
 
+    // model-based quality gate: linear scorer over the hashed
+    // bag-of-words (fasttext shape), md5 stand-in weights; no UDF.
+    "text_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityModelGate(docs(s, dir), dims = 64)),
+
     // PMI-ranked adjacent-bigram collocations: phrase discovery over
     // the reduced vocab/bigram relations, never the raw token stream.
     "text_collocations" -> ((s, dir) =>
@@ -779,6 +784,24 @@ object PipelineQueries {
                 len(toks[(i*48 + 1):(i*48 + 64)]) AS n_tokens,
                 array_to_string(toks[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
          FROM w WHERE len(toks[(i*48 + 1):(i*48 + 64)]) > 0""",
+    // sigmoid of a length-normalized hashed-BoW dot product; weights
+    // md5-derived with the exact expression shape Spark uses
+    "text_quality_model" ->
+      """WITH hv AS (SELECT doc_id,
+                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                            count(*) AS cnt
+                     FROM (SELECT doc_id,
+                                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                           FROM documents) t
+                     GROUP BY 1, 2),
+              sc AS (SELECT doc_id,
+                            SUM(cnt * ((('0x' || substr(md5(CAST(dim AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+                                        / 4294967296.0) * 2.0 - 1.0))
+                            / SUM(cnt) AS raw
+                     FROM hv GROUP BY 1)
+         SELECT doc_id, round(1.0 / (1.0 + exp(-raw)), 6) AS model_score,
+                round(1.0 / (1.0 + exp(-raw)), 6) >= 0.5 AS keep
+         FROM sc""",
     "text_hashvec" ->
       """SELECT doc_id,
                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
