@@ -319,11 +319,11 @@ object Compiler {
     * per-frame rule re-application (query.clj:260-274), which re-enters
     * the interpreter once per candidate frame.
     */
-  /** Rules whose materialization is currently on the call stack —
-    * detects mutual recursion (rule cycles spanning >1 name), which
-    * neither the semi-naive fixpoint here nor the reference interpreter
-    * terminates on. Self-recursion never re-enters (the fixpoint binds
-    * the rule's own name to the delta in the cache). Thread-local:
+  /** Rules whose materialization is currently on the call stack — a
+    * re-entry here is an internal error: mutual-recursion cycles are
+    * detected up front ([[ruleGroup]]) and run as ONE simultaneous
+    * fixpoint, during which every group member is pre-bound in the
+    * cache, so the RuleApp path never recurses back in. Thread-local:
     * compilation is single-threaded per query. */
   private val materializing = new ThreadLocal[collection.mutable.Set[String]] {
     override def initialValue(): collection.mutable.Set[String] =
@@ -334,10 +334,27 @@ object Compiler {
                            cache: collection.mutable.Map[String, DataFrame])
                           (implicit spark: SparkSession): DataFrame = {
     require(materializing.get.add(name),
-      s"mutually recursive rules involving '$name' are not supported; " +
-        "fold the cycle into one self-recursive rule")
+      s"internal: unexpected rule re-entry on '$name'")
     try ruleRelationImpl(db, name, rules, cache)
     finally materializing.get.remove(name)
+  }
+
+  /** The mutual-recursion GROUP containing `name`: the strongly
+    * connected component of the rule-reference graph. Size 1 = plain
+    * self- or non-recursion (the common case). */
+  private def ruleGroup(name: String, rules: Map[String, Seq[Rule]]): Set[String] = {
+    def deps(n: String): Set[String] =
+      rules.get(n).fold(Set.empty[String])(ds => ruleDeps(ds.map(_.body)))
+    def reach(start: String): Set[String] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(deps) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val fwd = reach(name)
+    fwd.filter(m => reach(m).contains(name)) + name
   }
 
   private def ruleRelationImpl(db: Db, name: String, rules: Map[String, Seq[Rule]],
@@ -345,6 +362,22 @@ object Compiler {
                               (implicit spark: SparkSession): DataFrame = {
     val defs = rules.getOrElse(name,
       throw new IllegalArgumentException(s"unknown rule $name"))
+    val group = ruleGroup(name, rules)
+    if (group.size > 1) {
+      // mutually recursive cycle: ONE simultaneous fixpoint computes
+      // every member; each member's relation is cached under its own
+      // key so siblings (and later queries) reuse without rebuilding
+      val groupSeq = group.toSeq.sorted
+      val depDefs = (groupSeq.flatMap(n =>
+          ruleDepsTransitive(rules(n).map(_.body), rules)).toSet ++ group)
+        .toSeq.sorted.flatMap(n => rules.getOrElse(n, Nil))
+      def keyFor(n: String) = (spark, db, s"group:${groupSeq.mkString(",")}:$n", depDefs)
+      return fixpointCached(keyFor(name), {
+        val totals = groupFixpoint(db, groupSeq, rules, cache)
+        groupSeq.filter(_ != name).foreach(m => fixpointPut(keyFor(m), totals(m)))
+        totals(name)
+      })
+    }
     val params = defs.head.params.map(_.name)
     val (recDefs, baseDefs) = defs.partition(d => referencesRule(d.body, name))
 
@@ -428,6 +461,137 @@ object Compiler {
       total
     })
   }
+
+  /** Simultaneous fixpoint over a mutually recursive rule group —
+    * the stratum-level evaluation classic Datalog engines run (and the
+    * reference interpreter cannot: its per-frame re-entry diverges on
+    * rule cycles). Each member keeps its own total/delta; per round:
+    *  - a body with exactly ONE group reference runs SEMI-NAIVE (that
+    *    reference bound to the member's last delta — skipped entirely
+    *    when the delta is empty);
+    *  - a body with ≥2 group references (rare) runs naive against the
+    *    members' full totals — still convergent, since anti-joins keep
+    *    only new tuples;
+    *  - all new deltas anti-join their member's total; the round's
+    *    deltas land together, so derivations can ping-pong between
+    *    members (a→b→a) one round per hop.
+    * Totals stay union trees of checkpointed deltas (the frontier
+    * discipline every iterative operator here shares); rounds = the
+    * longest derivation chain through the cycle. Negated references
+    * INTO the cycle are rejected: non-stratified negation has no
+    * well-defined fixpoint semantics. */
+  private def groupFixpoint(db: Db, group: Seq[String], rules: Map[String, Seq[Rule]],
+                            cache: collection.mutable.Map[String, DataFrame])
+                           (implicit spark: SparkSession): Map[String, DataFrame] = {
+    val groupSet = group.toSet
+    def refs(c: Clause): Int = c match {
+      case RuleApp(n, _*) => if (groupSet(n)) 1 else 0
+      case And(cs @ _*) => cs.map(refs).sum
+      case Or(cs @ _*) => cs.map(refs).sum
+      case Not(n) => refs(n)
+      case _ => 0
+    }
+    def negRefs(c: Clause, underNot: Boolean = false): Boolean = c match {
+      case RuleApp(n, _*) => underNot && groupSet(n)
+      case And(cs @ _*) => cs.exists(negRefs(_, underNot))
+      case Or(cs @ _*) => cs.exists(negRefs(_, underNot))
+      case Not(n) => negRefs(n, underNot = true)
+      case _ => false
+    }
+    group.foreach(n => rules(n).foreach(d =>
+      require(!negRefs(d.body),
+        s"rule $n negates a member of its own recursion cycle " +
+          s"(${group.mkString(", ")}): non-stratified negation is not supported")))
+    val paramsOf = group.map(n => n -> rules(n).head.params.map(_.name)).toMap
+    // materialize non-group sibling deps once (shared with the
+    // single-rule fixpoint's discipline)
+    group.foreach { n =>
+      ruleDeps(rules(n).map(_.body)).diff(groupSet)
+        .filter(m => rules.contains(m) && rules(m).exists(d => hasPattern(d.body)))
+        .foreach { m =>
+          val rel = cache.getOrElseUpdate(m, ruleRelation(db, m, rules, cache))
+          cache(m) = rel.localCheckpoint(eager = true)
+        }
+    }
+    def evalBound(n: String, d: Rule, bindings: Map[String, DataFrame]): DataFrame = {
+      val saved = bindings.keys.map(k => k -> cache.get(k)).toMap
+      bindings.foreach { case (k, v) => cache(k) = v }
+      try {
+        val body = eval(db, d.body, rules, cache, None)
+          .getOrElse(throw new IllegalArgumentException(s"rule $n body binds nothing"))
+        body.select(d.params.map(p => col(p.name)): _*).distinct()
+      } finally saved.foreach {
+        case (k, Some(v)) => cache(k) = v
+        case (k, None) => cache.remove(k): Unit
+      }
+    }
+    def union(parts: Seq[DataFrame]): DataFrame =
+      if (parts.size == 1) parts.head else parts.reduce(_ unionAll _).distinct()
+    val parts = group.map(n => n -> collection.mutable.ArrayBuffer.empty[DataFrame]).toMap
+    def totalOf(n: String): Option[DataFrame] =
+      if (parts(n).isEmpty) None else Some(parts(n).reduce(_ unionAll _))
+    // round 0: base definitions (no group references)
+    var deltas: Map[String, Option[DataFrame]] = group.map { n =>
+      val bases = rules(n).filter(d => refs(d.body) == 0)
+      if (bases.isEmpty) n -> None
+      else {
+        val d0 = union(bases.map(evalBound(n, _, Map.empty))).localCheckpoint(true)
+        parts(n) += d0
+        n -> Some(d0)
+      }
+    }.toMap
+    require(deltas.values.exists(_.isDefined),
+      s"mutually recursive group ${group.mkString(", ")} needs at least one base case")
+    var active = deltas.map { case (n, od) => n -> od.fold(0L)(_.count()) }
+    var i = 0
+    val maxIter = 100
+    while (active.values.sum > 0 && i < maxIter) {
+      i += 1
+      val next = group.map { n =>
+        val expandedParts = rules(n).filter(d => refs(d.body) > 0).flatMap { d =>
+          val names = ruleDeps(Seq(d.body)).intersect(groupSet)
+          if (refs(d.body) == 1) {
+            val m = names.head
+            deltas(m) match {
+              case Some(dm) if active(m) > 0 => Seq(evalBound(n, d, Map(m -> dm)))
+              case _ => Nil
+            }
+          } else {
+            val binds = names.toSeq.flatMap(m => totalOf(m).map(m -> _)).toMap
+            // a referenced member with no tuples yet cannot satisfy the
+            // body — skip this round, re-tried once it derives some
+            if (binds.size < names.size) Nil else Seq(evalBound(n, d, binds))
+          }
+        }
+        if (expandedParts.isEmpty) n -> None
+        else {
+          val expanded = union(expandedParts)
+          val nd = totalOf(n) match {
+            case Some(t) => expanded.join(t, joinCond(expanded, t, paramsOf(n)), "left_anti")
+            case None => expanded
+          }
+          n -> Some(nd.localCheckpoint(eager = true))
+        }
+      }.toMap
+      active = next.map { case (n, od) => n -> od.fold(0L)(_.count()) }
+      next.foreach { case (n, od) => if (active(n) > 0) parts(n) += od.get }
+      deltas = next
+    }
+    require(active.values.sum == 0,
+      s"mutually recursive group ${group.mkString(", ")} did not reach fixpoint in $maxIter rounds")
+    group.map { n =>
+      n -> totalOf(n).getOrElse(throw new IllegalArgumentException(
+        s"rule $n derives no tuples: in a mutual-recursion group every member " +
+          "must be reachable from some base case"))
+    }.toMap
+  }
+
+  /** Store a prebuilt relation under a fixpoint-cache key (the sibling
+    * publications of a group fixpoint). */
+  private def fixpointPut(key: (SparkSession, Db, String, Seq[Rule]),
+                          rel: DataFrame): Unit =
+    fixpointCache.synchronized(fixpointCache.put(key,
+      (rel, org.apache.spark.sql.graft.Bridge.checkpointRddIds(rel)))): Unit
 
   /** Cross-query cache of materialized recursive-rule relations (e.g.
     * `anc` rebuilt per query in a session was SURVEY §7's round-3

@@ -193,6 +193,29 @@ object DatalogQueries {
           RuleApp("anc", V("mid"), V("ay"))))),
       sortBy = Seq(SortKey("child"), SortKey("anc")))),
 
+    // MUTUALLY recursive rules (odd/even ancestor parity over the
+    // nation parent tree) — the rule-cycle form the reference
+    // interpreter diverges on; graft runs the cycle as ONE
+    // simultaneous semi-naive fixpoint (Compiler.groupFixpoint).
+    "dl_rule_mutual" -> q(static, Query(
+      find = Seq(FVar(V("x"), "child"), FVar(V("y"), "odd_anc")),
+      where = RuleApp("odd", V("x"), V("y")),
+      rules = Seq(
+        Rule("parent", Seq(V("px"), V("py")), And(
+          Pattern(V("xe"), C("n_nationkey"), V("px")),
+          Pred(">", V("px"), C(0)),
+          FnBind("-", V("pxm1"), V("px"), C(1L)),
+          FnBind("idiv", V("py"), V("pxm1"), C(2L)),
+          Pattern(V("ye"), C("n_nationkey"), V("py")))),
+        Rule("odd", Seq(V("ox"), V("oy")), RuleApp("parent", V("ox"), V("oy"))),
+        Rule("odd", Seq(V("ox"), V("oy")), And(
+          RuleApp("even", V("ox"), V("om")),
+          RuleApp("parent", V("om"), V("oy")))),
+        Rule("even", Seq(V("ex"), V("ey")), And(
+          RuleApp("odd", V("ex"), V("em")),
+          RuleApp("parent", V("em"), V("ey"))))),
+      sortBy = Seq(SortKey("child"), SortKey("odd_anc")))),
+
     "dl_asof" -> q((s, dir) => Db(TestData.eventsDb(s, dir), asOf = TestData.TxBase + 3000),
       Query(
         find = Seq(FVar(V("user_id"), "user_id"), FVar(V("v"), "last_value")),
@@ -504,6 +527,18 @@ object DatalogQueries {
            SELECT p.x, a.y FROM parent p JOIN anc a ON p.y = a.x
          )
          SELECT x AS child, y AS anc FROM anc ORDER BY child, anc""",
+    // ancestors at ODD depth via a depth-carrying recursive closure
+    "dl_rule_mutual" ->
+      """WITH RECURSIVE parent AS (
+           SELECT n_nationkey AS x, CAST(floor((n_nationkey - 1) / 2.0) AS BIGINT) AS y
+           FROM nation WHERE n_nationkey > 0
+         ), anc AS (
+           SELECT x, y, 1 AS d FROM parent
+           UNION
+           SELECT p.x, a.y, a.d + 1 FROM parent p JOIN anc a ON p.y = a.x
+         )
+         SELECT DISTINCT x AS child, y AS odd_anc FROM anc WHERE d % 2 = 1
+         ORDER BY child, odd_anc""",
     "dl_asof" ->
       """SELECT user_id, value AS last_value FROM (
            SELECT user_id, value,

@@ -251,7 +251,45 @@ class CompilerSpec extends SparkSpec {
     assert(closure("mother") === 1) // 20->29
   }
 
-  test("mutually recursive rules fail with a clear error, not divergence") {
+  test("mutually recursive rules: even/odd distance over a chain resolves exactly") {
+    // chain edges i -> i+1 over salaries encoding: use the employees db's
+    // numeric facts? Build a dedicated tiny fact db: edge(i, i+1), i<6
+    val rows = (0L until 6L).map(i => org.apache.spark.sql.Row(
+      100L + i, "next", "r", null, null, null, null, 100L + i + 1, 1L, true))
+    val facts = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), graft.core.FactStore.factSchema)
+    val db = Compiler.Db(graft.core.FactDb(facts, Map("next" -> "vref"), versioned = false))
+    // even(x,y): reachable in an EVEN number of next-hops (incl. 0 via
+    // the base x=x? keep simple: even = 2 hops from odd, odd = 1 hop
+    // base or odd-from-even) — the classic mutually recursive pair:
+    //   odd(x,y)  :- next(x,y).
+    //   odd(x,y)  :- even(x,m), next(m,y).
+    //   even(x,y) :- odd(x,m), next(m,y).
+    val rules = Seq(
+      Rule("odd", Seq(V("x"), V("y")), Pattern(V("x"), C("next"), V("y"))),
+      Rule("odd", Seq(V("x"), V("y")), And(
+        RuleApp("even", V("x"), V("m")),
+        Pattern(V("m"), C("next"), V("y")))),
+      Rule("even", Seq(V("x"), V("y")), And(
+        RuleApp("odd", V("x"), V("m")),
+        Pattern(V("m"), C("next"), V("y")))))
+    val odd = Compiler.run(db, Query(
+      find = Seq(FVar(V("x"), "x"), FVar(V("y"), "y")),
+      where = RuleApp("odd", V("x"), V("y")), rules = rules))(spark)
+      .collect().map(r => (r.getLong(0) - 100, r.getLong(1) - 100)).toSet
+    val even = Compiler.run(db, Query(
+      find = Seq(FVar(V("x"), "x"), FVar(V("y"), "y")),
+      where = RuleApp("even", V("x"), V("y")), rules = rules))(spark)
+      .collect().map(r => (r.getLong(0) - 100, r.getLong(1) - 100)).toSet
+    val expectOdd = (for (i <- 0L to 6L; j <- 0L to 6L
+      if j > i && (j - i) % 2 == 1) yield (i, j)).toSet
+    val expectEven = (for (i <- 0L to 6L; j <- 0L to 6L
+      if j > i && (j - i) % 2 == 0 && j != i) yield (i, j)).toSet
+    assert(odd === expectOdd)
+    assert(even === expectEven)
+  }
+
+  test("mutual recursion rejects non-stratified negation with a clear error") {
     val db = Compiler.Db(graft.core.TestData.eventsDb(spark, "/root/testdata/sf0.001"))
     val err = intercept[IllegalArgumentException] {
       Compiler.run(db, Query(
@@ -259,11 +297,12 @@ class CompilerSpec extends SparkSpec {
         where = RuleApp("a", V("x"), V("y")),
         rules = Seq(
           Rule("a", Seq(V("p"), V("q")), Pattern(V("p"), C("last_value"), V("q"))),
-          Rule("a", Seq(V("p"), V("q")), RuleApp("b", V("p"), V("q"))),
-          Rule("b", Seq(V("p"), V("q")), Pattern(V("p"), C("last_type"), V("q"))),
+          Rule("a", Seq(V("p"), V("q")), And(
+            RuleApp("b", V("p"), V("q")),
+            Not(RuleApp("b", V("q"), V("p"))))),
           Rule("b", Seq(V("p"), V("q")), RuleApp("a", V("p"), V("q"))))))(spark)
     }
-    assert(err.getMessage.contains("mutually recursive"))
+    assert(err.getMessage.contains("non-stratified negation"))
   }
 
   test("recursive rule terminates on a cyclic graph (closure of a 3-cycle)") {
