@@ -13,11 +13,13 @@ object Bench {
     // so a future loader/encoding break also shows up as a perf hole)
     "q_sessionize", "q_pivot", "q_percentile", "q_resample",
     "q_window_range", "q_skew_join",
-    "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_asof", "dl_asof_bucketed",
+    "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_rule_mutual",
+    "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "mm_audio",
     "text_quality", "text_tfidf", "text_collocations", "pipeline_pack", "pipeline_e2e",
-    "graph_reach", "graph_pagerank", "graph_cc", "graph_scc")
+    "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",
+    "graph_kcore", "graph_temporal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
