@@ -229,6 +229,82 @@ object GraphOps {
       .filter(col("deg") >= k)
   }
 
+  /** Full transitive closure of a directed edge set (semi-naive:
+    * delta ⋈ edges per round, frontier-only checkpoints). The batch
+    * baseline [[closureDelta]] maintains incrementally. */
+  def transitiveClosure(edgeDf: DataFrame, maxIter: Int = 50)
+                       (implicit spark: SparkSession): DataFrame = {
+    val edges = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var delta = edges
+    val parts = collection.mutable.ArrayBuffer(delta)
+    def total = parts.reduce(_ unionAll _)
+    val e2 = edges.select(col("src").as("mid"), col("dst").as("to"))
+    var i = 0
+    while (!delta.isEmpty && i < maxIter) {
+      i += 1
+      val next = delta.join(e2, delta("dst") === e2("mid"))
+        .select(delta("src"), e2("to").as("dst")).distinct()
+      delta = next.join(total, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      if (!delta.isEmpty) parts += delta
+    }
+    require(i < maxIter || delta.isEmpty,
+      s"transitiveClosure did not converge in $maxIter rounds")
+    total.distinct()
+  }
+
+  /** INCREMENTAL transitive-closure maintenance: given the closure C of
+    * an edge set and a batch of NEW edges Δ, returns the closure of
+    * E ∪ Δ while deriving only the new pairs — work is Δ-path-sized,
+    * never a recompute. Every new reachability path decomposes into
+    * old-closure segments stitched by new edges, so:
+    *   N₀ = (C ∪ I) ∘ Δ ∘ (C ∪ I)   (paths through exactly one new edge)
+    *   N  = fixpoint of N ∘ N₀       (… through several, one per round)
+    * This is incremental view maintenance for the recursive reach
+    * relation — the streaming fact log keeps a queryable closure
+    * sidecar current per micro-batch (FactStream.ingestEdgesWithClosure)
+    * instead of re-running the O(E) fixpoint each time. */
+  def closureDelta(closure: DataFrame, newEdges: DataFrame, maxIter: Int = 50)
+                  (implicit spark: SparkSession): DataFrame = {
+    // fresh output attributes per union branch: self-derived branches
+    // otherwise share expression ids and trip Union constraint rewrites
+    def fresh(df: DataFrame): DataFrame =
+      df.select(col("src").as("src"), col("dst").as("dst"))
+    val c = closure.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val d = newEdges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    // (C ∪ I) on each side of Δ: left-extend by sources reaching src,
+    // right-extend by nodes dst reaches
+    val leftExt = fresh(d).unionAll(
+        c.as("c").join(d.as("d"), col("c.dst") === col("d.src"))
+          .select(col("c.src").as("src"), col("d.dst").as("dst")))
+      .distinct()
+    val n0 = fresh(leftExt).unionAll(
+        leftExt.as("l").join(c.as("c2"), col("l.dst") === col("c2.src"))
+          .select(col("l.src").as("src"), col("c2.dst").as("dst")))
+      .distinct()
+      .join(c, Seq("src", "dst"), "left_anti")
+      .localCheckpoint(true)
+    val parts = collection.mutable.ArrayBuffer(c.localCheckpoint(true))
+    def total = parts.map(fresh).reduce(_ unionAll _)
+    var delta = n0
+    // stitch step reuses the one-new-edge paths; renamed columns keep
+    // the round-1 self-join (delta IS n0) unambiguous
+    val n0k = n0.select(col("src").as("b_src"), col("dst").as("b_dst"))
+    var i = 0
+    while (!delta.isEmpty && i < maxIter) {
+      i += 1
+      parts += delta
+      val next = delta.join(n0k, col("dst") === col("b_src"))
+        .select(col("src"), col("b_dst").as("dst")).distinct()
+      delta = next.join(total, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+    }
+    require(delta.isEmpty, s"closureDelta did not converge in $maxIter rounds")
+    total.distinct()
+  }
+
   /** Strongly connected components of a DIRECTED edge set, fully
     * DataFrame-native (trim + forward-min-label coloring + backward
     * collection — the FW-BW-Trim family, Hong et al. 2013 / Orzan's

@@ -111,6 +111,44 @@ object FactStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** INCREMENTAL VIEW MAINTENANCE of the reachability closure over a
+    * LIVE edge stream: each micro-batch folds its new edges into the
+    * persisted closure with GraphOps.closureDelta — work per batch is
+    * Δ-path-sized, never the O(E) refixpoint — and publishes the new
+    * version under `path/v<batch>` with an atomic pointer write (the
+    * versioned-sidecar discipline the ANN indexes use): readers always
+    * see a complete, consistent closure. Single-writer foreachBatch;
+    * the closure is the recursive `reach` rule kept current as facts
+    * arrive — the materialized-deductive-view surface the reference's
+    * interpreter re-derives per query. */
+  def ingestEdgesWithClosure(edges: DataFrame, path: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        implicit val sp: SparkSession = spark
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+        val prev: DataFrame =
+          if (fs.exists(ptr)) {
+            val v = {
+              val in = fs.open(ptr)
+              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+            }
+            spark.read.parquet(s"$path/$v")
+          } else batch.sparkSession.emptyDataFrame
+            .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
+        val next = graft.graph.GraphOps.closureDelta(prev,
+          batch.select(col("src"), col("dst")))
+        next.write.mode("overwrite").parquet(s"$path/v$batchId")
+        val out = fs.create(ptr, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Continuous ingestion into the durable fact-log layout
     * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
     * each micro-batch lands as new files inside the attribute

@@ -557,6 +557,27 @@ class GroundTruthSpec extends SparkSpec {
     assert(again === assigned)
   }
 
+  test("closureDelta maintains the exact transitive closure across edge increments") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // increments that exercise every stitch shape: extending a chain,
+    // bridging two components, creating a cycle
+    val e1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val e2 = Seq((3L, 10L)).toDF("src", "dst")            // bridge: 1..3 -> 10,11
+    val e3 = Seq((11L, 1L), (20L, 21L)).toDF("src", "dst") // cycle + island
+    val c1 = GraphOps.transitiveClosure(e1)(spark)
+    assert(pairs(c1) === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val c2 = GraphOps.closureDelta(c1, e2)(spark)
+    assert(pairs(c2) === pairs(GraphOps.transitiveClosure(e1.unionAll(e2))(spark)))
+    val c3 = GraphOps.closureDelta(c2, e3)(spark)
+    val full = GraphOps.transitiveClosure(e1.unionAll(e2).unionAll(e3))(spark)
+    assert(pairs(c3) === pairs(full))
+    // the cycle makes everything in it reach everything else (incl. self)
+    assert(pairs(c3).contains((1L, 1L)) && pairs(c3).contains((11L, 3L)))
+    // from an EMPTY closure, a delta is just a full closure build
+    assert(pairs(GraphOps.closureDelta(c1.limit(0), e1)(spark)) === pairs(c1))
+  }
+
   test("scc resolves planted cycles, nested condensation, and tendrils exactly") {
     // two 3-cycles bridged by a DAG edge, plus a tendril into the first:
     // SCCs {1,2,3} (label 1), {4,5,6} (label 4), {7} — the bridge 3->4

@@ -168,6 +168,29 @@ class StreamingSpec extends SparkSpec {
     assert(pinned === Map(3L -> "bronze"))
   }
 
+  test("stream_closure: reachability closure maintained incrementally per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-closure").toString
+    val input = MemoryStream[(Long, Long)]
+    val edges = input.toDF().toDF("src", "dst")
+    val q = FactStream.ingestEdgesWithClosure(edges, s"$dir/closure", s"$dir/ckpt")
+    input.addData((1L, 2L), (2L, 3L))
+    q.processAllAvailable()
+    def published(): Set[(Long, Long)] = {
+      val v = scala.io.Source.fromFile(
+        new java.io.File(s"$dir/closure/_latest")).mkString.trim
+      spark.read.parquet(s"$dir/closure/$v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(published() === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // batch 2 bridges new nodes through the OLD closure
+    input.addData((3L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    assert(published() === Set((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (2L, 4L), (1L, 4L)))
+  }
+
   test("streaming ingestion lands in the durable fact-log layout and is queryable") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-log").toString
