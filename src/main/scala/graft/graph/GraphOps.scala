@@ -263,7 +263,15 @@ object GraphOps {
     * This is incremental view maintenance for the recursive reach
     * relation — the streaming fact log keeps a queryable closure
     * sidecar current per micro-batch (FactStream.ingestEdgesWithClosure)
-    * instead of re-running the O(E) fixpoint each time. */
+    * instead of re-running the O(E) fixpoint each time.
+    *
+    * INSERT-ONLY by design: reachability is monotone under edge adds,
+    * so delta maintenance is exact. Edge DELETIONS (fact retractions)
+    * are not maintainable by subtraction (a removed pair may have
+    * alternative support) — that needs DRed-style over-delete/
+    * re-derive; here a retraction batch triggers a rebuild from the
+    * as-of snapshot instead, which the versioned-sidecar publish makes
+    * a drop-in (write v_{n+1} from scratch, flip the pointer). */
   def closureDelta(closure: DataFrame, newEdges: DataFrame, maxIter: Int = 50)
                   (implicit spark: SparkSession): DataFrame = {
     // fresh output attributes per union branch: self-derived branches

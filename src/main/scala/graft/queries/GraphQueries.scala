@@ -132,6 +132,18 @@ object GraphQueries {
       GraphOps.scc(refs.unionAll(regionRings(s, dir)))
     }),
 
+    // full reachability closure over region rings + customer->nation
+    // tendrils: every ring node reaches the whole ring (itself
+    // included, via the full loop); customers reach their region's
+    // ring. Structural oracle.
+    "graph_closure" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val refs = GraphOps.edges(db(s, dir))
+        .filter(col("label") === "c_nationkey_ref")
+        .select(col("src"), col("dst"))
+      GraphOps.transitiveClosure(refs.unionAll(regionRings(s, dir)), maxIter = 60)
+    }),
+
     "graph_temporal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val ev = TestData.events(s, dir)
@@ -228,6 +240,16 @@ object GraphQueries {
          FROM nation JOIN m USING (n_regionkey)
          UNION ALL
          SELECT 3000000000 + c_custkey, 3000000000 + c_custkey FROM customer""",
+    // ring closure = all same-region nation pairs (self included, via
+    // the full loop); customers reach every nation of their region
+    "graph_closure" ->
+      """SELECT 2000000000 + a.n_nationkey AS src, 2000000000 + b.n_nationkey AS dst
+         FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+         UNION ALL
+         SELECT 3000000000 + c_custkey, 2000000000 + n.n_nationkey
+         FROM customer c
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN nation n ON n.n_regionkey = cn.n_regionkey""",
     // 2-hop unrolling of the time-respecting reachability: hop-1
     // arrivals from user 0, hop-2 expansion through strictly later
     // edges, min arrival per node (source pinned at Long.MinValue).
