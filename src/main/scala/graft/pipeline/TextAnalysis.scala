@@ -805,4 +805,125 @@ object TextAnalysis {
     docs.select(col("doc_id"), md5(normalized).as("fp"),
       conv(substring(md5(normalized), 1, 6), 16, 10).cast("long").as("fp_bucket"))
   }
+
+  /** BM25 keyword relevance of every document against a fixed query
+    * term set (Robertson/Sparck-Jones; the keyword half of hybrid
+    * retrieval). ONE corpus-sized shuffle — the (doc, token) tf
+    * reduce; doc length and query-term document frequency both derive
+    * from that already-reduced relation (Catalyst reuses the
+    * exchange), and the per-term weights join only the QUERY-TERM
+    * slice of tf, so post-reduce work is query-hit-sized, not
+    * corpus-sized. N/avgdl ride in as a broadcast one-row aggregate.
+    * Exact-decimal summation of the per-term weights keeps the score
+    * independent of partition order (the dsum discipline). */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl").cast(DecimalType(25, 6))).cast(DoubleType) /
+        count(lit(1))).as("avgdl"))
+    val qtf = tf.filter(col("tok").isin(terms: _*))
+    val dfreq = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("wt", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("wt").cast(DecimalType(25, 6))).cast(DoubleType), 6)
+        .as("bm25"))
+  }
+
+  /** Hybrid retrieval: BM25 keyword top-k fused with hashing-trick
+    * embedding cosine top-k by reciprocal-rank fusion
+    * (score = Σ 1/(rrfK + rank) over the lists a doc appears in) —
+    * the standard BM25+vector serving shape. Each list is a
+    * TakeOrderedAndProject (no global sort); rank windows and the
+    * fusion join run over the two k-row lists only, so everything
+    * after the two scans is kPerList-sized regardless of corpus size.
+    * The query's own embedding comes from the SAME hashEmbedding
+    * operator applied to the query string (a one-row job; the k×dim
+    * collect is a parameter fetch, not a data scan). */
+  def hybridRetrieve(docs: DataFrame, terms: Seq[String], dims: Int = 64,
+                     kPerList: Int = 50, kFinal: Int = 10,
+                     rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kwRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val kw = bm25(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(kPerList)
+      .withColumn("kw_rank", row_number().over(kwRank))
+      .select(col("doc_id"), col("kw_rank"))
+    val spark = docs.sparkSession
+    val qDoc = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, terms.mkString(" "))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val qvec = hashEmbedding(qDoc, dims).head().getSeq[Double](1)
+    val vecRank = Window.orderBy(col("cos").desc, col("doc_id"))
+    val vec = Similarity.topK(hashEmbedding(docs, dims), "doc_id", "vec",
+        qvec, kPerList)
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("vec_rank", row_number().over(vecRank))
+      .select(col("doc_id"), col("vec_rank"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(kFinal)
+      .select(col("doc_id"), col("kw_rank"), col("vec_rank"), col("rrf"))
+  }
+
+  /** Snapshot-over-snapshot distribution DRIFT report (crawl
+    * monitoring): per source, the token-mass share in snapshot A vs B
+    * with L1 and KL contributions — the datasheet a 100 TB ingestion
+    * pipeline checks before admitting a new crawl. Snapshots here are
+    * the deterministic doc_id parity (a stand-in for crawl ids). ONE
+    * corpus scan + one |sources|-sized reduce; the share
+    * normalization is a window over that tiny relation, never a
+    * second corpus pass. Exact-decimal token sums; one double
+    * division per cell at the end. */
+  def snapshotDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def condSum(c: Column, p: Column): Column =
+      sum(when(p, c).otherwise(lit(0L)).cast(DecimalType(25, 6)))
+        .cast(DoubleType)
+    // snapshot split = md5(doc_id) parity, NOT doc_id parity: the
+    // synthetic corpus assigns source = doc_id mod |sources|, so raw
+    // parity would put each source entirely in one snapshot (degenerate
+    // zero shares). The hash split is content-independent and
+    // engine-reproducible (the sample_split freeze discipline).
+    val snapA = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(2)) === 0
+    val per = docs
+      .select(col("source"), snapA.as("in_a"),
+        wsTokens(col("text")).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(condSum(col("ntok"), col("in_a")).as("tok_a"),
+        condSum(col("ntok"), !col("in_a")).as("tok_b"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("share_a", col("tok_a") / sum(col("tok_a")).over(all))
+      .withColumn("share_b", col("tok_b") / sum(col("tok_b")).over(all))
+      .select(col("source"), col("tok_a"), col("tok_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(abs(col("share_a") - col("share_b")), 6).as("l1"),
+        // absent-in-A contributes 0 (lim x·ln x = 0); absent-in-B with
+        // mass in A is unbounded drift → NULL (flagged, not ±Inf)
+        round(when(col("share_a") === 0, lit(0.0))
+          .otherwise(col("share_a") *
+            log(col("share_a") / when(col("share_b") =!= 0, col("share_b")))), 6)
+          .as("kl_term"))
+  }
 }

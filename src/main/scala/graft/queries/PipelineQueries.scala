@@ -468,7 +468,25 @@ object PipelineQueries {
     "mm_audio" -> ((s, dir) =>
       Multimodal.audioFeatures(Multimodal.asBinary(docs(s, dir)), winSamples = 256)
         .select(col("doc_id"), col("win_idx"), col("n_samples"),
-          round(col("rms"), 6).as("rms"), col("zero_crossings")))
+          round(col("rms"), 6).as("rms"), col("zero_crossings"))),
+
+    // BM25 keyword relevance against a fixed query term set — the
+    // keyword half of hybrid retrieval; one corpus tf shuffle, then
+    // query-hit-sized joins only
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Seq("spark", "query", "join"))),
+
+    // hybrid BM25 + embedding-cosine retrieval fused by reciprocal-rank
+    // fusion — both lists are TakeOrderedAndProject scans; everything
+    // after is kPerList-sized. Full SQL oracle: both scorers are
+    // md5/arithmetic-deterministic, so DuckDB replicates the fused
+    // ranking value-for-value.
+    "sim_hybrid" -> ((s, dir) =>
+      TextAnalysis.hybridRetrieve(docs(s, dir), Seq("spark", "query", "join"))),
+
+    // crawl-monitoring DRIFT datasheet: per-source token-mass share in
+    // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
+    "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir)))
   )
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
@@ -1142,6 +1160,102 @@ object PipelineQueries {
          SELECT doc_id, n_tokens, shard,
                 CAST(start // 512 AS BIGINT) AS pack,
                 CAST(start % 512 AS BIGINT) AS pack_offset
-         FROM c"""
+         FROM c""",
+    // BM25: identical formula with identical association order and the
+    // constants written as the same double expressions Scala computes
+    // (1.2 + 1.0, 1.0 - 0.75) so both engines evaluate the same IEEE
+    // doubles; exact-decimal per-term weight sum = order-independent.
+    "text_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT count(*) AS n,
+                               CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avgdl
+                        FROM dl),
+              qtf AS (SELECT * FROM tf WHERE tok IN ('spark', 'query', 'join')),
+              dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+              wt AS (SELECT q.doc_id,
+                            ln((n - df + 0.5) / (df + 0.5) + 1.0) * (q.tf * (1.2 + 1.0)) /
+                            (q.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS wt
+                     FROM qtf q JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+                     CROSS JOIN stats)
+         SELECT doc_id, round(CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
+         FROM wt GROUP BY doc_id""",
+    // hybrid retrieval: the text_bm25 pipeline + the text_embed vectors
+    // + list_cosine_similarity, ranked per modality (LIMIT 50 under the
+    // same (score DESC, doc_id) total order Spark's
+    // TakeOrderedAndProject uses), fused by 1/(60+rank) written in the
+    // same fixed addition order.
+    "sim_hybrid" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT count(*) AS n,
+                               CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avgdl
+                        FROM dl),
+              qtf AS (SELECT * FROM tf WHERE tok IN ('spark', 'query', 'join')),
+              dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+              wt AS (SELECT q.doc_id,
+                            ln((n - df + 0.5) / (df + 0.5) + 1.0) * (q.tf * (1.2 + 1.0)) /
+                            (q.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS wt
+                     FROM qtf q JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+                     CROSS JOIN stats),
+              bm AS (SELECT doc_id, round(CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
+                     FROM wt GROUP BY doc_id),
+              kwtop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+              kw AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank
+                     FROM kwtop),
+              cnt AS (SELECT doc_id,
+                        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                        CAST(count(*) AS DOUBLE) AS val
+                      FROM tok GROUP BY 1, 2),
+              dims AS (SELECT unnest(range(64)) AS dim),
+              dv AS (SELECT d.doc_id, list(coalesce(cnt.val, 0.0) ORDER BY dims.dim) AS v
+                     FROM (SELECT DISTINCT doc_id FROM documents) d
+                     CROSS JOIN dims
+                     LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dims.dim
+                     GROUP BY d.doc_id),
+              qtok AS (SELECT unnest(string_split_regex(lower(trim('spark query join')), '\s+')) AS tok),
+              qcnt AS (SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                              CAST(count(*) AS DOUBLE) AS val
+                       FROM qtok GROUP BY 1),
+              qv AS (SELECT list(coalesce(qcnt.val, 0.0) ORDER BY dims.dim) AS v
+                     FROM dims LEFT JOIN qcnt ON qcnt.dim = dims.dim),
+              cs AS (SELECT doc_id, round(list_cosine_similarity(dv.v, qv.v), 6) AS cos
+                     FROM dv CROSS JOIN qv),
+              vtop AS (SELECT doc_id, cos FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
+              vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+                     FROM vtop)
+         SELECT coalesce(kw.doc_id, vr.doc_id) AS doc_id, kw_rank, vec_rank,
+                round(coalesce(1.0 / (60.0 + kw_rank), 0.0) +
+                      coalesce(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf
+         FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // drift datasheet: exact-decimal conditional token sums; shares
+    // normalized by the per-snapshot totals; L1/KL computed from the
+    // UNROUNDED shares and rounded at output (same as the operator).
+    "corpus_drift" ->
+      """WITH base AS (SELECT source,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS in_a,
+                        len(string_split_regex(trim(text), '\s+')) AS ntok
+                      FROM documents),
+              per AS (SELECT source,
+                        CAST(SUM(CAST(CASE WHEN in_a THEN ntok ELSE 0 END
+                          AS DECIMAL(25,6))) AS DOUBLE) AS tok_a,
+                        CAST(SUM(CAST(CASE WHEN in_a THEN 0 ELSE ntok END
+                          AS DECIMAL(25,6))) AS DOUBLE) AS tok_b
+                      FROM base GROUP BY source),
+              sh AS (SELECT source, tok_a, tok_b,
+                            tok_a / SUM(tok_a) OVER () AS share_a,
+                            tok_b / SUM(tok_b) OVER () AS share_b
+                     FROM per)
+         SELECT source, tok_a, tok_b,
+                round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+                round(abs(share_a - share_b), 6) AS l1,
+                round(CASE WHEN share_a = 0 THEN 0.0
+                      ELSE share_a * ln(share_a / nullif(share_b, 0)) END, 6) AS kl_term
+         FROM sh"""
   )
 }

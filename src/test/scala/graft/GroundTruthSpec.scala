@@ -938,6 +938,68 @@ class GroundTruthSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bm25 matches a scalar re-implementation on a hand corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent scalar computation, same formula
+    val (k1, b) = (1.2, 0.75)
+    val dl = Map(1L -> 3.0, 2L -> 2.0, 3L -> 4.0)
+    val avgdl = 3.0; val n = 3.0
+    def idf(df: Long): Double = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Long, d: Long, df: Long): Double =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl(d) / avgdl))
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === r6(w(2, 1L, 2) + w(1, 1L, 2)))   // apple tf=2, banana tf=1
+    assert(out(2L) === r6(w(1, 2L, 2)))                 // apple only
+    assert(out(3L) === r6(w(2, 3L, 2)))                 // banana tf=2
+  }
+
+  test("hybridRetrieve: RRF arithmetic, rank consistency, both-lists dominance") {
+    // 40 docs: doc 0 is rich in query terms AND vector-similar (its
+    // text IS the query); docs 1-19 keyword-only variants; 20-39 noise
+    val docs = ((0L, "spark query join") +:
+      (1 to 19).map(i => (i.toLong, s"spark query filler$i pad$i")) ++:
+      (20 to 39).map(i => (i.toLong, s"noise${i}a noise${i}b noise${i}c"))).toDF("doc_id", "text")
+    val out = TextAnalysis.hybridRetrieve(docs, Seq("spark", "query", "join"),
+      kPerList = 10, kFinal = 10)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toInt),
+        Option(r.get(2)).map(_.toString.toInt), r.getDouble(3)))
+    // fused score is exactly the RRF of the emitted ranks
+    out.foreach { case (_, kw, vr, rrf) =>
+      val expect = kw.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        vr.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 5e-7) // rrf is rounded to 6 decimals
+    }
+    // output is sorted by (rrf desc, doc_id)
+    val sorted = out.sortBy(t => (-t._4, t._1)).toSeq
+    assert(out.toSeq === sorted)
+    // doc 0 (top of BOTH lists) wins outright
+    assert(out.head._1 === 0L && out.head._2 === Some(1) && out.head._3 === Some(1))
+  }
+
+  test("snapshotDrift: shares normalize per snapshot; KL guards hold") {
+    val docs = (0 until 200).map { i =>
+      (i.toLong, ("w " * (5 + i % 7)).trim, "en", s"s${i % 4}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.snapshotDrift(docs).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("s0", "s1", "s2", "s3"))
+    val sa = rows.map(_.getDouble(3)).sum
+    val sb = rows.map(_.getDouble(4)).sum
+    assert(math.abs(sa - 1.0) < 1e-4 && math.abs(sb - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val (shA, shB, l1) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(l1 - math.abs(shA - shB)) < 1e-5)
+      val kl = r.getDouble(6)
+      if (shA > 0 && shB > 0)
+        assert(math.abs(kl - shA * math.log(shA / shB)) < 1e-4)
+    }
+  }
+
   test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
     // the bench/oracle edge set: nation ref-graph with parallel edges
     // (multiple labels between the same pair count separately in the
