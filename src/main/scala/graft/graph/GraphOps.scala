@@ -649,4 +649,36 @@ object GraphOps {
     val tc = g.triangleCount().vertices
     edgeDf.sparkSession.createDataFrame(tc).toDF("node", "triangles")
   }
+
+  /** SYNCHRONOUS label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — the deterministic variant (asynchronous/random
+    * LPA is irreproducible run-to-run, useless for a data pipeline).
+    * Per round: one edge⋈labels join + two reduces — the neighbor-label
+    * count is map-side combinable, and the argmax is a max_by over the
+    * already-reduced (node, label, cnt) relation, so per-round shuffle
+    * volume is O(edges) worst case and shrinks as labels converge.
+    * Fixed `rounds` (synchronous LPA can oscillate on bipartite
+    * structures; a fixed budget is the standard cut-off). Nodes with no
+    * in-neighbors keep their current label via the left-join coalesce.
+    * Pass symmetrized edges for undirected semantics. */
+  def labelPropagation(edgeDf: DataFrame, rounds: Int = 5)
+                      (implicit spark: SparkSession): DataFrame = {
+    val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct().withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrCnt = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst").as("n"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val winner = nbrCnt.groupBy(col("n"))
+        .agg(expr("max_by(lbl, named_struct('c', cnt, 'l', -lbl))").as("new_lbl"))
+      labels = labels.join(winner, labels("node") === winner("n"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -144,6 +144,17 @@ object GraphQueries {
       GraphOps.transitiveClosure(refs.unionAll(regionRings(s, dir)), maxIter = 60)
     }),
 
+    // deterministic synchronous label propagation over the same-region
+    // nation cliques: each clique converges to its minimum nation id
+    // (round 1: every node adopts its min neighbor; round 2+: majority
+    // is the clique min) — structural oracle, min nation per region.
+    "graph_lpa" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      GraphOps.labelPropagation(nationEdges(s, dir), rounds = 4)
+        .select((col("node") - TestData.NationBase).as("n_nationkey"),
+          (col("community") - TestData.NationBase).as("community"))
+    }),
+
     "graph_temporal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val ev = TestData.events(s, dir)
@@ -250,6 +261,18 @@ object GraphQueries {
          FROM customer c
          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          JOIN nation n ON n.n_regionkey = cn.n_regionkey""",
+    // Structural form (the graph_cc oracle discipline): deterministic
+    // sync-LPA on a clique converges to the clique minimum in <= 2
+    // rounds (round 1 = min neighbor under the all-tied count, round 2
+    // = majority); singleton regions have no edges and drop out.
+    "graph_lpa" ->
+      """WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn
+                    FROM nation GROUP BY n_regionkey),
+              sz AS (SELECT n_regionkey, count(*) AS k
+                     FROM nation GROUP BY n_regionkey)
+         SELECT n_nationkey, mn AS community
+         FROM nation JOIN m USING (n_regionkey) JOIN sz USING (n_regionkey)
+         WHERE k >= 2""",
     // 2-hop unrolling of the time-respecting reachability: hop-1
     // arrivals from user 0, hop-2 expansion through strictly later
     // edges, min arrival per node (source pinned at Long.MinValue).

@@ -429,7 +429,50 @@ object RelationalQueries {
       RangeJoin.within(errors, clicks, "ts_us", "click_us", radius)
         .groupBy(col("event_id"))
         .agg(count(col("click_id")).as("n_clicks"))
-    })
+    }),
+
+    // CDC MERGE / upsert: apply the events changelog to a keyed base
+    // snapshot — last event per user wins ('error' = DELETE, anything
+    // else = UPSERT of its value). The changelog reduces to key
+    // cardinality FIRST (max_by over (ts, event_id) — map-side
+    // combinable, no per-key window over the raw stream), so the FULL
+    // OUTER merge join is key-sized on both sides, never row-sized.
+    // Base excludes user_id < 50 so all three MERGE actions (kept /
+    // updated-or-deleted / inserted) fire on the test data.
+    "q_merge_cdc" -> ((s, dir) => {
+      val base = read(s, dir, "customer")
+        .filter(col("c_custkey") >= 50)
+        .select(col("c_custkey").as("user_id"), col("c_acctbal").as("bal"))
+      val latest = events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy(col("user_id"))
+        .agg(expr("""max_by(named_struct('et', event_type, 'v', value),
+                            named_struct('t', ts_us, 'e', event_id))""").as("last"))
+        .select(col("user_id"),
+          when(col("last.et") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("last.v").as("new_bal"))
+      base.join(latest, Seq("user_id"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("user_id"),
+          round(when(col("op") === "U", col("new_bal")).otherwise(col("bal")), 6)
+            .as("bal"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("bal").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"))
+    }),
+
+    // data-profiling histogram: fixed-width value buckets with count /
+    // exact sum / min / max per bucket — ONE map-side-combinable
+    // shuffle of |buckets| groups. Bucket arithmetic is plain floor
+    // division (engine-neutral; DuckDB lacks width_bucket).
+    "q_histogram" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .select(expr("cast(floor(o_totalprice / 30000.0) as bigint)").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          round(min(col("o_totalprice")), 6).as("lo"),
+          round(max(col("o_totalprice")), 6).as("hi")))
   )
 
   private val revSql = "l_extendedprice * (1.0 - l_discount)"
@@ -667,6 +710,34 @@ object RelationalQueries {
            ON c.event_type = 'click'
           AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
          WHERE e.event_type = 'error'
-         GROUP BY e.event_id"""
+         GROUP BY e.event_id""",
+    "q_merge_cdc" ->
+      """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us, event_id
+                     FROM events),
+              last AS (SELECT user_id, event_type, value FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts_us DESC, event_id DESC) AS rn
+                         FROM ev) t WHERE rn = 1),
+              ch AS (SELECT user_id,
+                            CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                            value AS new_bal
+                     FROM last),
+              b AS (SELECT c_custkey AS user_id, c_acctbal AS bal
+                    FROM customer WHERE c_custkey >= 50),
+              m AS (SELECT coalesce(b.user_id, ch.user_id) AS user_id,
+                           b.bal, ch.op, ch.new_bal
+                    FROM b FULL OUTER JOIN ch ON b.user_id = ch.user_id)
+         SELECT user_id,
+                round(CASE WHEN op = 'U' THEN new_bal ELSE bal END, 6) AS bal,
+                CASE WHEN op IS NULL THEN 'kept'
+                     WHEN bal IS NULL THEN 'inserted'
+                     ELSE 'updated' END AS action
+         FROM m WHERE op IS NULL OR op <> 'D'""",
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+                 COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
+                 round(min(o_totalprice), 6) AS lo,
+                 round(max(o_totalprice), 6) AS hi
+          FROM orders GROUP BY 1"""
   )
 }

@@ -1000,6 +1000,49 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: planted cliques converge to their min label; bridge holds") {
+    // B is LARGER than A: a clique whose internal majority outweighs
+    // the single bridge endpoint keeps its community (a same-size
+    // clique would be flooded by A's smaller labels through the
+    // min-tie-break — that flood is the deterministic semantics, not a
+    // bug, so the fixture pins the majority-resists case)
+    val cliqueA = Seq(1L, 2L, 3L); val cliqueB = Seq(10L, 11L, 12L, 13L, 14L)
+    def cliqueEdges(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (cliqueEdges(cliqueA) ++ cliqueEdges(cliqueB) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cliqueA.forall(out(_) === 1L), s"clique A: $out")
+    assert(cliqueB.forall(out(_) === 10L), s"clique B: $out")
+  }
+
+  test("q_merge_cdc matches a scalar changelog replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_merge_cdc")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.toString.toDouble), r.getString(2)))).toMap
+    // independent replay: base map + last-event-per-user fold
+    val base = graft.core.TestData.read(spark, dir, "customer")
+      .filter(col("c_custkey") >= 50)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val last = graft.core.TestData.events(spark, dir)
+      .select("user_id", "event_type", "value", "ts_ns", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(t => (t._4 / 1000, t._5))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (base.keySet ++ last.keySet).flatMap { u =>
+      (base.get(u), last.get(u)) match {
+        case (Some(b), None) => Some(u -> ((Some(r6(b)), "kept")))
+        case (Some(_), Some(e)) if e._2 == "error" => None
+        case (Some(_), Some(e)) => Some(u -> ((Some(r6(e._3)), "updated")))
+        case (None, Some(e)) if e._2 != "error" => Some(u -> ((Some(r6(e._3)), "inserted")))
+        case _ => None
+      }
+    }.toMap
+    assert(got === expect)
+  }
+
   test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
     // the bench/oracle edge set: nation ref-graph with parallel edges
     // (multiple labels between the same pair count separately in the
