@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.TestData.read
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, CdcMerge, RangeJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -443,22 +443,12 @@ object RelationalQueries {
       val base = read(s, dir, "customer")
         .filter(col("c_custkey") >= 50)
         .select(col("c_custkey").as("user_id"), col("c_acctbal").as("bal"))
-      val latest = events(s, dir)
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-        .groupBy(col("user_id"))
-        .agg(expr("""max_by(named_struct('et', event_type, 'v', value),
-                            named_struct('t', ts_us, 'e', event_id))""").as("last"))
+      val changes = events(s, dir)
         .select(col("user_id"),
-          when(col("last.et") === "error", lit("D")).otherwise(lit("U")).as("op"),
-          col("last.v").as("new_bal"))
-      base.join(latest, Seq("user_id"), "full_outer")
-        .filter(col("op").isNull || col("op") =!= "D")
-        .select(col("user_id"),
-          round(when(col("op") === "U", col("new_bal")).otherwise(col("bal")), 6)
-            .as("bal"),
-          when(col("op").isNull, lit("kept"))
-            .when(col("bal").isNull, lit("inserted"))
-            .otherwise(lit("updated")).as("action"))
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          col("value").as("new_bal"),
+          expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      CdcMerge.applyLatest(base, CdcMerge.latestPerKey(changes))
     }),
 
     // data-profiling histogram: fixed-width value buckets with count /

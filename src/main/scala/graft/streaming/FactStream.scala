@@ -529,6 +529,31 @@ object FactStream {
       }
   }
 
+  final case class CdcChange(user_id: Long, op: String, new_bal: Double,
+                             ts_us: Long, event_id: Long)
+
+  /** Streaming CDC (the §2B q_merge_cdc twin): the latest change per
+    * key maintained INCREMENTALLY — state is one row per key (bounded
+    * by key cardinality, the dimension-table size, not the changelog
+    * volume); a batch emits a key only when its winner changes, under
+    * the same (ts_us, event_id) total order the batch
+    * CdcMerge.latestPerKey reduces by. The MERGE itself stays the
+    * shared batch operator (CdcMerge.applyLatest over this maintained
+    * relation), so streamed merge == batch merge by construction —
+    * spec-pinned in StreamingSpec. */
+  def cdcLatest(changes: Dataset[CdcChange]): Dataset[CdcChange] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcChange, CdcChange](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[CdcChange]) =>
+          val cand = (state.getOption.iterator ++ evs)
+            .maxBy(c => (c.ts_us, c.event_id))
+          if (state.getOption.contains(cand)) Iterator.empty
+          else { state.update(cand); Iterator(cand) }
+      }
+  }
+
   /** Continuous sequence PACKING — the streaming tail of the curation
     * pipeline: per micro-batch, documents get fixed-token-budget pack
     * assignments (TextAnalysis.packSequences, shard-parallel) and land

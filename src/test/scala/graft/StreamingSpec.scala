@@ -24,6 +24,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream_cdc: streamed latest-change state merges identically to the batch CDC") {
+    import graft.operators.CdcMerge
+    import graft.streaming.FactStream.CdcChange
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[CdcChange]
+    val q = FactStream.cdcLatest(input.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    val batch1 = Seq(
+      CdcChange(1, "U", 10.0, 100, 1), CdcChange(2, "U", 20.0, 101, 2),
+      CdcChange(3, "D", 0.0, 102, 3), CdcChange(9, "U", 90.0, 103, 4))
+    val batch2 = Seq(
+      CdcChange(1, "D", 0.0, 200, 5),   // later delete overrides the upsert
+      CdcChange(2, "U", 25.0, 90, 6),   // EARLIER than batch1's → must lose
+      CdcChange(3, "U", 33.0, 201, 7))  // resurrects the deleted key
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // final streamed winner per key (memory sink accumulates updates)
+    val streamedLatest = spark.table("cdc").as[CdcChange]
+      .collect().groupBy(_.user_id)
+      .map { case (_, v) => v.maxBy(c => (c.ts_us, c.event_id)) }
+      .toSeq.toDS().toDF()
+      .select(col("user_id"), col("op"), col("new_bal"))
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("user_id", "bal")
+    val viaStream = CdcMerge.applyLatest(base, streamedLatest)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val allChanges = (batch1 ++ batch2).toDF()
+    val viaBatch = CdcMerge.applyLatest(base, CdcMerge.latestPerKey(allChanges))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(viaStream === viaBatch)
+    // and the semantics are right: 1 deleted, 2 keeps batch1's 20.0,
+    // 3 resurrected at 33.0, 4 kept, 9 inserted
+    assert(viaBatch === Set((2L, 20.0, "updated"), (3L, 33.0, "updated"),
+      (4L, 4.0, "kept"), (9L, 90.0, "inserted")))
+  }
+
   test("windowed counts over a watermarked stream") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
