@@ -171,18 +171,23 @@ object TextAnalysis {
     * that feeds the similarity/ANN stages when no learned embedding
     * exists (and the embedding stage of the streaming curation
     * pipeline). Deterministic, one aggregation, no vocabulary state. */
-  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame = {
-    val m = hashVectors(docs, dims)
+  def hashEmbedding(docs: DataFrame, dims: Int = 64): DataFrame =
+    denseFromSparse(docs.select(col("doc_id")).distinct(),
+      hashVectors(docs, dims), dims)
+
+  /** Scatter a sparse (doc_id, dim, cnt) relation to corpus-complete
+    * dense vectors. EVERY id in `ids` gets a vector — a doc whose text
+    * tokenizes to nothing (null text) vanishes from the exploded
+    * sparse relation but must come back as the zero vector, both for
+    * the oracle (which scatters over all doc_ids) and for downstream
+    * stages that assume corpus-complete embeddings. */
+  private[pipeline] def denseFromSparse(ids: DataFrame, sparse: DataFrame,
+                                        dims: Int): DataFrame = {
+    val m = sparse
       .groupBy(col("doc_id"))
       .agg(map_from_entries(
         collect_list(struct(col("dim"), col("cnt").cast("double")))).as("m"))
-    // EVERY doc gets a vector — a doc whose text tokenizes to nothing
-    // (null text) vanishes from the exploded hashVectors relation but
-    // must come back as the zero vector, both for the oracle (which
-    // scatters over all doc_ids) and for downstream stages that assume
-    // corpus-complete embeddings
-    docs.select(col("doc_id")).distinct()
-      .join(m, Seq("doc_id"), "left")
+    ids.join(m, Seq("doc_id"), "left")
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dims - 1)),
           d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0))).as("vec"))
@@ -817,11 +822,21 @@ object TextAnalysis {
     * Exact-decimal summation of the per-term weights keeps the score
     * independent of partition order (the dsum discipline). */
   def bm25(docs: DataFrame, terms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromTf(termFrequencies(docs), terms, k1, b)
+
+  /** The (doc_id, tok, tf) term-frequency relation — THE corpus-sized
+    * shuffle of the text-retrieval family; [[bm25FromTf]] and the
+    * hybrid embedding branch both derive from it so a fused pipeline
+    * pays the corpus explode exactly once (ReusedExchange). */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  def bm25FromTf(tf: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val tok = docs.select(col("doc_id"),
-      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl").cast(DecimalType(25, 6))).cast(DoubleType) /
@@ -854,11 +869,24 @@ object TextAnalysis {
                      kPerList: Int = 50, kFinal: Int = 10,
                      rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE corpus explode+reduce (tf) feeds BOTH scorers: bm25 derives
+    // dl/df from it, and the hash embedding folds it by hashed dim —
+    // a (doc, dim) reduce over the already-reduced tf, not a second
+    // pass over the raw text (Catalyst reuses the tf exchange).
+    val tf = termFrequencies(docs)
     val kwRank = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val kw = bm25(docs, terms)
+    val kw = bm25FromTf(tf, terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(kPerList)
       .withColumn("kw_rank", row_number().over(kwRank))
       .select(col("doc_id"), col("kw_rank"))
+    val sparse = tf.select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(dims)).as("dim"), col("tf"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("tf")).as("cnt"))
+    val docVecs = denseFromSparse(docs.select(col("doc_id")).distinct(), sparse, dims)
+    // the query's own embedding: the SAME hashEmbedding operator over a
+    // one-row local relation, riding the plan as a broadcast scalar —
+    // no separate driver job, no collect
     val spark = docs.sparkSession
     val qDoc = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, terms.mkString(" "))),
@@ -867,11 +895,12 @@ object TextAnalysis {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType))))
-    val qvec = hashEmbedding(qDoc, dims).head().getSeq[Double](1)
+    val qv = hashEmbedding(qDoc, dims).select(col("vec").as("qv"))
     val vecRank = Window.orderBy(col("cos").desc, col("doc_id"))
-    val vec = Similarity.topK(hashEmbedding(docs, dims), "doc_id", "vec",
-        qvec, kPerList)
-      .withColumnRenamed("id", "doc_id")
+    val vec = docVecs.crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        round(Similarity.cosine(col("vec"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(kPerList)
       .withColumn("vec_rank", row_number().over(vecRank))
       .select(col("doc_id"), col("vec_rank"))
     kw.join(vec, Seq("doc_id"), "full_outer")

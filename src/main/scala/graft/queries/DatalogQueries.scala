@@ -250,6 +250,23 @@ object DatalogQueries {
         Pattern(V("u"), C("active"), C(1L)),
         userId))),
 
+    // tx-RANGE CDC over the fact log (Datomic tx-range analog): every
+    // `active` assertion/retraction whose tx falls in (150, 450] —
+    // "what changed in this window" served from the same historical
+    // index as dl_historical, the tx bounds as ordinary predicates on
+    // the bound tx variable (pushed into the log scan by Catalyst;
+    // bounds chosen inside every SF's tx span so the check is
+    // non-trivial at sf0.001 through sf0.1).
+    "dl_tx_range" -> q((s, dir) => Db(TestData.eventsDb(s, dir), historical = true),
+      Query(
+        find = Seq(FVar(V("user_id"), "user_id"), FVar(V("t"), "tx"),
+          FVar(V("ad"), "added")),
+        where = And(
+          Pattern(V("u"), C("active"), W, V("t"), V("ad")),
+          Pred("<", C(150L), V("t")),
+          Pred("<=", V("t"), C(450L)),
+          userId))),
+
     "dl_card_one" -> q(temporal, Query(
       find = Seq(FVar(V("user_id"), "user_id"), FVar(V("t"), "last_type")),
       where = And(
@@ -555,6 +572,12 @@ object DatalogQueries {
       """SELECT DISTINCT user_id, event_id + 100 AS tx,
                 event_type = 'signup' AS added
          FROM events WHERE event_type IN ('signup', 'error')""",
+    "dl_tx_range" ->
+      """SELECT DISTINCT user_id, event_id + 100 AS tx,
+                event_type = 'signup' AS added
+         FROM events
+         WHERE event_type IN ('signup', 'error')
+           AND event_id + 100 > 150 AND event_id + 100 <= 450""",
     "dl_retract" ->
       """SELECT DISTINCT user_id FROM (
            SELECT user_id, event_type,

@@ -451,6 +451,43 @@ object RelationalQueries {
       CdcMerge.applyLatest(base, CdcMerge.latestPerKey(changes))
     }),
 
+    // ordered conversion FUNNEL (signup → click → purchase): each
+    // stage's timestamp is the user's earliest qualifying event AFTER
+    // the previous stage — three per-user min-reduces chained by
+    // key-sized joins (never a per-user sort of the raw stream); a
+    // click before signup does not count. stage = how far the user got.
+    "q_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
+      def stageMin(typ: String, after: DataFrame, afterCol: String) =
+        ev.filter(col("event_type") === typ)
+          .join(after, Seq("user_id"))
+          .filter(col("ts_us") > col(afterCol))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as(s"${typ}_us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+      val cl = stageMin("click", su, "signup_us")
+      val pu = stageMin("purchase", cl, "click_us")
+      su.join(cl, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("signup_us"), col("click_us"), col("purchase_us"),
+          (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0) +
+            when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // cohort RETENTION matrix: users cohorted by first-activity day;
+    // each active (user, day) lands in (cohort_day, day_offset) —
+    // two reduces ((user,day) distinct, then per-user min) + one
+    // key-sized join; the matrix is |days|² rows at most.
+    "q_retention" -> ((s, dir) => {
+      val dayUs = 86400L * 1000 * 1000
+      val ud = events(s, dir)
+        .select(col("user_id"), expr(s"(ts_ns div 1000) div $dayUs").as("day"))
+        .distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // data-profiling histogram: fixed-width value buckets with count /
     // exact sum / min / max per bucket — ONE map-side-combinable
     // shuffle of |buckets| groups. Bucket arithmetic is plain floor
@@ -728,6 +765,31 @@ object RelationalQueries {
                  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
                  round(min(o_totalprice), 6) AS lo,
                  round(max(o_totalprice), 6) AS hi
-          FROM orders GROUP BY 1"""
+          FROM orders GROUP BY 1""",
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+              su AS (SELECT user_id, min(ts_us) AS signup_us FROM ev
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              cl AS (SELECT e.user_id, min(e.ts_us) AS click_us
+                     FROM ev e JOIN su ON e.user_id = su.user_id
+                     WHERE e.event_type = 'click' AND e.ts_us > su.signup_us
+                     GROUP BY e.user_id),
+              pu AS (SELECT e.user_id, min(e.ts_us) AS purchase_us
+                     FROM ev e JOIN cl ON e.user_id = cl.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts_us > cl.click_us
+                     GROUP BY e.user_id)
+         SELECT su.user_id, signup_us, click_us, purchase_us,
+                1 + CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END AS stage
+         FROM su
+         LEFT JOIN cl ON su.user_id = cl.user_id
+         LEFT JOIN pu ON su.user_id = pu.user_id""",
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+              cohort AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+         SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+         FROM ud JOIN cohort USING (user_id)
+         GROUP BY 1, 2"""
   )
 }

@@ -1043,6 +1043,31 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("q_funnel: stage ordering is strict — pre-signup clicks don't convert") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_funnel")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+    // scalar replay over the raw events
+    val ev = graft.core.TestData.events(spark, dir)
+      .select("user_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 1000))
+      .groupBy(_._1)
+    got.foreach { case (u, s, c, p, stage) =>
+      val evs = ev(u)
+      val sMin = evs.filter(_._2 == "signup").map(_._3).min
+      assert(s.contains(sMin))
+      val cMin = evs.filter(e => e._2 == "click" && e._3 > sMin).map(_._3).minOption
+      assert(c.map(_.toString.toLong) === cMin)
+      val pMin = cMin.flatMap(cm =>
+        evs.filter(e => e._2 == "purchase" && e._3 > cm).map(_._3).minOption)
+      assert(p.map(_.toString.toLong) === pMin)
+      assert(stage === 1 + cMin.size + pMin.size)
+    }
+    // every user with a signup appears
+    assert(got.map(_._1).toSet === ev.filter(_._2.exists(_._2 == "signup")).keySet)
+  }
+
   test("pageRankDataFrame matches GraphX on the graph_pagerank fixture") {
     // the bench/oracle edge set: nation ref-graph with parallel edges
     // (multiple labels between the same pair count separately in the
