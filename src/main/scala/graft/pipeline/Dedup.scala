@@ -596,4 +596,33 @@ object Dedup {
           .as("clean_text"),
         size(col("cov")).cast("long").as("n_removed"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): deterministic k-means partitions the embedding
+    * corpus; near-duplicate candidates are sought only WITHIN a
+    * cluster — the scale bound that replaces the corpus² cross product
+    * with Σ|cell|² (cells are quasi-uniform under k-means, and a
+    * production run caps cell size by raising k). In-cluster pairs
+    * with cosine ≥ minCos form duplicate groups (connected components
+    * over the pair graph — transitive closure, like the n-gram cluster
+    * map); keep = min id per group (the paper keeps the member closest
+    * to the centroid; min-id is the deterministic policy the rest of
+    * the dedup family uses, and the grouping is identical).
+    * Returns (id, group, keep). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    k: Int, minCos: Double, iters: Int = 3): DataFrame = {
+    implicit val spark = emb.sparkSession
+    val assigned = Quantize.kmeansAssign(emb, idCol, vecCol, dim, k, iters)
+      .select(col("id"), col("vec"), col("cluster"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(Similarity.cosine(col("a.vec"), col("b.vec")) >= minCos)
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val comps = graft.graph.GraphOps.ccDataFrame(pairs)
+      .select(col("node").as("id"), col("component"))
+    assigned.select(col("id")).join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("group"),
+        (col("id") === coalesce(col("component"), col("id"))).as("keep"))
+  }
 }

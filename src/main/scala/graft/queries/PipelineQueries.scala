@@ -486,7 +486,16 @@ object PipelineQueries {
 
     // crawl-monitoring DRIFT datasheet: per-source token-mass share in
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
-    "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir)))
+    "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
+
+    // SemDeDup-style semantic dedup: k-means cluster-scoped cosine
+    // near-dup groups over the embedding corpus (candidates Σ|cell|²,
+    // never corpus²); rows-only — planted-pair ground truth in
+    // GroundTruthSpec (the synthetic embeddings carry no near-dups,
+    // so everything is kept here)
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(emb(s, dir), "vec_id", "vec",
+        dim = probeVec(s, dir).length, k = 8, minCos = 0.99))
   )
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"

@@ -1043,6 +1043,28 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("semanticDedup: planted near-identical embeddings group; distinct survive") {
+    // two well-separated families (axis 0 vs axis 3); ids 1/2/3 are
+    // near-identical within family A (two exact + one ~0.9999 cosine
+    // perturbation), 10/11 identical in family B, 20/21 distinct
+    // singletons (cosine to anything < 0.99)
+    def v(axis: Int, eps: Double, epsAxis: Int): Seq[Double] = {
+      val a = Array.fill(8)(0.0); a(axis) = 1.0; a(epsAxis) += eps; a.toSeq
+    }
+    val emb = Seq(
+      (1L, v(0, 0.0, 1)), (2L, v(0, 0.0, 1)), (3L, v(0, 0.01, 1)),
+      (10L, v(3, 0.0, 4)), (11L, v(3, 0.0, 4)),
+      (20L, v(5, 0.0, 6)), (21L, v(6, 0.0, 7))).toDF("vec_id", "vec")
+    val out = Dedup.semanticDedup(emb, "vec_id", "vec", dim = 8, k = 4, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false))) // cos(e0, e0+0.01*e1) ≈ 0.99995 >= 0.99
+    assert(out(10L) === ((10L, true)) && out(11L) === ((10L, false)))
+    assert(out(20L)._2 && out(21L)._2) // distinct singletons keep themselves
+    assert(out(20L)._1 === 20L && out(21L)._1 === 21L)
+  }
+
   test("q_funnel: stage ordering is strict — pre-signup clicks don't convert") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_funnel")(spark, dir)
