@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.TestData.read
-import graft.operators.{AsOfJoin, CdcMerge, RangeJoin}
+import graft.operators.{AsOfJoin, CdcMerge, Funnel, RangeJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -456,22 +456,12 @@ object RelationalQueries {
     // the previous stage — three per-user min-reduces chained by
     // key-sized joins (never a per-user sort of the raw stream); a
     // click before signup does not count. stage = how far the user got.
-    "q_funnel" -> ((s, dir) => {
-      val ev = events(s, dir).withColumn("ts_us", expr("ts_ns div 1000"))
-      def stageMin(typ: String, after: DataFrame, afterCol: String) =
-        ev.filter(col("event_type") === typ)
-          .join(after, Seq("user_id"))
-          .filter(col("ts_us") > col(afterCol))
-          .groupBy(col("user_id")).agg(min(col("ts_us")).as(s"${typ}_us"))
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
-      val cl = stageMin("click", su, "signup_us")
-      val pu = stageMin("purchase", cl, "click_us")
-      su.join(cl, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
-        .select(col("user_id"), col("signup_us"), col("click_us"), col("purchase_us"),
-          (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0) +
-            when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
-    }),
+    "q_funnel" -> ((s, dir) =>
+      Funnel.stages(
+        events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us")),
+        Seq("signup", "click", "purchase"))),
 
     // cohort RETENTION matrix: users cohorted by first-activity day;
     // each active (user, day) lands in (cohort_day, day_offset) —

@@ -149,6 +149,50 @@ object FactStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** LIVE conversion funnel (the §2B q_funnel twin) by DELTA-SCOPED
+    * RECOMPUTE: each micro-batch appends its events to a durable log,
+    * then re-runs the SHARED batch operator (operators.Funnel.stages)
+    * over ONLY the users the batch touched and upserts their rows into
+    * a versioned funnel sidecar (atomic pointer publish, the
+    * ANN-index discipline). Per-batch work = affected-users' event
+    * slice, not the corpus; and because each affected user is fully
+    * recomputed from their complete history, the streamed funnel is
+    * EXACT under arbitrary out-of-order arrival — a late signup
+    * re-qualifies clicks already on file, which a forward-only state
+    * machine cannot undo (spec-pinned). State lives in the LAYOUT
+    * (log + sidecar on disk), not executor memory. */
+  def ingestFunnel(events: DataFrame, path: String, checkpoint: String,
+                   stageTypes: Seq[String] = Seq("signup", "click", "purchase"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        batch.write.mode("overwrite").parquet(s"$path/log/batch=$batchId")
+        val affected = batch.select(col("user_id")).distinct()
+        val slice = spark.read.parquet(s"$path/log")
+          .join(broadcast(affected), Seq("user_id"))
+        val fresh = graft.operators.Funnel.stages(slice, stageTypes)
+        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+        val merged =
+          if (fs.exists(ptr)) {
+            val v = {
+              val in = fs.open(ptr)
+              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+            }
+            spark.read.parquet(s"$path/$v")
+              .join(affected, Seq("user_id"), "left_anti")
+              .unionByName(fresh)
+          } else fresh
+        merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+        val out = fs.create(ptr, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Continuous ingestion into the durable fact-log layout
     * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
     * each micro-batch lands as new files inside the attribute

@@ -60,6 +60,47 @@ class StreamingSpec extends SparkSpec {
       (4L, 4.0, "kept"), (9L, 90.0, "inserted")))
   }
 
+  test("stream_funnel: delta-scoped recompute is exact under out-of-order arrival") {
+    import graft.operators.Funnel
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts_us")
+    val q = FactStream.ingestFunnel(events, s"$dir/state", s"$dir/ckpt")
+    // batch 1: user 1's click arrives BEFORE its signup exists; user 2
+    // completes signup+click; user 3 signs up (then never reappears)
+    input.addData((1L, "click", 20L), (2L, "signup", 10L), (2L, "click", 15L),
+      (3L, "signup", 7L))
+    q.processAllAvailable()
+    // batch 2: user 1's signup arrives LATE (must re-qualify the click
+    // already on file); user 2's purchase@12 predates its click -> no
+    input.addData((1L, "signup", 5L), (2L, "purchase", 12L))
+    q.processAllAvailable()
+    // batch 3: user 2 finally purchases after the click
+    input.addData((2L, "purchase", 30L))
+    q.processAllAvailable()
+    q.stop()
+    def ptr = {
+      val src = scala.io.Source.fromFile(s"$dir/state/_latest")
+      try src.mkString.trim finally src.close()
+    }
+    val streamed = spark.read.parquet(s"$dir/state/$ptr")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSet
+    val allEvents = Seq((1L, "click", 20L), (2L, "signup", 10L), (2L, "click", 15L),
+      (3L, "signup", 7L), (1L, "signup", 5L), (2L, "purchase", 12L),
+      (2L, "purchase", 30L)).toDF("user_id", "event_type", "ts_us")
+    val batch = Funnel.stages(allEvents, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSet
+    assert(streamed === batch)
+    // and the semantics: late signup re-qualified user 1's click;
+    // user 3's untouched row survived the upserts
+    assert(batch.exists(t => t._1 == 1L && t._3.contains(20L) && t._5 == 2))
+    assert(batch.exists(t => t._1 == 3L && t._5 == 1))
+    assert(batch.exists(t => t._1 == 2L && t._4.contains(30L) && t._5 == 3))
+  }
+
   test("windowed counts over a watermarked stream") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
