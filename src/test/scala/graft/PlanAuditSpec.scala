@@ -486,4 +486,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
       s"expected pushed year-range filters:\n$p")
   }
+
+  test("sim_hybrid: AQE reuses the corpus tf exchange across scorer branches") {
+    // reuse is an ADAPTIVE decision — inspect the plan after execution
+    val df = (RelationalQueries.queries ++ PipelineQueries.queries)(
+      "sim_hybrid")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // bm25's dl/stats and the hash-embedding branch all derive from
+    // the ONE (doc_id, tok) tf reduce; the query-term slice is BETTER
+    // than reuse (its filter pushes below the shuffle). If every
+    // ReusedExchange disappears, the corpus is being exploded and
+    // shuffled independently per branch.
+    assert(p.contains("ReusedExchange"), s"expected tf exchange reuse:\n$p")
+  }
+
+  test("q_merge_cdc: changelog reduces by aggregation, never a per-key window") {
+    val p = plan("q_merge_cdc")
+    // latest-per-key must be the map-side-combinable max_by reduce; a
+    // Window here means the raw changelog is being sorted per key —
+    // the shape that dies at 100 TB changelog volume
+    assert(!p.contains("Window"), s"expected no per-key window:\n$p")
+    assert(p.contains("max_by") || p.contains("MaxBy"),
+      s"expected max_by reduce:\n$p")
+  }
+
+  test("q_funnel: stage chain is min-reduces + joins, never a per-user sort") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), s"expected no per-user window:\n$p")
+    // every stage min is a partial-aggregating HashAggregate
+    assert(p.contains("HashAggregate"), s"expected hash-agg stage mins:\n$p")
+  }
+
+  test("q_retention: cohort matrix from reduces, never a per-user window") {
+    val p = plan("q_retention")
+    assert(!p.contains("Window"), s"expected no window:\n$p")
+  }
 }
