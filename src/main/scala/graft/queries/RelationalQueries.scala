@@ -478,6 +478,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // MAX CONCURRENCY (interval-overlap counting) by DISTRIBUTED
+    // sweep-line: sessions (the q_sessionize derivation) become ±1
+    // boundary events; the global running sum splits into a per-DAY
+    // window (partition bounded by one day's boundary volume) plus
+    // cumulative day offsets over the tiny per-day-totals relation —
+    // the two-phase distributed prefix sum, never one global-order
+    // window over all boundaries. RANGE-frame peer semantics make the
+    // running sum deterministic under timestamp ties in both engines.
+    "q_concurrency" -> ((s, dir) => {
+      val dayUs = 86400L * 1000 * 1000
+      val gapUs = 1800L * 1000 * 1000
+      val ev = events(s, dir).select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sess = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val bounds = sess.select(col("t0").as("t"), lit(1).as("delta"))
+        .unionAll(sess.select((col("t1") + 1).as("t"), lit(-1).as("delta")))
+        .withColumn("day", expr(s"t div $dayUs"))
+      val wd = Window.partitionBy(col("day"))
+        .orderBy(col("t"), col("delta").desc) // RANGE default: peers share
+      val local = bounds.withColumn("run", sum(col("delta")).over(wd))
+      val wo = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bounds.groupBy(col("day")).agg(sum(col("delta")).as("dtot"))
+        .withColumn("off", coalesce(sum(col("dtot")).over(wo), lit(0L)))
+        .select(col("day"), col("off"))
+      local.join(offsets, Seq("day"))
+        .groupBy(col("day"))
+        .agg(max(col("run") + col("off")).as("max_conc"))
+    }),
+
     // data-profiling histogram: fixed-width value buckets with count /
     // exact sum / min / max per bucket — ONE map-side-combinable
     // shuffle of |buckets| groups. Bucket arithmetic is plain floor
@@ -756,6 +793,29 @@ object RelationalQueries {
                  round(min(o_totalprice), 6) AS lo,
                  round(max(o_totalprice), 6) AS hi
           FROM orders GROUP BY 1""",
+    // the oracle states the sweep-line as ONE global running sum (the
+    // semantic definition); the Spark side must decompose it into the
+    // per-day + offset form and land on identical values
+    "q_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                             OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS ns
+                    FROM ev),
+              s2 AS (SELECT user_id, ts_us,
+                            SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+                     FROM g),
+              sess AS (SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
+                       FROM s2 GROUP BY 1, 2),
+              b AS (SELECT t0 AS t, 1 AS delta FROM sess
+                    UNION ALL SELECT t1 + 1, -1 FROM sess),
+              r AS (SELECT t, delta,
+                           SUM(delta) OVER (ORDER BY t, delta DESC) AS run
+                    FROM b)
+         SELECT t // 86400000000 AS day, max(run) AS max_conc
+         FROM r GROUP BY 1""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
               su AS (SELECT user_id, min(ts_us) AS signup_us FROM ev
