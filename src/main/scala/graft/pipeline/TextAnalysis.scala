@@ -912,6 +912,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("kw_rank"), col("vec_rank"), col("rrf"))
   }
 
+  /** EXACT heavy hitters with bounded memory — the two-pass
+    * Misra-Gries pattern: pass 1 tree-reduces the corpus token stream
+    * to ≤k counters (graft.functions.MisraGries, a mergeable summary —
+    * any token with frequency > N/(k+1) is guaranteed retained under
+    * arbitrary partitioning); pass 2 exact-counts ONLY the ≤k
+    * candidates (the isin filter prunes in the map stage) and keeps
+    * those over the threshold. Output = exactly the tokens with
+    * count·(k+1) > N, with exact counts — deterministic, so it carries
+    * a plain GROUP BY / HAVING oracle even though the sketch is
+    * approximate. The candidate collect is ≤k rows (a parameter fetch).
+    * At 100 TB this replaces a full-vocabulary shuffle with one
+    * k-counter reduce + one k-key aggregation. */
+  def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks = docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sketch = toks.as[String]
+      .select(new graft.functions.MisraGries(k).toColumn).head()
+    val candidates = sketch.keys.toSeq
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("tok"), col("cnt"))
+  }
+
   /** Snapshot-over-snapshot distribution DRIFT report (crawl
     * monitoring): per source, the token-mass share in snapshot A vs B
     * with L1 and KL contributions — the datasheet a 100 TB ingestion

@@ -488,6 +488,13 @@ object PipelineQueries {
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
 
+    // exact heavy hitters via the two-pass Misra-Gries pattern:
+    // mergeable k-counter sketch -> candidates -> exact verify of the
+    // <=k candidates only; output is deterministic (tokens with
+    // count*(k+1) > N, exact counts) so it carries a plain SQL oracle
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), k = 32)),
+
     // SemDeDup-style semantic dedup: k-means cluster-scoped cosine
     // near-dup groups over the embedding corpus (candidates Σ|cell|²,
     // never corpus²); rows-only — planted-pair ground truth in
@@ -1170,6 +1177,13 @@ object PipelineQueries {
                 CAST(start // 512 AS BIGINT) AS pack,
                 CAST(start % 512 AS BIGINT) AS pack_offset
          FROM c""",
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+              n AS (SELECT count(*) AS n FROM t)
+         SELECT tok, count(*) AS cnt
+         FROM t, n GROUP BY tok, n.n
+         HAVING count(*) * 33 > n.n""",
     // BM25: identical formula with identical association order and the
     // constants written as the same double expressions Scala computes
     // (1.2 + 1.0, 1.0 - 0.75) so both engines evaluate the same IEEE

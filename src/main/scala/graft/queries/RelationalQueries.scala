@@ -478,6 +478,36 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Deequ-style DATA-QUALITY constraint report over a table: null
+    // checks, key uniqueness, value ranges fused into ONE scan (a
+    // single conditional-aggregate pass, unpivoted to report rows);
+    // referential integrity is the one extra anti-join (orphan
+    // o_custkey vs customer). The report a pipeline gates a snapshot
+    // on before admitting it downstream.
+    "q_dq_report" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val fused = o.agg(
+        count(lit(1)).as("total"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+          .as("dup_orderkey"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("o_orderdate") < lit("1990-01-01"), 1L).otherwise(0L))
+          .as("ancient_date"))
+      val scalarChecks = fused.select(col("total"), expr(
+        """stack(4, 'null_custkey', null_custkey, 'dup_orderkey', dup_orderkey,
+                    'nonpos_price', nonpos_price, 'ancient_date', ancient_date)
+           AS (chk, violations)"""))
+      val orphans = o.join(read(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(broadcast(fused.select(col("total"))))
+        .select(col("total"), lit("fk_orphan_custkey").as("chk"), col("violations"))
+      scalarChecks.unionByName(orphans)
+        .select(col("chk"), col("violations"), col("total"),
+          (col("violations") === 0).as("pass"))
+    }),
+
     // MAX CONCURRENCY (interval-overlap counting) by DISTRIBUTED
     // sweep-line: sessions (the q_sessionize derivation) become ±1
     // boundary events; the global running sum splits into a per-DAY
@@ -793,6 +823,24 @@ object RelationalQueries {
                  round(min(o_totalprice), 6) AS lo,
                  round(max(o_totalprice), 6) AS hi
           FROM orders GROUP BY 1""",
+    "q_dq_report" ->
+      """WITH f AS (SELECT count(*) AS total,
+                           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+                           count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_orderkey,
+                           SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS nonpos_price,
+                           SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                               THEN 1 ELSE 0 END) AS ancient_date
+                    FROM orders),
+              orph AS (SELECT count(*) AS violations FROM orders
+                       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+              rows_ AS (
+                SELECT 'null_custkey' AS chk, null_custkey AS violations, total FROM f
+                UNION ALL SELECT 'dup_orderkey', dup_orderkey, total FROM f
+                UNION ALL SELECT 'nonpos_price', nonpos_price, total FROM f
+                UNION ALL SELECT 'ancient_date', ancient_date, total FROM f
+                UNION ALL SELECT 'fk_orphan_custkey', orph.violations, f.total
+                          FROM orph, f)
+         SELECT chk, violations, total, violations = 0 AS pass FROM rows_""",
     // the oracle states the sweep-line as ONE global running sum (the
     // semantic definition); the Spark side must decompose it into the
     // per-day + offset form and land on identical values

@@ -1043,6 +1043,21 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("heavyHitters: MG retention guarantee on a skewed stream; exact output") {
+    // two heavy tokens (30% and 20%) + a 1000-token distinct tail,
+    // shuffled across many partitions — the sketch (k=8) must retain
+    // both heavies (true freq > N/9) through arbitrary merge order,
+    // and the two-pass output must be EXACTLY the > N/9 set
+    val rows = (Seq.fill(600)("alpha") ++ Seq.fill(400)("beta") ++
+      (0 until 1000).map(i => s"tail$i"))
+    val docs = scala.util.Random.shuffle(rows).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text").repartition(16)
+    val out = TextAnalysis.heavyHitters(docs, k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = 2000; threshold N/9 ≈ 222 → alpha(600) and beta(400) only
+    assert(out === Map("alpha" -> 600L, "beta" -> 400L))
+  }
+
   test("semanticDedup: planted near-identical embeddings group; distinct survive") {
     // two well-separated families (axis 0 vs axis 3); ids 1/2/3 are
     // near-identical within family A (two exact + one ~0.9999 cosine
