@@ -598,6 +598,52 @@ object FactStream {
       }
   }
 
+  /** LIVE heavy hitters (the §2C text_heavy_hitters twin): the
+    * Misra-Gries summary is MERGEABLE, so the streamed state is just
+    * the running merge of per-batch sketches — k counters + the token
+    * total, published as a versioned sidecar (atomic pointer). The
+    * retention guarantee (> N/(k+1) ⇒ retained) survives ANY merge
+    * order, so candidates drawn from the live sketch at any point are
+    * a sound input to the exact verify pass over the corpus so far —
+    * exact output values do not depend on batch boundaries
+    * (spec-pinned against the batch operator). State is k+1 rows,
+    * independent of stream volume. */
+  def ingestHeavyHitters(docs: DataFrame, path: String, checkpoint: String,
+                         k: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val mg = new graft.functions.MisraGries(k)
+        val toks = batch.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        val bSketch = toks.as[String].select(mg.toColumn).head()
+        val bN = toks.count()
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+        val (prevSketch, prevN) =
+          if (fs.exists(ptr)) {
+            val v = {
+              val in = fs.open(ptr)
+              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+            }
+            val rows = spark.read.parquet(s"$path/$v").collect()
+            (rows.filter(_.getString(0) != "__total__")
+              .map(r => r.getString(0) -> r.getLong(1)).toMap,
+              rows.find(_.getString(0) == "__total__").map(_.getLong(1)).getOrElse(0L))
+          } else (Map.empty[String, Long], 0L)
+        val merged = mg.merge(prevSketch, bSketch)
+        (merged.toSeq :+ ("__total__", prevN + bN))
+          .toDF("tok", "cnt")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+        val out = fs.create(ptr, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Continuous sequence PACKING — the streaming tail of the curation
     * pipeline: per micro-batch, documents get fixed-token-budget pack
     * assignments (TextAnalysis.packSequences, shard-parallel) and land

@@ -101,6 +101,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(t => t._1 == 2L && t._4.contains(30L) && t._5 == 3))
   }
 
+  test("stream_heavy: merged live sketch retains heavies; exact verify matches batch") {
+    import graft.pipeline.TextAnalysis
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mg").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = FactStream.ingestHeavyHitters(docs, s"$dir/state", s"$dir/ckpt", k = 8)
+    // heavy tokens split ACROSS batches (neither batch alone is decisive)
+    val b1 = (0 until 300).map(i => (i.toLong, "alpha")) ++
+      (300 until 600).map(i => (i.toLong, s"tail${i}a tail${i}b"))
+    val b2 = (600 until 900).map(i => (i.toLong, "alpha beta")) ++
+      (900 until 1100).map(i => (i.toLong, "beta")) ++
+      (1100 until 1400).map(i => (i.toLong, s"tl${i}a tl${i}b"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val ptr = {
+      val src = scala.io.Source.fromFile(s"$dir/state/_latest")
+      try src.mkString.trim finally src.close()
+    }
+    val rows = spark.read.parquet(s"$dir/state/$ptr").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // totals: alpha 600, beta 500, N = 600+500+600+600 = 2300; N/9 ≈ 255
+    assert(rows("__total__") === 2300L)
+    assert(rows.contains("alpha") && rows.contains("beta"),
+      s"retention guarantee violated: $rows")
+    // candidates from the LIVE sketch + exact verify over the full
+    // corpus == the batch operator end-to-end
+    val allDocs = (b1 ++ b2).toDF("doc_id", "text")
+    val candidates = rows.keys.filter(_ != "__total__").toSeq
+    val n = 2300L
+    val viaStream = allDocs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 9 > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBatch = TextAnalysis.heavyHitters(allDocs, k = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStream === viaBatch)
+    assert(viaBatch === Map("alpha" -> 600L, "beta" -> 500L))
+  }
+
   test("windowed counts over a watermarked stream") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
