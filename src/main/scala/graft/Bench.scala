@@ -12,12 +12,14 @@ object Bench {
     // events analytics (restored r11 after two blind rounds — benched
     // so a future loader/encoding break also shows up as a perf hole)
     "q_sessionize", "q_pivot", "q_percentile", "q_resample",
-    "q_window_range", "q_skew_join", "q_merge_cdc",
+    "q_window_range", "q_skew_join", "q_merge_cdc", "q_funnel",
+    "q_concurrency",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_rule_mutual",
     "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid", "mm_audio",
-    "text_quality", "text_tfidf", "text_collocations", "pipeline_pack", "pipeline_e2e",
+    "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
+    "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",
     "graph_kcore", "graph_temporal", "graph_lpa")
 

@@ -478,6 +478,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // SCD TYPE-2 dimension build (the versioned-history complement of
+    // q_merge_cdc's latest-wins): every change becomes a validity
+    // interval [valid_from, valid_to) via lead() per key — the window
+    // partition is ONE key's change history (dimension churn, never
+    // fact volume); open intervals are the current rows.
+    "q_scd2" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"),
+        round(col("value"), 6).as("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("value"), col("ts_us").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    }),
+
     // Deequ-style DATA-QUALITY constraint report over a table: null
     // checks, key uniqueness, value ranges fused into ONE scan (a
     // single conditional-aggregate pass, unpivoted to report rows);
@@ -823,6 +839,13 @@ object RelationalQueries {
                  round(min(o_totalprice), 6) AS lo,
                  round(max(o_totalprice), 6) AS hi
           FROM orders GROUP BY 1""",
+    "q_scd2" ->
+      """SELECT user_id, round(value, 6) AS value, ts_us AS valid_from,
+                lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS valid_to,
+                lead(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) IS NULL AS is_current
+         FROM (SELECT user_id, value, epoch_us(ts) AS ts_us, event_id FROM events) t""",
     "q_dq_report" ->
       """WITH f AS (SELECT count(*) AS total,
                            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
