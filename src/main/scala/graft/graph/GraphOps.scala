@@ -79,15 +79,25 @@ object GraphOps {
     * Semi-naive on (node, bestT): a frontier entry only expands through
     * edges later than its arrival time.
     */
-  def temporalReach(tEdges: DataFrame, sources: Seq[Long], maxHops: Int)
+  def temporalReach(tEdges: DataFrame, sources: Seq[Long], maxHops: Int,
+                    materializeEdges: Boolean = true)
                    (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // Edge set materialized once (it is often a derived join — e.g. the
-    // banded co-activity self-join — that must not re-execute per hop).
+    // materializeEdges = true: edge set checkpointed once (a derived
+    // join that re-executing per hop would repeat).
+    // materializeEdges = FALSE — the high-density scale path: when
+    // tEdges is itself a banded self-join whose full output is
+    // quadratic in event density (the co-activity graph), materializing
+    // it can dwarf the query (a bounded-hop reach from few sources
+    // touches a vanishing fraction of it — the 100× probe's stacked
+    // time-density filled the spill disk building edges the 2-hop
+    // query never read). Left lazy, each hop's frontier⋈edges is a
+    // 3-way join Catalyst reorders frontier-first, so only
+    // frontier-adjacent bands ever compute.
     // One checkpoint per hop (the frontier); the best-arrival set is a
     // union tree of frontiers resolved by a final groupBy-min, so the
     // accumulated state is never re-materialized during iteration.
-    val edges = tEdges.localCheckpoint(true)
+    val edges = if (materializeEdges) tEdges.localCheckpoint(true) else tEdges
     var frontier = sources.toDF("node").withColumn("arrival", lit(Long.MinValue))
       .localCheckpoint(true)
     val parts = collection.mutable.ArrayBuffer(frontier)

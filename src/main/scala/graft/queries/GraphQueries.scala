@@ -166,7 +166,12 @@ object GraphQueries {
           "ts_us", "dst_us", radius)
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), greatest(col("ts_us"), col("dst_us")).as("t"))
-      GraphOps.temporalReach(tEdges, Seq(0L), maxHops = 2)
+      // materializeEdges = false: the co-activity pair graph is
+      // quadratic in event time-density; the 2-hop reach from one
+      // source must not pay its full materialization (frontier-first
+      // join order computes only frontier-adjacent time bands)
+      GraphOps.temporalReach(tEdges, Seq(0L), maxHops = 2,
+          materializeEdges = false)
         .select(col("node").as("user_id"), col("arrival"))
     })
   )

@@ -1043,6 +1043,20 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("temporalReach: increasing-time paths only; lazy edges == materialized") {
+    // 1 -(t=10)-> 2 -(t=20)-> 3 is reachable; 1 -(t=10)-> 4 -(t=5)-> 5
+    // is NOT (time decreases); 2 -(t=15)-> 6 gives 6 via min arrival 15
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 4L, 10L),
+      (4L, 5L, 5L), (2L, 6L, 15L)).toDF("src", "dst", "t")
+    def run(mat: Boolean) =
+      GraphOps.temporalReach(edges, Seq(1L), maxHops = 3, materializeEdges = mat)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> Long.MinValue, 2L -> 10L, 3L -> 20L,
+      4L -> 10L, 6L -> 15L) // 5 unreachable: its edge is earlier than arrival at 4
+    assert(run(mat = true) === expect)
+    assert(run(mat = false) === expect)
+  }
+
   test("heavyHitters: MG retention guarantee on a skewed stream; exact output") {
     // two heavy tokens (30% and 20%) + a 1000-token distinct tail,
     // shuffled across many partitions — the sketch (k=8) must retain
