@@ -488,6 +488,16 @@ object PipelineQueries {
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
 
+    // zlib compression-ratio quality gate (too-compressible = templated
+    // junk): native codegen'd expression, map-only scan. rows-only —
+    // deflate length is JDK-deterministic, not a cross-engine contract;
+    // planted-text spec carries the hard check.
+    "text_compress_ratio" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(graft.functions.DeflateRatio.deflateRatio(col("text")), 4)
+          .as("deflate_ratio"))
+        .withColumn("keep", col("deflate_ratio") >= 0.25)),
+
     // exact heavy hitters via the two-pass Misra-Gries pattern:
     // mergeable k-counter sketch -> candidates -> exact verify of the
     // <=k candidates only; output is deterministic (tokens with

@@ -1057,6 +1057,24 @@ class GroundTruthSpec extends SparkSpec {
     assert(run(mat = false) === expect)
   }
 
+  test("deflateRatio: repetitive text compresses far below prose; scalar parity") {
+    import graft.functions.DeflateRatio
+    val repetitive = "spam " * 400
+    val prose = (0 until 400).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, prose)).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        DeflateRatio.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the expression (codegen path) equals the scalar helper (eval path)
+    assert(out(1L) === DeflateRatio.ratio(
+      org.apache.spark.unsafe.types.UTF8String.fromString(repetitive)))
+    assert(out(2L) === DeflateRatio.ratio(
+      org.apache.spark.unsafe.types.UTF8String.fromString(prose)))
+    // and the signal separates: templated junk far below varied text
+    assert(out(1L) < 0.1, s"repetitive ratio ${out(1L)}")
+    assert(out(2L) > 3 * out(1L), s"prose ${out(2L)} vs junk ${out(1L)}")
+  }
+
   test("heavyHitters: MG retention guarantee on a skewed stream; exact output") {
     // two heavy tokens (30% and 20%) + a 1000-token distinct tail,
     // shuffled across many partitions — the sketch (k=8) must retain
