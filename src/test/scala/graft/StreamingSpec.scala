@@ -101,6 +101,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(t => t._1 == 2L && t._4.contains(30L) && t._5 == 3))
   }
 
+  test("stream_scd2: a late change splits an interval already on file; matches batch") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2").toString
+    val input = MemoryStream[(Long, Double, Long, Long)]
+    val changes = input.toDF().toDF("user_id", "value", "ts_us", "event_id")
+    val q = FactStream.ingestScd2(changes, s"$dir/state", s"$dir/ckpt")
+    // batch 1: user 1 has changes at t=10 and t=30 → [10,30) and [30,∞)
+    input.addData((1L, 1.0, 10L, 1L), (1L, 3.0, 30L, 2L), (2L, 9.0, 5L, 3L))
+    q.processAllAvailable()
+    // batch 2: a LATE change at t=20 must split [10,30) into [10,20)+[20,30)
+    input.addData((1L, 2.0, 20L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val ptr = {
+      val src = scala.io.Source.fromFile(s"$dir/state/_latest")
+      try src.mkString.trim finally src.close()
+    }
+    val streamed = spark.read.parquet(s"$dir/state/$ptr")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString.toLong), r.getBoolean(4))).toSet
+    assert(streamed === Set(
+      (1L, 1.0, 10L, Some(20L), false),
+      (1L, 2.0, 20L, Some(30L), false),
+      (1L, 3.0, 30L, None, true),
+      (2L, 9.0, 5L, None, true)))
+  }
+
   test("stream_heavy: merged live sketch retains heavies; exact verify matches batch") {
     import graft.pipeline.TextAnalysis
     implicit val sql = spark.sqlContext
