@@ -174,6 +174,20 @@ object DatalogQueries {
         Pattern(V("n"), C("n_regionkey_ref"), V("r")),
         Pattern(V("r"), C("r_name"), V("rn"))))))),
 
+    // STRATIFIED negation THROUGH a rule: quiet customers = those the
+    // `has-urgent` rule does NOT derive — the rule layer resolves
+    // fully (stratum 0) before the negation consumes it (stratum 1);
+    // the compiler rejects the non-stratified cycle variant
+    // (CompilerSpec), this key proves the legal form end-to-end.
+    "dl_rule_neg" -> q(static, Query(
+      find = Seq(FVar(V("cn"), "c_name")),
+      where = And(
+        Pattern(V("c"), C("c_name"), V("cn")),
+        Not(RuleApp("has-urgent", V("c")))),
+      rules = Seq(Rule("has-urgent", Seq(V("cc")), And(
+        Pattern(V("o"), C("o_custkey_ref"), V("cc")),
+        Pattern(V("o"), C("o_orderpriority"), C("1-URGENT"))))))),
+
     // Recursive transitive closure over a binary-tree parent edge derived
     // from nation keys: parent(x) = floor((x-1)/2). Exercises the
     // semi-naive fixpoint (reference rules, query.clj:260-274).
@@ -534,6 +548,11 @@ object DatalogQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'AFRICA'""",
+    "dl_rule_neg" ->
+      """SELECT DISTINCT c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
     "dl_rule_rec" ->
       """WITH RECURSIVE parent AS (
            SELECT n_nationkey AS x, CAST(floor((n_nationkey - 1) / 2.0) AS BIGINT) AS y
