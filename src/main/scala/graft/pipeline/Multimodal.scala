@@ -232,4 +232,79 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, AudioWinSchema)
   }
+
+  /** 64-bit AVERAGE HASH (aHash) of an image payload: real decode,
+    * bilinear downsample to 8×8, luminance per cell, bit = cell above
+    * the mean — the standard perceptual fingerprint that survives
+    * re-encoding and resizing (the downsample IS the normalization).
+    * Unsniffable payloads fall back to an md5-derived 64-bit content
+    * hash, so the non-image test harness still dedups exact payloads.
+    * Deterministic for a fixed JDK (one cluster = one answer). */
+  private[graft] def aHash(bytes: Array[Byte]): Option[Long] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null): Unit
+      } finally g.dispose()
+      val lum = new Array[Int](64)
+      var s = 0L
+      var i = 0
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        // integer ITU-R 601 luma: deterministic, no float rounding
+        lum(i) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        s += lum(i)
+        i += 1
+      }
+      val mean = s / 64
+      var h = 0L
+      i = 0
+      while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+      Some(h)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  private val HashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("phash", LongType)))
+
+  /** Per-payload perceptual hash column (mapPartitions batch shape). */
+  def imageHashes(withMedia: DataFrame): DataFrame = {
+    val spark = withMedia.sparkSession
+    val rdd = withMedia.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val h = (if (bytes == null) None else aHash(bytes)).getOrElse {
+          // md5-derived content hash for non-image payloads
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(if (bytes == null) Array.empty[Byte] else bytes)
+          java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+        }
+        Row(docId, h)
+      }
+    }
+    spark.createDataFrame(rdd, HashSchema)
+  }
+
+  /** IMAGE DEDUP on the perceptual hash: exact-hash groups collapse
+    * keep-min-id — the image counterpart of Dedup.exact (re-encoded /
+    * resized copies share the hash BY CONSTRUCTION of aHash, so no
+    * verify join is needed at the exact-match tier; a hamming tier
+    * would ride the SimHash pigeonhole block join if near-dups were
+    * wanted). One |distinct-hash|-group shuffle. */
+  def imageDedup(withMedia: DataFrame): DataFrame = {
+    val h = imageHashes(withMedia)
+    val keep = h.groupBy(col("phash")).agg(min(col("doc_id")).as("keep_id"))
+    h.join(keep, Seq("phash"))
+      .select(col("doc_id"), col("phash"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"))
+  }
 }

@@ -488,6 +488,13 @@ object PipelineQueries {
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
 
+    // perceptual-hash IMAGE dedup (aHash: decode → 8×8 bilinear →
+    // above-mean bits; md5 fallback for the non-image harness payloads)
+    // — the image counterpart of dedup_exact; rows-only, planted-image
+    // spec carries re-encode/resize invariance
+    "mm_image_dedup" -> ((s, dir) =>
+      Multimodal.imageDedup(Multimodal.asBinary(docs(s, dir)))),
+
     // zlib compression-ratio quality gate (too-compressible = templated
     // junk): native codegen'd expression, map-only scan. rows-only —
     // deflate length is JDK-deterministic, not a cross-engine contract;

@@ -146,6 +146,39 @@ class OperatorsSpec extends SparkSpec {
       media.filter(col("doc_id") === 2L).head().getAs[Array[Byte]]("media")))
   }
 
+  test("imageDedup: aHash survives resize/re-encode; distinct content separates") {
+    // half-black/half-white split: every 8x8 cell is far from the mean,
+    // so the hash is stable under any downsample path
+    def split(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        val left = x < w / 2
+        val white = if (invert) !left else left
+        img.setRGB(x, y, if (white) 0xffffff else 0x000000)
+      })
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val media = Seq(
+      (1L, split(64, 64, invert = false)),
+      (2L, split(64, 64, invert = false)),   // identical bytes
+      (3L, split(32, 16, invert = false)),   // same content, other size
+      (4L, split(64, 64, invert = true)),    // different content
+      (5L, "plain text payload".getBytes("UTF-8")),
+      (6L, "plain text payload".getBytes("UTF-8"))) // exact non-image dup
+      .toDF("doc_id", "media")
+    val out = Multimodal.imageDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false)), "resized copy must share the aHash")
+    assert(out(4L)._1 === 4L && out(4L)._2, "inverted image must separate")
+    assert(out(5L)._1 === 5L && out(6L) === ((5L, false)),
+      "md5 fallback dedups exact non-image payloads")
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
