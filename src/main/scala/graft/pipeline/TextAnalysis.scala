@@ -940,36 +940,40 @@ object TextAnalysis {
       .select(col("tok"), col("cnt"))
   }
 
-  /** Snapshot-over-snapshot distribution DRIFT report (crawl
-    * monitoring): per source, the token-mass share in snapshot A vs B
-    * with L1 and KL contributions — the datasheet a 100 TB ingestion
-    * pipeline checks before admitting a new crawl. Snapshots here are
-    * the deterministic doc_id parity (a stand-in for crawl ids). ONE
-    * corpus scan + one |sources|-sized reduce; the share
-    * normalization is a window over that tiny relation, never a
-    * second corpus pass. Exact-decimal token sums; one double
-    * division per cell at the end. */
-  def snapshotDrift(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The drift per-row projection — ONE definition shared by the batch
+    * [[snapshotDrift]] and the streaming twin (FactStream.driftStream),
+    * so the live drift cells can never diverge from the published
+    * datasheet (the profileStream discipline). Snapshot split =
+    * md5(doc_id) parity, NOT doc_id parity: the synthetic corpus
+    * assigns source = doc_id mod |sources|, so raw parity would put
+    * each source entirely in one snapshot (degenerate zero shares).
+    * The hash split is content-independent and engine-reproducible
+    * (the sample_split freeze discipline). */
+  private[graft] def driftPerRow(docs: DataFrame): DataFrame = {
+    val snapA = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(2)) === 0
+    docs.select(col("source"), snapA.as("in_a"),
+      wsTokens(col("text")).cast("long").as("ntok"))
+  }
+
+  /** The per-snapshot token sums — exact-decimal conditional sums,
+    * commutative+associative, so a streaming aggregation maintains
+    * them exactly. */
+  private[graft] def driftAggCols: Seq[Column] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def condSum(c: Column, p: Column): Column =
       sum(when(p, c).otherwise(lit(0L)).cast(DecimalType(25, 6)))
         .cast(DoubleType)
-    // snapshot split = md5(doc_id) parity, NOT doc_id parity: the
-    // synthetic corpus assigns source = doc_id mod |sources|, so raw
-    // parity would put each source entirely in one snapshot (degenerate
-    // zero shares). The hash split is content-independent and
-    // engine-reproducible (the sample_split freeze discipline).
-    val snapA = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-      16, 10).cast("long"), lit(2)) === 0
-    val per = docs
-      .select(col("source"), snapA.as("in_a"),
-        wsTokens(col("text")).cast("long").as("ntok"))
-      .groupBy(col("source"))
-      .agg(condSum(col("ntok"), col("in_a")).as("tok_a"),
-        condSum(col("ntok"), !col("in_a")).as("tok_b"))
+    Seq(condSum(col("ntok"), col("in_a")).as("tok_a"),
+      condSum(col("ntok"), !col("in_a")).as("tok_b"))
+  }
+
+  /** Shares + L1/KL from the (source, tok_a, tok_b) cell relation —
+    * a window over the |sources|-row relation, never a corpus pass. */
+  private[graft] def driftShares(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
-    per
+    cells
       .withColumn("share_a", col("tok_a") / sum(col("tok_a")).over(all))
       .withColumn("share_b", col("tok_b") / sum(col("tok_b")).over(all))
       .select(col("source"), col("tok_a"), col("tok_b"),
@@ -983,4 +987,16 @@ object TextAnalysis {
             log(col("share_a") / when(col("share_b") =!= 0, col("share_b")))), 6)
           .as("kl_term"))
   }
+
+  /** Snapshot-over-snapshot distribution DRIFT report (crawl
+    * monitoring): per source, the token-mass share in snapshot A vs B
+    * with L1 and KL contributions — the datasheet a 100 TB ingestion
+    * pipeline checks before admitting a new crawl. ONE corpus scan +
+    * one |sources|-sized reduce ([[driftPerRow]]/[[driftAggCols]],
+    * shared with the streaming twin); the share normalization is a
+    * window over that tiny relation ([[driftShares]]). */
+  def snapshotDrift(docs: DataFrame): DataFrame =
+    driftShares(driftPerRow(docs)
+      .groupBy(col("source"))
+      .agg(driftAggCols.head, driftAggCols.tail: _*))
 }

@@ -492,6 +492,23 @@ object FactStream {
       .agg(graft.pipeline.TextAnalysis.profileAggCols.head,
         graft.pipeline.TextAnalysis.profileAggCols.tail: _*)
 
+  /** LIVE crawl-drift cells (the §2C corpus_drift twin): the
+    * per-(source, snapshot) token sums maintained as a streaming
+    * aggregation — the sums are exact-decimal and
+    * commutative+associative, so the streamed cells are EXACTLY the
+    * batch sums of everything ingested; shares/L1/KL derive downstream
+    * over the |sources|-row output (TextAnalysis.driftShares), needing
+    * no corpus-sized state. Map side IS the batch operator's
+    * projection (driftPerRow) and the aggregates are the batch's
+    * (driftAggCols), so streamed cells cannot drift from the published
+    * datasheet — the profileStream discipline; spec pins streamed
+    * cells + driftShares == batch snapshotDrift. */
+  def driftStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.driftPerRow(docs)
+      .groupBy(col("source"))
+      .agg(graft.pipeline.TextAnalysis.driftAggCols.head,
+        graft.pipeline.TextAnalysis.driftAggCols.tail: _*)
+
   /** Streaming NEAR-dup gate — the MinHash/LSH counterpart of
     * [[dedupStream]] for continuous ingestion: each micro-batch is
     * near-deduped within itself by the BATCH operator

@@ -128,6 +128,27 @@ class StreamingSpec extends SparkSpec {
       (2L, 9.0, 5L, None, true)))
   }
 
+  test("stream_drift: streamed cells + driftShares == batch snapshotDrift") {
+    import graft.pipeline.TextAnalysis
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val q = FactStream.driftStream(docs)
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    val b1 = (0 until 60).map(i => (i.toLong, ("w " * (4 + i % 5)).trim, s"s${i % 3}"))
+    val b2 = (60 until 140).map(i => (i.toLong, ("v " * (3 + i % 7)).trim, s"s${i % 3}"))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamedCells = spark.table("drift")
+    val viaStream = TextAnalysis.driftShares(streamedCells)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val viaBatch = TextAnalysis.snapshotDrift((b1 ++ b2).toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(viaStream === viaBatch)
+    assert(viaStream.keySet === Set("s0", "s1", "s2"))
+  }
+
   test("stream_heavy: merged live sketch retains heavies; exact verify matches batch") {
     import graft.pipeline.TextAnalysis
     implicit val sql = spark.sqlContext
