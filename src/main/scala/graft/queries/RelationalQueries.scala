@@ -545,9 +545,20 @@ object RelationalQueries {
         .withColumn("sid", sum(col("new_sess")).over(w))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
-      val bounds = sess.select(col("t0").as("t"), lit(1).as("delta"))
-        .unionAll(sess.select((col("t1") + 1).as("t"), lit(-1).as("delta")))
+      // BOTH boundaries explode from one session row (a map-side
+      // Expand) — the unionAll form re-derived the whole sessionize
+      // subtree per branch: two corpus scans and two per-user window
+      // passes for the same relation (caught by .explain). The two
+      // downstream consumers (per-day running sums, per-day totals)
+      // read a MATERIALIZED boundary relation — it is 2×sessions rows
+      // (bounded, far below corpus), so one checkpoint beats
+      // re-running the per-user sessionize windows per consumer.
+      val bounds = sess.select(explode(array(
+          struct(col("t0").as("t"), lit(1).as("delta")),
+          struct((col("t1") + 1).as("t"), lit(-1).as("delta")))).as("b"))
+        .select(col("b.t").as("t"), col("b.delta").as("delta"))
         .withColumn("day", expr(s"t div $dayUs"))
+        .localCheckpoint(true)
       val wd = Window.partitionBy(col("day"))
         .orderBy(col("t"), col("delta").desc) // RANGE default: peers share
       val local = bounds.withColumn("run", sum(col("delta")).over(wd))
