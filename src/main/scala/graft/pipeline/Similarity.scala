@@ -113,6 +113,50 @@ object Similarity {
     centroids
   }
 
+  /** Greedy K-CENTER coreset selection (Gonzalez 1985 2-approximation;
+    * the facility-location flavor of diverse-subset sampling used for
+    * curation — pick k maximally-spread exemplars from the embedding
+    * corpus). Deterministic: seed = min id; each round adds the point
+    * FARTHEST (squared L2, computed from codegen'd dots) from its
+    * nearest already-chosen center, ties to the smallest id. k rounds
+    * of one map-only distance projection + one max_by reduce; each
+    * round collects ONE row (a parameter fetch) — the standard
+    * model-sized driver loop (cf. lloyd). Returns (id, pick_order,
+    * dist_to_prev) — dist_to_prev is the coverage radius the selection
+    * achieved so far, the quantity a curation run monitors. */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = data.orderBy(col("id")).limit(1)
+        .select(col("id"), col("vec")).head()
+      var centers = Seq((seed.getLong(0), seed.getSeq[Double](1).toSeq, 0.0))
+      for (_ <- 1 until k) {
+        val cents = centers.map(_._2)
+        // squared L2 to nearest chosen center, via dots (one pass)
+        val dists = cents.map { c =>
+          val cCol = array(c.map(lit): _*)
+          dot(col("vec"), col("vec")) - lit(2.0) * dot(col("vec"), cCol) +
+            lit(c.map(x => x * x).sum)
+        }
+        val nearest = if (dists.size == 1) dists.head else least(dists: _*)
+        val far = data
+          .withColumn("d", nearest)
+          .agg(expr("max_by(named_struct('id', id, 'vec', vec, 'd', d), " +
+            "named_struct('d', d, 'nid', -id))").as("f"))
+          .select(col("f.id"), col("f.vec"), col("f.d")).head()
+        centers = centers :+ ((far.getLong(0), far.getSeq[Double](1).toSeq,
+          far.getDouble(2)))
+      }
+      centers.zipWithIndex
+        .map { case ((id, _, d), i) => (id, i, d) }
+        .toDF("id", "pick_order", "dist_to_prev")
+    } finally { data.unpersist(); () }
+  }
+
   /** Train the coarse quantizer + assign every vector to its cell —
     * the one-off indexing pass. */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

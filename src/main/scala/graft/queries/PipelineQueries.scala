@@ -488,6 +488,15 @@ object PipelineQueries {
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
 
+    // greedy k-center coreset selection (diverse-subset sampling for
+    // curation): k maximally-spread exemplars, deterministic
+    // (min-id seed, farthest-point rounds with min-id ties) — rows-only,
+    // planted-cluster coverage spec
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(emb(s, dir), "vec_id", "vec", k = 8)
+        .select(col("id"), col("pick_order"), round(col("dist_to_prev"), 6)
+          .as("dist_to_prev"))),
+
     // perceptual-hash IMAGE dedup (aHash: decode → 8×8 bilinear →
     // above-mean bits; md5 fallback for the non-image harness payloads)
     // — the image counterpart of dedup_exact; rows-only, planted-image

@@ -1043,6 +1043,27 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("kCenterSelect: planted clusters each get a center before any is doubled") {
+    // three tight clusters on separated axes + slight within-cluster
+    // jitter; k=3 must pick one exemplar from EACH cluster (greedy
+    // farthest-point cannot double a cluster while another is uncovered)
+    def v(axis: Int, eps: Double): Seq[Double] = {
+      val a = Array.fill(6)(0.0); a(axis) = 10.0; a((axis + 1) % 6) = eps; a.toSeq
+    }
+    val emb = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.1)), (3L, v(0, 0.2)),
+      (10L, v(2, 0.0)), (11L, v(2, 0.1)),
+      (20L, v(4, 0.0)), (21L, v(4, 0.1))).toDF("vec_id", "vec")
+    val picks = Similarity.kCenterSelect(emb, "vec_id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(picks.map(_._1).head === 1L) // deterministic min-id seed
+    val clusters = picks.map(_._1 / 10).toSet
+    assert(clusters === Set(0L, 1L, 2L), s"picks: ${picks.mkString(",")}")
+    // coverage radius is decreasing in pick order (greedy invariant)
+    val ds = picks.sortBy(_._2).map(_._3).drop(1)
+    assert(ds === ds.sorted.reverse, s"radii not monotone: $ds")
+  }
+
   test("temporalReach: increasing-time paths only; lazy edges == materialized") {
     // 1 -(t=10)-> 2 -(t=20)-> 3 is reachable; 1 -(t=10)-> 4 -(t=5)-> 5
     // is NOT (time decreases); 2 -(t=15)-> 6 gives 6 via min arrival 15
