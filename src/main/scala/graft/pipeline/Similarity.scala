@@ -157,6 +157,51 @@ object Similarity {
     } finally { data.unpersist(); () }
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998) —
+    * the serving-side diversity step: from a relevance-ranked candidate
+    * list, greedily pick argmax λ·rel − (1−λ)·max-cosine-to-picked, so
+    * near-duplicate hits don't crowd the result page. The candidate
+    * list is k-sized BY CONSTRUCTION (it comes out of topK /
+    * annTopKIndexed / hybridRetrieve), so the O(k²) greedy loop runs on
+    * the driver over collected candidates — bounded model-side work,
+    * like the probe-vector fetch; the corpus-sized stage is the
+    * candidate generation that precedes this. Deterministic: ties to
+    * the smallest id. Returns (id, mmr_order, mmr_score). */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+                relCol: String, kFinal: Int,
+                lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates
+      .select(col(idCol).cast("long"), col(vecCol), col(relCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val pickedVecs = collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = collection.mutable.ArrayBuffer(cand: _*)
+    while (picked.size < math.min(kFinal, cand.length)) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val maxSim = if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.map(p => cos(v, p)).max
+        (id, v, lambda * rel - (1.0 - lambda) * maxSim)
+      }
+      val best = scored.minBy { case (id, _, s) => (-s, id) }
+      val idx = remaining.indexWhere(_._1 == best._1)
+      picked += ((best._1, picked.size, best._3))
+      pickedVecs += best._2
+      remaining.remove(idx): Unit
+    }
+    picked.toSeq.toDF("id", "mmr_order", "mmr_score")
+      .select(col("id"), col("mmr_order"), round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   /** Train the coarse quantizer + assign every vector to its cell —
     * the one-off indexing pass. */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,

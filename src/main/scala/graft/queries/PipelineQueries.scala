@@ -488,6 +488,18 @@ object PipelineQueries {
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
 
+    // MMR diversity re-rank over the cosine top-50 candidates (the
+    // serving-side dual of sample_kcenter; k-sized driver loop on a
+    // by-construction-bounded candidate list) — rows-only,
+    // duplicate-crowding spec
+    "sim_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = Similarity.topK(e, "vec_id", "vec", probeVec(s, dir), 50,
+          excludeId = Some(0L))
+        .join(e.select(col("vec_id").as("id"), col("vec")), Seq("id"))
+      Similarity.mmrRerank(cands, "id", "vec", "cos", kFinal = 10)
+    }),
+
     // greedy k-center coreset selection (diverse-subset sampling for
     // curation): k maximally-spread exemplars, deterministic
     // (min-id seed, farthest-point rounds with min-id ties) — rows-only,

@@ -1043,6 +1043,24 @@ class GroundTruthSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("mmrRerank: near-duplicate top hits stop crowding the result page") {
+    // relevance order alone would return the three near-identical
+    // copies of the best hit first; MMR must interleave the distinct
+    // runner-up families instead
+    def v(axis: Int, eps: Double): Seq[Double] = {
+      val a = Array.fill(4)(0.0); a(axis) = 1.0; a((axis + 1) % 4) = eps; a.toSeq
+    }
+    val cands = Seq(
+      (1L, v(0, 0.00), 0.99), (2L, v(0, 0.01), 0.98), (3L, v(0, 0.02), 0.97),
+      (10L, v(1, 0.00), 0.90), (20L, v(2, 0.00), 0.85)).toDF("id", "vec", "rel")
+    val order = graft.pipeline.Similarity
+      .mmrRerank(cands, "id", "vec", "rel", kFinal = 3, lambda = 0.5)
+      .orderBy(col("mmr_order")).collect().map(_.getLong(0)).toSeq
+    assert(order.head === 1L) // best relevance first
+    // picks 2 and 3 must come from the OTHER families, not the dup pile
+    assert(order.tail.toSet === Set(10L, 20L), s"order: $order")
+  }
+
   test("kCenterSelect: planted clusters each get a center before any is doubled") {
     // three tight clusters on separated axes + slight within-cluster
     // jitter; k=3 must pick one exemplar from EACH cluster (greedy
