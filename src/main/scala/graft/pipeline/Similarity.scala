@@ -134,7 +134,8 @@ object Similarity {
       val seed = data.orderBy(col("id")).limit(1)
         .select(col("id"), col("vec")).head()
       var centers = Seq((seed.getLong(0), seed.getSeq[Double](1).toSeq, 0.0))
-      for (_ <- 1 until k) {
+      var exhausted = false
+      while (centers.size < k && !exhausted) {
         val cents = centers.map(_._2)
         // squared L2 to nearest chosen center, via dots (one pass)
         val dists = cents.map { c =>
@@ -148,7 +149,11 @@ object Similarity {
           .agg(expr("max_by(named_struct('id', id, 'vec', vec, 'd', d), " +
             "named_struct('d', d, 'nid', -id))").as("f"))
           .select(col("f.id"), col("f.vec"), col("f.d")).head()
-        centers = centers :+ ((far.getLong(0), far.getSeq[Double](1).toSeq,
+        // zero radius = every remaining point coincides with a chosen
+        // center (pool smaller than k, or pure duplicates) — further
+        // picks add no coverage and would repeat ids
+        if (far.getDouble(2) <= 0.0) exhausted = true
+        else centers = centers :+ ((far.getLong(0), far.getSeq[Double](1).toSeq,
           far.getDouble(2)))
       }
       centers.zipWithIndex

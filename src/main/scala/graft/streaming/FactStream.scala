@@ -696,6 +696,45 @@ object FactStream {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** STREAMING coreset (the sample_kcenter twin) by MERGE-AND-REDUCE:
+    * each micro-batch runs the batch k-center selector over (previous
+    * centers ∪ new vectors) — the classic streaming-coreset
+    * construction: re-selecting over the union of an existing coreset
+    * and fresh data preserves the coverage guarantee within a constant
+    * factor, with state = k rows (id, vec) in a versioned sidecar
+    * regardless of stream volume. The selector is the SHARED batch
+    * operator (Similarity.kCenterSelect), so the diversity policy
+    * cannot drift between paths; spec plants clusters split across
+    * batches and pins full coverage. */
+  def ingestKCenter(emb: DataFrame, path: String, checkpoint: String,
+                    k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+        val pool =
+          if (fs.exists(ptr)) {
+            val v = {
+              val in = fs.open(ptr)
+              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+            }
+            spark.read.parquet(s"$path/$v").select(col("id"), col("vec"))
+              .unionByName(batch.select(col("id"), col("vec")))
+          } else batch.select(col("id"), col("vec"))
+        val centers = graft.pipeline.Similarity
+          .kCenterSelect(pool, "id", "vec", k)
+          .join(pool, Seq("id"))
+          .select(col("id"), col("vec"), col("pick_order"), col("dist_to_prev"))
+        centers.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+        val out = fs.create(ptr, true)
+        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Continuous sequence PACKING — the streaming tail of the curation
     * pipeline: per micro-batch, documents get fixed-token-budget pack
     * assignments (TextAnalysis.packSequences, shard-parallel) and land

@@ -149,6 +149,31 @@ class StreamingSpec extends SparkSpec {
     assert(viaStream.keySet === Set("s0", "s1", "s2"))
   }
 
+  test("stream_kcenter: merge-and-reduce coreset covers clusters split across batches") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("kc").toString
+    def v(axis: Int, eps: Double): Seq[Double] = {
+      val a = Array.fill(6)(0.0); a(axis) = 10.0; a((axis + 1) % 6) = eps; a.toSeq
+    }
+    val input = MemoryStream[(Long, Seq[Double])]
+    val emb = input.toDF().toDF("id", "vec")
+    val q = FactStream.ingestKCenter(emb, s"$dir/state", s"$dir/ckpt", k = 3)
+    // batch 1 carries clusters 0 and 2; cluster 4 only arrives in batch 2
+    input.addData((1L, v(0, 0.0)), (2L, v(0, 0.1)), (10L, v(2, 0.0)))
+    q.processAllAvailable()
+    input.addData((20L, v(4, 0.0)), (21L, v(4, 0.1)), (3L, v(0, 0.2)))
+    q.processAllAvailable()
+    q.stop()
+    val ptr = {
+      val src = scala.io.Source.fromFile(s"$dir/state/_latest")
+      try src.mkString.trim finally src.close()
+    }
+    val centers = spark.read.parquet(s"$dir/state/$ptr")
+      .collect().map(_.getLong(0)).toSet
+    // one exemplar per cluster, across the batch boundary
+    assert(centers.map(_ / 10) === Set(0L, 1L, 2L), s"centers: $centers")
+  }
+
   test("stream_heavy: merged live sketch retains heavies; exact verify matches batch") {
     import graft.pipeline.TextAnalysis
     implicit val sql = spark.sqlContext
