@@ -17,7 +17,8 @@ object Bench {
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_rule_mutual",
     "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans",
-    "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid", "mm_audio",
+    "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
+    "sim_hybrid_indexed", "mm_audio",
     "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",

@@ -834,13 +834,33 @@ object TextAnalysis {
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
 
-  def bm25FromTf(tf: DataFrame, terms: Seq[String],
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Doc lengths from the tf relation (a reduce over the already-
+    * reduced tf — index-build-time work in the serving architecture). */
+  private[graft] def docLengths(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+  /** Corpus stats (N, exact avgdl) from the dl relation — one row. */
+  private[graft] def bm25Stats(dl: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
+    dl.agg(count(lit(1)).as("n"),
       (sum(col("dl").cast(DecimalType(25, 6))).cast(DoubleType) /
         count(lit(1))).as("avgdl"))
+  }
+
+  def bm25FromTf(tf: DataFrame, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = docLengths(tf)
+    bm25FromParts(tf, dl, bm25Stats(dl), terms, k1, b)
+  }
+
+  /** The query-time half of BM25 — everything here is query-hit-sized
+    * or key-sized given prebuilt tf/dl/stats relations (the persisted
+    * retrieval-index serving path). */
+  private[graft] def bm25FromParts(tf: DataFrame, dl: DataFrame,
+                                   stats: DataFrame, terms: Seq[String],
+                                   k1: Double = 1.2,
+                                   b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val qtf = tf.filter(col("tok").isin(terms: _*))
     val dfreq = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(dfreq), "tok")
@@ -868,26 +888,49 @@ object TextAnalysis {
   def hybridRetrieve(docs: DataFrame, terms: Seq[String], dims: Int = 64,
                      kPerList: Int = 50, kFinal: Int = 10,
                      rrfK: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE corpus explode+reduce (tf) feeds BOTH scorers: bm25 derives
     // dl/df from it, and the hash embedding folds it by hashed dim —
     // a (doc, dim) reduce over the already-reduced tf, not a second
     // pass over the raw text (Catalyst reuses the tf exchange).
     val tf = termFrequencies(docs)
-    val kwRank = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val kw = bm25FromTf(tf, terms)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(kPerList)
-      .withColumn("kw_rank", row_number().over(kwRank))
-      .select(col("doc_id"), col("kw_rank"))
     val sparse = tf.select(col("doc_id"),
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(dims)).as("dim"), col("tf"))
       .groupBy(col("doc_id"), col("dim")).agg(sum(col("tf")).as("cnt"))
     val docVecs = denseFromSparse(docs.select(col("doc_id")).distinct(), sparse, dims)
+    hybridFuse(bm25FromTf(tf, terms), docVecs, terms, dims,
+      kPerList, kFinal, rrfK)
+  }
+
+  /** Hybrid retrieval served from PREBUILT index relations (the
+    * deployment shape: tf/dl/stats/docVecs are persisted sidecars
+    * written once at index time — cf. the ANN index discipline — so a
+    * query pays only the query-hit-sized bm25 slice, one map-only
+    * cosine pass over the vectors, and k-sized fusion; the corpus
+    * explode never re-runs). Identical output to [[hybridRetrieve]]
+    * by construction (shared scorer + fusion code). */
+  def hybridFromIndex(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                      docVecs: DataFrame, terms: Seq[String], dims: Int = 64,
+                      kPerList: Int = 50, kFinal: Int = 10,
+                      rrfK: Int = 60): DataFrame =
+    hybridFuse(bm25FromParts(tf, dl, stats, terms), docVecs, terms, dims,
+      kPerList, kFinal, rrfK)
+
+  /** The fusion tail shared by the online and indexed paths: rank each
+    * modality (TakeOrderedAndProject + a window over k rows), RRF. */
+  private def hybridFuse(kwScores: DataFrame, docVecs: DataFrame,
+                         terms: Seq[String], dims: Int, kPerList: Int,
+                         kFinal: Int, rrfK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kwRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val kw = kwScores
+      .orderBy(col("bm25").desc, col("doc_id")).limit(kPerList)
+      .withColumn("kw_rank", row_number().over(kwRank))
+      .select(col("doc_id"), col("kw_rank"))
     // the query's own embedding: the SAME hashEmbedding operator over a
     // one-row local relation, riding the plan as a broadcast scalar —
     // no separate driver job, no collect
-    val spark = docs.sparkSession
+    val spark = docVecs.sparkSession
     val qDoc = spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(-1L, terms.mkString(" "))),
       org.apache.spark.sql.types.StructType(Seq(

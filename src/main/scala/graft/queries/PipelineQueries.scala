@@ -49,6 +49,32 @@ object PipelineQueries {
     Similarity.readAnnIndex(s, path)
   }
 
+  /** Text-retrieval index sidecars (tf / dl / stats / docVecs) for the
+    * hybrid serving path — written ONCE per (session, dir) like the
+    * ANN/IVF indexes, read back from parquet for every query. tf lands
+    * sorted by tok inside each file so a query-term slice prunes via
+    * row-group stats instead of scanning the whole relation. */
+  private def textIdx(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = idxWritten.getOrElseUpdate((s, dir, "text"), {
+      val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/text"
+      val tf = TextAnalysis.termFrequencies(docs(s, dir))
+      tf.sortWithinPartitions(col("tok")).write.mode("overwrite")
+        .parquet(s"$p/tf")
+      val tfBack = s.read.parquet(s"$p/tf")
+      val dl = TextAnalysis.docLengths(tfBack)
+      dl.write.mode("overwrite").parquet(s"$p/dl")
+      TextAnalysis.bm25Stats(s.read.parquet(s"$p/dl"))
+        .write.mode("overwrite").parquet(s"$p/stats")
+      TextAnalysis.hashEmbedding(docs(s, dir), dims = 64)
+        .write.mode("overwrite").parquet(s"$p/vecs")
+      p
+    })
+    (s.read.parquet(s"$base/tf"), s.read.parquet(s"$base/dl"),
+      s.read.parquet(s"$base/stats"), s.read.parquet(s"$base/vecs"))
+  }
+
   private def ivfIdx(s: SparkSession, dir: String): Similarity.IvfIndex = {
     val path = idxWritten.getOrElseUpdate((s, dir, "ivf"), {
       val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/ivf"
@@ -484,6 +510,18 @@ object PipelineQueries {
     "sim_hybrid" -> ((s, dir) =>
       TextAnalysis.hybridRetrieve(docs(s, dir), Seq("spark", "query", "join"))),
 
+    // the SERVING path of the same query: tf/dl/stats/docVecs are
+    // persisted sidecars written once (the ANN-index discipline), tok-
+    // sorted so the query-term slice prunes at the parquet level; a
+    // query pays the hit-sized bm25 slice + one vector pass + k-sized
+    // fusion — the corpus explode never re-runs. SAME oracle as
+    // sim_hybrid (identical output by shared-code construction).
+    "sim_hybrid_indexed" -> ((s, dir) => {
+      val (tf, dl, stats, vecs) = textIdx(s, dir)
+      TextAnalysis.hybridFromIndex(tf, dl, stats, vecs,
+        Seq("spark", "query", "join"))
+    }),
+
     // crawl-monitoring DRIFT datasheet: per-source token-mass share in
     // snapshot A vs B (doc_id parity stand-in) with L1/KL contributions
     "corpus_drift" -> ((s, dir) => TextAnalysis.snapshotDrift(docs(s, dir))),
@@ -581,7 +619,13 @@ object PipelineQueries {
     * between them. */
   private val langIdSql: String = langIdSqlWith("")
 
-  val oracle: Map[String, String] = Map(
+  // the indexed serving path returns the same rows as the online path
+  // (shared scorer + fusion code), so it shares the same oracle.
+  // lazy: baseOracle is declared below (vals initialize in order)
+  lazy val oracle: Map[String, String] =
+    baseOracle + ("sim_hybrid_indexed" -> baseOracle("sim_hybrid"))
+
+  private val baseOracle: Map[String, String] = Map(
     // the frame fan-out is pure integer arithmetic over utf8 byte
     // lengths — fully SQL-replicable, no reason to stay rows-only
     "mm_frames" ->
