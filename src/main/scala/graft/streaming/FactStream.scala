@@ -184,6 +184,24 @@ object FactStream {
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     }
 
+  /** Streaming RETENTION (the §2B q_retention twin): per-user
+    * (cohort_day, day_offset) rows maintained by delta-scoped
+    * recompute — a LATE event can shift a user's cohort day EARLIER,
+    * which re-bases every offset that user already contributed
+    * (forward-only state cannot repair that); the cohort matrix is a
+    * trivial count over the per-user sidecar at read time, so the
+    * aggregate view needs no corpus-sized streaming state. `events`
+    * must carry (user_id, day). */
+  def ingestRetention(events: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestDeltaRecompute(events, path, checkpoint, "user_id") { slice =>
+      val ud = slice.select(col("user_id"), col("day")).distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+    }
+
   /** DELTA-SCOPED RECOMPUTE — the generic incremental-view pattern the
     * funnel and SCD2 twins instantiate: per micro-batch, (1) append the
     * batch to a durable log, (2) re-run the BATCH operator over only

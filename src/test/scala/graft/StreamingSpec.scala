@@ -174,6 +174,30 @@ class StreamingSpec extends SparkSpec {
     assert(centers.map(_ / 10) === Set(0L, 1L, 2L), s"centers: $centers")
   }
 
+  test("stream_retention: a late event re-bases the user's cohort offsets") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "day")
+    val q = FactStream.ingestRetention(events, s"$dir/state", s"$dir/ckpt")
+    input.addData((1L, 10L), (1L, 12L), (2L, 11L))
+    q.processAllAvailable()
+    // user 1's LATE day-5 event shifts their cohort from 10 to 5,
+    // re-basing the offsets they already contributed (0,2 -> 5,7)
+    input.addData((1L, 5L), (3L, 20L))
+    q.processAllAvailable()
+    q.stop()
+    val ptr = {
+      val src = scala.io.Source.fromFile(s"$dir/state/_latest")
+      try src.mkString.trim finally src.close()
+    }
+    val rows = spark.read.parquet(s"$dir/state/$ptr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      (1L, 5L, 0L), (1L, 5L, 5L), (1L, 5L, 7L),
+      (2L, 11L, 0L), (3L, 20L, 0L)))
+  }
+
   test("stream_heavy: merged live sketch retains heavies; exact verify matches batch") {
     import graft.pipeline.TextAnalysis
     implicit val sql = spark.sqlContext
