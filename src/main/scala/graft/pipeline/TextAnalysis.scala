@@ -875,6 +875,48 @@ object TextAnalysis {
         .as("bm25"))
   }
 
+  /** BATCH multi-query BM25 — N query term-sets scored in ONE pass
+    * (the sim_ann_batch amortization applied to keyword retrieval):
+    * the queries become a tiny broadcast (qid, tok) relation joined
+    * against tf once, weights aggregate per (qid, doc), and the
+    * per-query top-k rank filter compiles to a map-side
+    * WindowGroupLimit. Per-term df here is CORPUS document frequency
+    * (count over tf per token), identical to the single-query scorer's
+    * value for every term it shares. */
+  def bm25Batch(docs: DataFrame, queries: Map[String, Seq[String]],
+                topK: Int = 10, k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFrequencies(docs)
+    val dl = docLengths(tf)
+    val stats = bm25Stats(dl)
+    val qrel = queries.toSeq
+      .flatMap { case (qid, terms) => terms.map(qid -> _) }
+      .toDF("qid", "tok")
+    val allTerms = queries.values.flatten.toSeq.distinct
+    val qtf = tf.filter(col("tok").isin(allTerms: _*))
+    val dfreq = qtf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = qtf.join(broadcast(qrel), "tok")
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("wt", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("wt").cast(DecimalType(25, 6))).cast(DoubleType), 6)
+        .as("bm25"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("rk"), col("doc_id"), col("bm25"))
+  }
+
   /** Hybrid retrieval: BM25 keyword top-k fused with hashing-trick
     * embedding cosine top-k by reciprocal-rank fusion
     * (score = Σ 1/(rrfK + rank) over the lists a doc appears in) —

@@ -510,6 +510,14 @@ object PipelineQueries {
     "sim_hybrid" -> ((s, dir) =>
       TextAnalysis.hybridRetrieve(docs(s, dir), Seq("spark", "query", "join"))),
 
+    // BATCH multi-query BM25: two queries scored in ONE tf join with a
+    // map-side WindowGroupLimit top-k per query — the sim_ann_batch
+    // amortization applied to keyword retrieval
+    "text_bm25_batch" -> ((s, dir) =>
+      TextAnalysis.bm25Batch(docs(s, dir), Map(
+        "q1" -> Seq("spark", "query", "join"),
+        "q2" -> Seq("hash", "scan", "filter")), topK = 10)),
+
     // the SERVING path of the same query: tf/dl/stats/docVecs are
     // persisted sidecars written once (the ANN-index discipline), tok-
     // sorted so the query-term slice prunes at the parquet level; a
@@ -1287,6 +1295,35 @@ object PipelineQueries {
                      CROSS JOIN stats)
          SELECT doc_id, round(CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
          FROM wt GROUP BY doc_id""",
+    "text_bm25_batch" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT count(*) AS n,
+                               CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avgdl
+                        FROM dl),
+              qrel AS (SELECT 'q1' AS qid, unnest(['spark','query','join']) AS tok
+                       UNION ALL
+                       SELECT 'q2', unnest(['hash','scan','filter'])),
+              qtf AS (SELECT * FROM tf
+                      WHERE tok IN ('spark','query','join','hash','scan','filter')),
+              dfreq AS (SELECT tok, count(*) AS df FROM qtf GROUP BY 1),
+              wt AS (SELECT qrel.qid, q.doc_id,
+                            ln((n - df + 0.5) / (df + 0.5) + 1.0) * (q.tf * (1.2 + 1.0)) /
+                            (q.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS wt
+                     FROM qtf q JOIN qrel USING (tok) JOIN dfreq USING (tok)
+                     JOIN dl ON q.doc_id = dl.doc_id
+                     CROSS JOIN stats),
+              sc AS (SELECT qid, doc_id,
+                            round(CAST(SUM(CAST(wt AS DECIMAL(25,6))) AS DOUBLE), 6) AS bm25
+                     FROM wt GROUP BY 1, 2)
+         SELECT qid, rk, doc_id, bm25 FROM (
+           SELECT qid, doc_id, bm25,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY bm25 DESC, doc_id) AS rk
+           FROM sc) t
+         WHERE rk <= 10""",
     // hybrid retrieval: the text_bm25 pipeline + the text_embed vectors
     // + list_cosine_similarity, ranked per modality (LIMIT 50 under the
     // same (score DESC, doc_id) total order Spark's
