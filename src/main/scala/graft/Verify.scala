@@ -8,9 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional comma-separated name filter (dev loop: verify a few
-    // queries without paying the full dump)
+    // queries without paying the full dump). "--sql-only" dumps
+    // oracle_sql.json without executing any query (for the oracle
+    // result-type audit: scripts/oracle_type_audit.py).
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,7 +31,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case _ if sqlOnly => false; case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -874,7 +874,8 @@ object RelationalQueries {
                 UNION ALL SELECT 'ancient_date', ancient_date, total FROM f
                 UNION ALL SELECT 'fk_orphan_custkey', orph.violations, f.total
                           FROM orph, f)
-         SELECT chk, violations, total, violations = 0 AS pass FROM rows_""",
+         SELECT chk, CAST(violations AS BIGINT) AS violations, total,
+                violations = 0 AS pass FROM rows_""",
     // the oracle states the sweep-line as ONE global running sum (the
     // semantic definition); the Spark side must decompose it into the
     // per-day + offset form and land on identical values
@@ -896,7 +897,7 @@ object RelationalQueries {
               r AS (SELECT t, delta,
                            SUM(delta) OVER (ORDER BY t, delta DESC) AS run
                     FROM b)
-         SELECT t // 86400000000 AS day, max(run) AS max_conc
+         SELECT t // 86400000000 AS day, CAST(max(run) AS BIGINT) AS max_conc
          FROM r GROUP BY 1""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
