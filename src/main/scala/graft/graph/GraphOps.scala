@@ -669,10 +669,14 @@ object GraphOps {
     * count is map-side combinable, and the argmax is a max_by over the
     * already-reduced (node, label, cnt) relation, so per-round shuffle
     * volume is O(edges) worst case and shrinks as labels converge.
-    * Fixed `rounds` (synchronous LPA can oscillate on bipartite
-    * structures; a fixed budget is the standard cut-off). Nodes with no
-    * in-neighbors keep their current label via the left-join coalesce.
-    * Pass symmetrized edges for undirected semantics. */
+    * Each node's CURRENT label joins the vote (a self-vote): on pure
+    * swaps — a 2-clique where plain synchronous LPA oscillates forever
+    * and an even round budget would report two singletons — the
+    * self-vote turns the swap into a tie, the smallest-label rule
+    * settles it, and the community converges to its min label. Fixed
+    * `rounds` stays as the budget for larger bipartite structures.
+    * Nodes with no in-neighbors keep their current label via the
+    * self-vote. Pass symmetrized edges for undirected semantics. */
   def labelPropagation(edgeDf: DataFrame, rounds: Int = 5)
                       (implicit spark: SparkSession): DataFrame = {
     val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
@@ -681,7 +685,9 @@ object GraphOps {
       .distinct().withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val nbrCnt = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst").as("n"), col("lbl"))
+        .select(col("dst").as("n"), col("lbl"))
+        .unionAll(labels.select(col("node").as("n"), col("lbl")))
+        .groupBy(col("n"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       val winner = nbrCnt.groupBy(col("n"))
         .agg(expr("max_by(lbl, named_struct('c', cnt, 'l', -lbl))").as("new_lbl"))

@@ -240,7 +240,14 @@ object Multimodal {
     * Unsniffable payloads fall back to an md5-derived 64-bit content
     * hash, so the non-image test harness still dedups exact payloads.
     * Deterministic for a fixed JDK (one cluster = one answer). */
-  private[graft] def aHash(bytes: Array[Byte]): Option[Long] = try {
+  /** Hash families: aHash bits can't collide with the md5 fallback or
+    * with flat-image hashes because the family rides along as its own
+    * grouping column. */
+  private[graft] val FamImage: Byte = 0
+  private[graft] val FamBinary: Byte = 1
+  private[graft] val FamFlat: Byte = 2
+
+  private[graft] def aHash(bytes: Array[Byte]): Option[(Long, Byte)] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) None
     else {
@@ -267,14 +274,21 @@ object Multimodal {
       var h = 0L
       i = 0
       while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
-      Some(h)
+      // a UNIFORM image has no cell strictly above the mean → h == 0 for
+      // every solid color; key those by mean luma in their own family so
+      // solid-red and solid-blue never false-merge
+      if (h == 0L) Some((mean, FamFlat)) else Some((h, FamImage))
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
   private val HashSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("phash", LongType)))
+    StructField("doc_id", LongType), StructField("phash", LongType),
+    StructField("hfam", ByteType)))
 
-  /** Per-payload perceptual hash column (mapPartitions batch shape). */
+  /** Per-payload perceptual hash column (mapPartitions batch shape).
+    * `hfam` discriminates the hash families (image aHash / flat-image
+    * mean / md5 fallback) — they share the 64-bit space, so equality is
+    * only meaningful within a family. */
   def imageHashes(withMedia: DataFrame): DataFrame = {
     val spark = withMedia.sparkSession
     val rdd = withMedia.rdd.mapPartitions { rows =>
@@ -282,13 +296,13 @@ object Multimodal {
       rows.map { r =>
         val docId = r.getAs[Long]("doc_id")
         val bytes = r.getAs[Array[Byte]]("media")
-        val h = (if (bytes == null) None else aHash(bytes)).getOrElse {
+        val (h, fam) = (if (bytes == null) None else aHash(bytes)).getOrElse {
           // md5-derived content hash for non-image payloads
           val d = java.security.MessageDigest.getInstance("MD5")
             .digest(if (bytes == null) Array.empty[Byte] else bytes)
-          java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+          (java.nio.ByteBuffer.wrap(d, 0, 8).getLong, FamBinary)
         }
-        Row(docId, h)
+        Row(docId, h, fam)
       }
     }
     spark.createDataFrame(rdd, HashSchema)
@@ -302,9 +316,11 @@ object Multimodal {
     * wanted). One |distinct-hash|-group shuffle. */
   def imageDedup(withMedia: DataFrame): DataFrame = {
     val h = imageHashes(withMedia)
-    val keep = h.groupBy(col("phash")).agg(min(col("doc_id")).as("keep_id"))
-    h.join(keep, Seq("phash"))
+    val keep = h.groupBy(col("hfam"), col("phash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    h.join(keep, Seq("hfam", "phash"))
       .select(col("doc_id"), col("phash"),
-        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"))
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"),
+        col("hfam"))
   }
 }

@@ -12,6 +12,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object FactStream {
 
+  // ---- pointer-file plumbing shared by the versioned-sidecar sinks ----
+  // foreachBatch is AT-LEAST-ONCE: a batch can replay after its sidecar
+  // and pointer were already published (crash between pointer write and
+  // checkpoint commit). Every sink below therefore (1) no-ops when the
+  // pointer already reads v<batchId> — otherwise a replay would either
+  // double-merge mergeable state or hit Spark's "cannot overwrite a path
+  // that is also being read from" on the v<batchId> dir — and (2) GCs
+  // superseded v* dirs after publish (keep current + previous so a
+  // reader holding the prior pointer stays valid), bounding disk.
+
+  private[graft] def readPtr(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Option[String] =
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim) finally in.close()
+    } else None
+
+  private[graft] def writePtr(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path, v: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Delete sidecar version dirs `v<digits>` under `base` except `keep`. */
+  private[graft] def gcVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                base: String, keep: Set[String]): Unit = {
+    val bp = new org.apache.hadoop.fs.Path(base)
+    if (fs.exists(bp)) fs.listStatus(bp).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.matches("v\\d+") && !keep(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Turn a streaming events frame (event_id, ts, user_id, event_type,
     * value) into streaming fact-log rows (same schema as
     * FactStore.factSchema): each event asserts the user's
@@ -130,20 +164,19 @@ object FactStream {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
-        val prev: DataFrame =
-          if (fs.exists(ptr)) {
-            val v = {
-              val in = fs.open(ptr)
-              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-            }
-            spark.read.parquet(s"$path/$v")
-          } else batch.sparkSession.emptyDataFrame
-            .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
-        val next = graft.graph.GraphOps.closureDelta(prev,
-          batch.select(col("src"), col("dst")))
-        next.write.mode("overwrite").parquet(s"$path/v$batchId")
-        val out = fs.create(ptr, true)
-        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        val prevV = readPtr(fs, ptr)
+        if (!prevV.contains(s"v$batchId")) { // replay-after-publish no-op
+          val prev: DataFrame = prevV match {
+            case Some(v) => spark.read.parquet(s"$path/$v")
+            case None => batch.sparkSession.emptyDataFrame
+              .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0)
+          }
+          val next = graft.graph.GraphOps.closureDelta(prev,
+            batch.select(col("src"), col("dst")))
+          next.write.mode("overwrite").parquet(s"$path/v$batchId")
+          writePtr(fs, ptr, s"v$batchId")
+          gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -215,36 +248,68 @@ object FactStream {
     * (exact, corpus-priced) and forward-only state (cheap, wrong under
     * late data). */
   def ingestDeltaRecompute(events: DataFrame, path: String, checkpoint: String,
-                           keyCol: String)(rebuild: DataFrame => DataFrame)
+                           keyCol: String, compactEvery: Int = 16)
+                          (rebuild: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        batch.write.mode("overwrite").parquet(s"$path/log/batch=$batchId")
-        val affected = batch.select(col(keyCol)).distinct()
-        val slice = spark.read.parquet(s"$path/log")
-          .join(broadcast(affected), Seq(keyCol))
-        val fresh = rebuild(slice)
-        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
-        val merged =
-          if (fs.exists(ptr)) {
-            val v = {
-              val in = fs.open(ptr)
-              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-            }
-            spark.read.parquet(s"$path/$v")
-              .join(affected, Seq(keyCol), "left_anti")
-              .unionByName(fresh)
-          } else fresh
-        merged.write.mode("overwrite").parquet(s"$path/v$batchId")
-        val out = fs.create(ptr, true)
-        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
-        ()
+        deltaRecomputeStep(batch, batchId, path, keyCol, compactEvery)(rebuild)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** One [[ingestDeltaRecompute]] micro-batch — exposed for the replay
+    * spec: calling it twice with the same batchId must be a no-op the
+    * second time (at-least-once delivery). */
+  private[graft] def deltaRecomputeStep(batch: DataFrame, batchId: Long,
+                                        path: String, keyCol: String,
+                                        compactEvery: Int)
+                                       (rebuild: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val lptr = new org.apache.hadoop.fs.Path(s"$path/_log")
+    val prevV = readPtr(fs, vptr)
+    if (!prevV.contains(s"v$batchId")) { // replay-after-publish no-op
+      var logDir = readPtr(fs, lptr).getOrElse("log")
+      // every compactEvery batches, fold the accumulated per-batch
+      // log dirs into ONE (into batch=0 of a fresh pointer-named log
+      // dir) BEFORE appending this batch: bounds file count and keeps
+      // the full-log scan's open-file cost flat under long streams.
+      // Replay-safe: the name guard skips a re-run whose pointer
+      // already advanced; dir deletion happens only after publish.
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        val newDir = s"log$batchId"
+        if (logDir != newDir && fs.exists(new org.apache.hadoop.fs.Path(s"$path/$logDir"))) {
+          spark.read.parquet(s"$path/$logDir").drop("batch")
+            .write.mode("overwrite").parquet(s"$path/$newDir/batch=0")
+          writePtr(fs, lptr, newDir)
+        }
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.matches("log\\d*") && n != newDir)
+            fs.delete(st.getPath, true)
+        }
+        logDir = newDir
+      }
+      batch.write.mode("overwrite").parquet(s"$path/$logDir/batch=$batchId")
+      val affected = batch.select(col(keyCol)).distinct()
+      val slice = spark.read.parquet(s"$path/$logDir")
+        .join(broadcast(affected), Seq(keyCol))
+      val fresh = rebuild(slice)
+      val merged = prevV match {
+        case Some(v) =>
+          spark.read.parquet(s"$path/$v")
+            .join(affected, Seq(keyCol), "left_anti")
+            .unionByName(fresh)
+        case None => fresh
+      }
+      merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+      writePtr(fs, vptr, s"v$batchId")
+      gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+    }
+  }
 
   /** Continuous ingestion into the durable fact-log layout
     * (sources.FactLogIO): append-mode parquet sink `partitionBy("a")` —
@@ -682,37 +747,44 @@ object FactStream {
                          k: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val mg = new graft.functions.MisraGries(k)
-        val toks = batch.select(
-          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        val bSketch = toks.as[String].select(mg.toColumn).head()
-        val bN = toks.count()
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
-        val (prevSketch, prevN) =
-          if (fs.exists(ptr)) {
-            val v = {
-              val in = fs.open(ptr)
-              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-            }
-            val rows = spark.read.parquet(s"$path/$v").collect()
-            (rows.filter(_.getString(0) != "__total__")
-              .map(r => r.getString(0) -> r.getLong(1)).toMap,
-              rows.find(_.getString(0) == "__total__").map(_.getLong(1)).getOrElse(0L))
-          } else (Map.empty[String, Long], 0L)
-        val merged = mg.merge(prevSketch, bSketch)
-        (merged.toSeq :+ ("__total__", prevN + bN))
-          .toDF("tok", "cnt")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
-        val out = fs.create(ptr, true)
-        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
-        ()
+        heavyHittersStep(batch, batchId, path, k)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** One [[ingestHeavyHitters]] micro-batch — exposed for the replay
+    * spec. At-least-once replay guard: merging an already-merged batch
+    * sketch would permanently inflate the MG counters + __total__. */
+  private[graft] def heavyHittersStep(batch: DataFrame, batchId: Long,
+                                      path: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val prevV = readPtr(fs, ptr)
+    if (!prevV.contains(s"v$batchId")) {
+      val mg = new graft.functions.MisraGries(k)
+      val toks = batch.select(
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      val bSketch = toks.as[String].select(mg.toColumn).head()
+      val bN = toks.count()
+      val (prevSketch, prevN) = prevV match {
+        case Some(v) =>
+          val rows = spark.read.parquet(s"$path/$v").collect()
+          (rows.filter(_.getString(0) != "__total__")
+            .map(r => r.getString(0) -> r.getLong(1)).toMap,
+            rows.find(_.getString(0) == "__total__").map(_.getLong(1)).getOrElse(0L))
+        case None => (Map.empty[String, Long], 0L)
+      }
+      val merged = mg.merge(prevSketch, bSketch)
+      (merged.toSeq :+ ("__total__", prevN + bN))
+        .toDF("tok", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+      writePtr(fs, ptr, s"v$batchId")
+      gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+    }
+  }
 
   /** STREAMING coreset (the sample_kcenter twin) by MERGE-AND-REDUCE:
     * each micro-batch runs the batch k-center selector over (previous
@@ -732,22 +804,24 @@ object FactStream {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
-        val pool =
-          if (fs.exists(ptr)) {
-            val v = {
-              val in = fs.open(ptr)
-              try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-            }
-            spark.read.parquet(s"$path/$v").select(col("id"), col("vec"))
-              .unionByName(batch.select(col("id"), col("vec")))
-          } else batch.select(col("id"), col("vec"))
-        val centers = graft.pipeline.Similarity
-          .kCenterSelect(pool, "id", "vec", k)
-          .join(pool, Seq("id"))
-          .select(col("id"), col("vec"), col("pick_order"), col("dist_to_prev"))
-        centers.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
-        val out = fs.create(ptr, true)
-        try out.write(s"v$batchId".getBytes("UTF-8")) finally out.close()
+        val prevV = readPtr(fs, ptr)
+        // replay guard: a re-run after publish would read v<batchId> and
+        // overwrite the same dir (Spark rejects), wedging the stream
+        if (!prevV.contains(s"v$batchId")) {
+          val pool = prevV match {
+            case Some(v) =>
+              spark.read.parquet(s"$path/$v").select(col("id"), col("vec"))
+                .unionByName(batch.select(col("id"), col("vec")))
+            case None => batch.select(col("id"), col("vec"))
+          }
+          val centers = graft.pipeline.Similarity
+            .kCenterSelect(pool, "id", "vec", k)
+            .join(pool, Seq("id"))
+            .select(col("id"), col("vec"), col("pick_order"), col("dist_to_prev"))
+          centers.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+          writePtr(fs, ptr, s"v$batchId")
+          gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -1017,6 +1017,18 @@ class GroundTruthSpec extends SparkSpec {
     assert(cliqueB.forall(out(_) === 10L), s"clique B: $out")
   }
 
+  test("labelPropagation: a 2-clique converges to one community (no label swap)") {
+    // without the self-vote, synchronous LPA swaps the two labels every
+    // round, so any even round budget reports two singletons — a real
+    // 2-member community lost
+    val edges = Seq((7L, 8L), (8L, 7L)).toDF("src", "dst")
+    for (rounds <- Seq(2, 3, 4)) {
+      val out = GraphOps.labelPropagation(edges, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(7L -> 7L, 8L -> 7L), s"rounds=$rounds: $out")
+    }
+  }
+
   test("q_merge_cdc matches a scalar changelog replay at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q_merge_cdc")(spark, dir)

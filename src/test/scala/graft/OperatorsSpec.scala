@@ -161,13 +161,24 @@ class OperatorsSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img, "png", baos))
       baos.toByteArray
     }
+    def solid(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(img.setRGB(x, _, rgb)))
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
     val media = Seq(
       (1L, split(64, 64, invert = false)),
       (2L, split(64, 64, invert = false)),   // identical bytes
       (3L, split(32, 16, invert = false)),   // same content, other size
       (4L, split(64, 64, invert = true)),    // different content
       (5L, "plain text payload".getBytes("UTF-8")),
-      (6L, "plain text payload".getBytes("UTF-8"))) // exact non-image dup
+      (6L, "plain text payload".getBytes("UTF-8")), // exact non-image dup
+      (7L, solid(0xff0000)),                 // uniform red: aHash bits = 0
+      (8L, solid(0x0000ff)),                 // uniform blue: must NOT merge with red
+      (9L, solid(0xff0000)))                 // red again: must merge with 7
       .toDF("doc_id", "media")
     val out = Multimodal.imageDedup(media).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
@@ -177,6 +188,10 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L)._1 === 4L && out(4L)._2, "inverted image must separate")
     assert(out(5L)._1 === 5L && out(6L) === ((5L, false)),
       "md5 fallback dedups exact non-image payloads")
+    assert(out(7L) === ((7L, true)) && out(9L) === ((7L, false)),
+      "identical flat images must merge")
+    assert(out(8L) === ((8L, true)),
+      "solid blue must not false-merge with solid red")
   }
 
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
