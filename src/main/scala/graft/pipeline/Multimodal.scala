@@ -206,31 +206,40 @@ object Multimodal {
       rows.flatMap { r =>
         val docId = r.getAs[Long]("doc_id")
         val bytes = r.getAs[Array[Byte]]("media")
-        // null payload (e.g. a null-text doc through asBinary) = zero
-        // windows, not a task-killing NPE
-        val nSamples = if (bytes == null) 0 else bytes.length / 2
-        (0 until nSamples by winSamples).iterator.map { start =>
-          val end = math.min(start + winSamples, nSamples)
-          var i = start
-          var sumSq = 0.0
-          var zc = 0
-          var prevNonNeg = true
-          while (i < end) {
-            // little-endian int16
-            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
-            val x = s / 32768.0
-            sumSq += x * x
-            val nonNeg = s >= 0
-            if (i > start && nonNeg != prevNonNeg) zc += 1
-            prevNonNeg = nonNeg
-            i += 1
-          }
-          val n = end - start
-          Row(docId, start / winSamples, n, math.sqrt(sumSq / n), zc)
+        pcmWindowStats(bytes, winSamples).iterator.map {
+          case (winIdx, n, rms, zc) => Row(docId, winIdx, n, rms, zc)
         }
       }
     }
     spark.createDataFrame(rdd, AudioWinSchema)
+  }
+
+  /** Shared PCM16 window loop: (win_idx, n_samples, rms, zero_crossings)
+    * per `winSamples` window — ONE definition so [[audioFeatures]] and
+    * [[audioHash]] cannot drift. Null payload = zero windows, not a
+    * task-killing NPE. */
+  private[graft] def pcmWindowStats(bytes: Array[Byte],
+                                    winSamples: Int): Array[(Int, Int, Double, Int)] = {
+    val nSamples = if (bytes == null) 0 else bytes.length / 2
+    (0 until nSamples by winSamples).toArray.map { start =>
+      val end = math.min(start + winSamples, nSamples)
+      var i = start
+      var sumSq = 0.0
+      var zc = 0
+      var prevNonNeg = true
+      while (i < end) {
+        // little-endian int16
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        val x = s / 32768.0
+        sumSq += x * x
+        val nonNeg = s >= 0
+        if (i > start && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val n = end - start
+      (start / winSamples, n, math.sqrt(sumSq / n), zc)
+    }
   }
 
   /** 64-bit AVERAGE HASH (aHash) of an image payload: real decode,
@@ -316,6 +325,79 @@ object Multimodal {
     * wanted). One |distinct-hash|-group shuffle. */
   def imageDedup(withMedia: DataFrame): DataFrame = {
     val h = imageHashes(withMedia)
+    val keep = h.groupBy(col("hfam"), col("phash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    h.join(keep, Seq("hfam", "phash"))
+      .select(col("doc_id"), col("phash"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"),
+        col("hfam"))
+  }
+
+  private[graft] val FamAudio: Byte = 3
+  private[graft] val FamFlatAudio: Byte = 4
+
+  /** 64-bit AUDIO fingerprint of a PCM16 payload: per-window RMS energy
+    * envelope ([[pcmWindowStats]] — the mm_audio loop), leading/trailing
+    * silent windows trimmed (rms < `silence`), envelope resampled to 65
+    * anchors, bit j = anchor j+1 louder than anchor j. The delta-sign
+    * encoding makes the hash invariant to GAIN (positive scaling
+    * preserves every comparison — a re-encoded/volume-normalized copy
+    * hashes identically) and the trim makes it invariant to
+    * window-aligned SILENCE PADDING — the two cheap transforms that
+    * defeat exact byte hashing. A constant-envelope clip (every delta
+    * flat → all bits 0) keys by its quantized mean energy in its own
+    * family, mirroring the flat-image rule. All-silent or sub-2-window
+    * payloads return None (no audio signature → md5 fallback family).
+    * Reference: the same decode path as mm_audio; for compressed
+    * codecs a decoder plugs in ahead of the window loop. */
+  private[graft] def audioHash(bytes: Array[Byte], winSamples: Int,
+                               silence: Double = 1e-3): Option[(Long, Byte)] = {
+    val env = pcmWindowStats(bytes, winSamples).map(_._3)
+    val lo = env.indexWhere(_ >= silence)
+    val hi = env.lastIndexWhere(_ >= silence)
+    if (lo < 0 || hi - lo < 1) None
+    else {
+      val t = env.slice(lo, hi + 1)
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        val a = t(((j.toLong * (t.length - 1)) / 64).toInt)
+        val b = t((((j + 1).toLong * (t.length - 1)) / 64).toInt)
+        if (b > a) h |= (1L << j)
+        j += 1
+      }
+      if (h == 0L) Some((math.round(t.sum / t.length * 1e6), FamFlatAudio))
+      else Some((h, FamAudio))
+    }
+  }
+
+  /** Per-payload audio fingerprint column — same batch shape and family
+    * discipline as [[imageHashes]]. */
+  def audioHashes(withMedia: DataFrame, winSamples: Int = 256): DataFrame = {
+    val spark = withMedia.sparkSession
+    val rdd = withMedia.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (h, fam) = (if (bytes == null) None else audioHash(bytes, winSamples))
+          .getOrElse {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(if (bytes == null) Array.empty[Byte] else bytes)
+            (java.nio.ByteBuffer.wrap(d, 0, 8).getLong, FamBinary)
+          }
+        Row(docId, h, fam)
+      }
+    }
+    spark.createDataFrame(rdd, HashSchema)
+  }
+
+  /** AUDIO DEDUP on the envelope fingerprint: exact-hash groups collapse
+    * keep-min-id per family — the audio counterpart of [[imageDedup]]
+    * (identical / gain-rescaled / silence-padded copies share the hash
+    * BY CONSTRUCTION of [[audioHash]]). One |distinct-hash|-group
+    * shuffle; the fingerprint pass is map-only. */
+  def audioDedup(withMedia: DataFrame, winSamples: Int = 256): DataFrame = {
+    val h = audioHashes(withMedia, winSamples)
     val keep = h.groupBy(col("hfam"), col("phash"))
       .agg(min(col("doc_id")).as("keep_id"))
     h.join(keep, Seq("hfam", "phash"))

@@ -562,6 +562,14 @@ object PipelineQueries {
     "mm_image_dedup" -> ((s, dir) =>
       Multimodal.imageDedup(Multimodal.asBinary(docs(s, dir)))),
 
+    // envelope-fingerprint AUDIO dedup (PCM16 window RMS → silence trim
+    // → 65-anchor delta-sign bits): gain-rescaled / silence-padded
+    // copies merge, distinct envelopes separate — the audio counterpart
+    // of mm_image_dedup; rows-only, planted-clip spec carries the
+    // invariance checks
+    "mm_audio_dedup" -> ((s, dir) =>
+      Multimodal.audioDedup(Multimodal.asBinary(docs(s, dir)))),
+
     // zlib compression-ratio quality gate (too-compressible = templated
     // junk): native codegen'd expression, map-only scan. rows-only —
     // deflate length is JDK-deterministic, not a cross-engine contract;

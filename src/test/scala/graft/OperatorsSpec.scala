@@ -194,6 +194,44 @@ class OperatorsSpec extends SparkSpec {
       "solid blue must not false-merge with solid red")
   }
 
+  test("audioDedup: envelope hash survives gain + silence padding; distinct clips separate") {
+    val win = 64
+    // PCM16 LE clip: per-window amplitude follows `env` (a sine at
+    // fixed frequency, envelope carries the identity)
+    def clip(env: Seq[Double], gain: Double = 1.0,
+             padWindows: Int = 0): Array[Byte] = {
+      val samples = Array.fill(padWindows * win)(0.toShort) ++
+        env.flatMap { a =>
+          (0 until win).map(i =>
+            (a * gain * 20000 * math.sin(2 * math.Pi * i / 16)).toShort)
+        } ++ Array.fill(padWindows * win)(0.toShort)
+      val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val rising = (1 to 80).map(i => 0.2 + 0.01 * i)   // distinctive ramp
+    val peaked = rising.take(40) ++ rising.take(40).reverse // rise-then-fall
+    val media = Seq(
+      (1L, clip(rising)),
+      (2L, clip(rising)),                        // identical bytes
+      (3L, clip(rising, gain = 0.5)),            // volume re-encode
+      (4L, clip(rising, padWindows = 10)),       // silence-padded
+      (5L, clip(peaked)),                        // different content
+      (6L, "not audio at all".getBytes("UTF-8")),
+      (7L, "not audio at all".getBytes("UTF-8"))) // exact non-audio dup
+      .toDF("doc_id", "media")
+    val out = Multimodal.audioDedup(media, winSamples = win).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)), "identical clip must merge")
+    assert(out(3L) === ((1L, false)), "gain-rescaled copy must merge")
+    assert(out(4L) === ((1L, false)), "silence-padded copy must merge")
+    assert(out(5L)._1 === 5L && out(5L)._2, "different envelope must separate")
+    assert(out(6L)._1 === 6L && out(7L) === ((6L, false)),
+      "md5 fallback dedups exact non-audio payloads")
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
