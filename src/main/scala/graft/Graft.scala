@@ -59,6 +59,20 @@ final class Graft private (val session: Transactor.Session,
 
   def pullFlat(ids: DataFrame, spec: Pull.Spec): DataFrame =
     Pull.pullFlat(db, ids, spec, asOfTx)
+
+  /** MULTIPLE pull expressions over the same entity set — the reference
+    * runs each `(pull ?e [...])` in a :find as its OWN generated
+    * sub-query and zips the resulting maps per row (reference
+    * query_test.clj:566-570, query/pull.clj). Here each spec evaluates
+    * independently (one pullNested each) and equijoins back on `e`:
+    * one row per entity, one named struct column per pull. */
+  def pullMany(ids: DataFrame, specs: Seq[(String, Pull.Spec)]): DataFrame =
+    specs.foldLeft(ids) { case (acc, (name, spec)) =>
+      acc.join(
+        Pull.pullNested(db, ids, spec, asOfTx)
+          .withColumnRenamed("pulled", name),
+        Seq("e"), "left")
+    }
 }
 
 object Graft {

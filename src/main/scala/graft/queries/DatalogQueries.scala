@@ -434,6 +434,25 @@ object DatalogQueries {
         .select(col("c_name"), col("c_acctbal"), col("n_name"), col("r_name"))
     }),
 
+    // MULTI-PULL find (reference query_test.clj:566-570: `(pull ?e
+    // [:name]) (pull ?e [:favorite-color])` in one :find): each pull
+    // runs as its OWN sub-query over the same entity set — here two
+    // independent pullFlat evaluations equijoined on e, one a scalar
+    // pull, the other a nested ref pull, certifying the
+    // one-subquery-per-pull semantics against a plain-SQL oracle.
+    "dl_pull_multi" -> ((s: SparkSession, dir: String) => {
+      val facts = TestData.staticDb(s, dir)
+      val ids = facts.snapshot()
+        .filter(col("a") === "c_acctbal" && col("vdbl") > 9900.0)
+        .select(col("e"))
+      val p1 = Pull.pullFlat(facts, ids, Pull.Spec(Seq("c_name")))
+      val p2 = Pull.pullFlat(facts, ids,
+        Pull.Spec(Seq("c_mktsegment"),
+          Seq("c_nationkey_ref" -> Pull.Spec(Seq("n_name")))))
+      p1.join(p2, Seq("e"))
+        .select(col("c_name"), col("c_mktsegment"), col("n_name"))
+    }),
+
     // Pull over a cardinality-MANY SCALAR attribute (reference
     // fix-cardinalities, pull.clj:148-170: ANY card-many attr comes
     // back as a vector, not just refs): each user's purchase buckets
@@ -652,6 +671,11 @@ object DatalogQueries {
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
+         WHERE c_acctbal > 9900.0""",
+    "dl_pull_multi" ->
+      """SELECT c_name, c_mktsegment, n_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
          WHERE c_acctbal > 9900.0""",
     "dl_pull_many" ->
       """SELECT p.user_id, lt.last_type, p.buckets FROM (

@@ -61,6 +61,24 @@ class GraftSpec extends SparkSpec {
     assert(byName("Carl").getStruct(2).getString(0) === "Feeling bad")
     assert(byName("Bob").getString(1) === "green")
     assert(byName("Bob").isNullAt(2) || byName("Bob").getStruct(2).isNullAt(0)) // no status
+
+    // multi-pull find (reference query_test.clj:566-570): two pulls of
+    // the SAME ?e in one :find — each evaluates as its own sub-query
+    // and the per-row result carries one map per pull
+    val multi = conn.pullMany(Seq(alice).toDF("e"),
+      Seq("p_name" -> Pull.Spec(Seq("name")),
+          "p_color" -> Pull.Spec(Seq("favorite-color"))))
+      .select("p_name", "p_color").head()
+    assert(multi.getStruct(0).getString(0) === "Alice")
+    assert(multi.getStruct(1).getString(0) === "red")
+    // and over the full entity set the per-pull sub-queries stay
+    // independent: every named person resolves both pulls
+    val all = conn.pullMany(Seq(alice, bob, carl).toDF("e"),
+      Seq("p_name" -> Pull.Spec(Seq("name")),
+          "p_color" -> Pull.Spec(Seq("favorite-color"))))
+      .collect().map(r => r.getStruct(1).getString(0) ->
+        r.getStruct(2).getString(0)).toMap
+    assert(all === Map("Alice" -> "red", "Bob" -> "green", "Carl" -> "yellow"))
   }
 
   test("connection workflow: transact, query, as-of, retract, pull") {
