@@ -18,7 +18,7 @@ object Bench {
     "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
-    "sim_hybrid_indexed", "mm_audio",
+    "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",

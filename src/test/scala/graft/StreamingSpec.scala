@@ -813,8 +813,16 @@ class StreamingSpec extends SparkSpec {
       (5L, cleanA),                                             // cross-batch dup of 1
       (6L, cleanC),                                             // passes
       (7L, cleanB))                                             // cross-batch dup of 4
-    input.addData(b0); q.processAllAvailable()
-    input.addData(b1); q.processAllAvailable()
+    // end-to-end per-batch latency, recorded in the spec report so a
+    // regression in the full ingest path (gates + dedup + pack + ANN
+    // refresh per micro-batch) is visible round-over-round
+    def timedBatch(data: Seq[(Long, String)]): Double = {
+      val t0 = System.nanoTime()
+      input.addData(data); q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (t0s, t1s) = (timedBatch(b0), timedBatch(b1))
+    info(f"stream_curation per-batch wall time: b0=$t0s%.2fs b1=$t1s%.2fs")
     q.stop()
     // 1. final packed corpus == the BATCH pipeline on the same data:
     //    shared gates, then exact dedup (min doc_id per content hash —
