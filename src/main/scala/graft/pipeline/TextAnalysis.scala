@@ -593,6 +593,76 @@ object TextAnalysis {
       .agg(round(avg(log(col("cnt") / col("total"))), 6).as("mean_logprob"))
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET corpus distribution than under the RAW corpus —
+    * log w(x) = Σ_tok [ln p̂_t(b) − ln p̂_r(b)] with add-1-smoothed
+    * multinomials over `buckets` md5 feature buckets (the hashing is
+    * what keeps the feature space FIXED-SIZE at 100 TB: the
+    * distribution tables are `buckets` rows no matter the corpus, so
+    * the per-bucket log-ratio relation broadcasts). Two corpus passes:
+    * one map-side-combinable groupBy to the bucket counts, one
+    * bucket-ratio broadcast join + per-doc sum. `isTarget` marks the
+    * in-corpus proxy for the quality target (held-out target corpora
+    * union in upstream). keep = resample gate at the even-odds
+    * threshold (log w > 0), derived from the ROUNDED weight so both
+    * engines agree at the boundary. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        buckets: Int = 1024): DataFrame = {
+    val tok = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    // rollup folds the grand totals into the SAME map-side-combinable
+    // shuffle as the per-bucket counts (a separate .agg would re-run
+    // the whole corpus explode a third time)
+    val agg = tok.rollup(col("b"))
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("n_t"))
+    val bcnt = agg.filter(col("b").isNotNull)
+    val totals = agg.filter(col("b").isNull)
+      .select(col("n_r").as("nr"), col("n_t").as("nt"))
+    val ratio = bcnt.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("n_t") + lit(1.0)) / (col("nt") + lit(buckets.toDouble))) -
+          log((col("n_r") + lit(1.0)) / (col("nr") + lit(buckets.toDouble))))
+          .as("log_ratio"))
+    tok.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("log_ratio")), 6).as("log_weight"))
+      .withColumn("keep", col("log_weight") > 0.0)
+  }
+
+  /** BIGRAM LM quality score — the CCNet-style "LM thinks this text is
+    * natural" gate one model order above [[unigramLogProb]]: per doc,
+    * the mean ln p(wᵢ | wᵢ₋₁) over its bigram positions under the
+    * corpus bigram MLE with add-1 smoothing over the unigram vocab
+    * (p = (c(v,w)+1)/(c(v,·)+|V|)). Conditioning on context is what
+    * catches shuffled-token junk that unigram frequency scoring
+    * cannot: the same bag of common words scores high as a fluent
+    * sentence and low as a random permutation. One corpus bigram
+    * reduce (map-side combinable) + one rejoin keyed by bigram; the
+    * context totals reuse the reduced relation, so no second corpus
+    * pass. Docs with <2 tokens are omitted (no bigram evidence). */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val bi = docs.select(col("doc_id"),
+        posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0)))).as(Seq("i", "v")),
+        toks.as("tk"))
+      .select(col("doc_id"), col("v"), expr("tk[i + 1]").as("w"))
+    val cnt = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c_vw"))
+    val ctx = cnt.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
+    val vocab = docs.select(explode(toks).as("tok")).agg(
+      countDistinct(col("tok")).as("vsz"))
+    bi.join(cnt, Seq("v", "w")).join(ctx, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log((col("c_vw") + lit(1.0)) / (col("c_v") + col("vsz")))), 6)
+        .as("mean_bigram_logprob"))
+  }
+
   /** DOMAIN-MIXTURE sampling — the data-mixing step that turns a
     * curated multi-language corpus into a training mix with target
     * per-domain token proportions: each language's quota is

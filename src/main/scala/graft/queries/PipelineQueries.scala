@@ -394,6 +394,22 @@ object PipelineQueries {
 
     "text_logprob" -> ((s, dir) => TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // CCNet-style BIGRAM LM gate: mean ln p(w|prev) under the corpus
+    // bigram MLE (add-1 over the unigram vocab) — conditional context
+    // catches shuffled-token junk unigram scoring cannot; one bigram
+    // reduce + one rejoin, context totals derived from the reduced
+    // relation (no second corpus pass)
+    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docs(s, dir))),
+
+    // DSIR importance weights (hashed-unigram bucket multinomials,
+    // target vs raw): the data-SELECTION step before a training run —
+    // fixed-size (1024-bucket) distribution tables regardless of corpus
+    // size, so the log-ratio relation broadcasts at 100 TB; two corpus
+    // passes total
+    "sample_importance" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(docs(s, dir),
+        col("source").isin("src0", "src1"))),
+
     // exact-substring dedup signal (Lee et al. 2022) at 8-token span
     // granularity: per-doc duplicated-span coverage over the corpus
     "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(docs(s, dir), n = 8)),
@@ -1187,6 +1203,43 @@ object PipelineQueries {
               tot AS (SELECT count(*) AS total FROM tok)
          SELECT doc_id, round(avg(ln(cnt / total)), 6) AS mean_logprob
          FROM tok JOIN cnt USING (tok), tot
+         GROUP BY 1""",
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\s+') AS tk
+                    FROM documents),
+              bi AS (SELECT doc_id, tk[i] AS v, tk[i + 1] AS w
+                     FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                           FROM t WHERE len(tk) >= 2) x),
+              cnt AS (SELECT v, w, count(*) AS c_vw FROM bi GROUP BY 1, 2),
+              ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cnt GROUP BY 1),
+              vocab AS (SELECT count(DISTINCT tok) AS vsz
+                        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                              FROM documents) u)
+         SELECT doc_id,
+                round(avg(ln((c_vw + 1.0) / (c_v + vsz))), 6) AS mean_bigram_logprob
+         FROM bi JOIN cnt USING (v, w) JOIN ctx USING (v), vocab
+         GROUP BY 1""",
+    // add-1-smoothed hashed-unigram multinomials; every integer SUM
+    // cast to BIGINT (the audited HUGEINT class); keep derives from the
+    // ROUNDED weight so the boundary agrees across engines
+    "sample_importance" ->
+      """WITH tb AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                            ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+                     FROM (SELECT doc_id, source,
+                                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                           FROM documents) u),
+              bc AS (SELECT b, count(*) AS n_r,
+                            CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+                     FROM tb GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS nr,
+                             CAST(sum(n_t) AS BIGINT) AS nt FROM bc),
+              r AS (SELECT b, ln((n_t + 1.0) / (nt + 1024.0))
+                             - ln((n_r + 1.0) / (nr + 1024.0)) AS log_ratio
+                    FROM bc, tot)
+         SELECT doc_id, round(sum(log_ratio), 6) AS log_weight,
+                round(sum(log_ratio), 6) > 0.0 AS keep
+         FROM tb JOIN r USING (b)
          GROUP BY 1""",
     // token-quota greedy fill in md5 order; windowed SUM cast to BIGINT
     // (never HUGEINT), doc_id tie-break makes the order total — the
