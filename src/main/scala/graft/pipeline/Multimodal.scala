@@ -405,4 +405,94 @@ object Multimodal {
         col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"),
         col("hfam"))
   }
+
+  private[graft] val FamVideo: Byte = 5
+  private[graft] val FamFlatVideo: Byte = 6
+
+  /** 64-bit VIDEO fingerprint: the payload is `frameSize`-byte raw
+    * frames (the [[frameSample]] layout); per-frame "luma" = mean
+    * unsigned byte value (for raw grayscale frames that IS mean
+    * brightness — a codec decoder plugs in ahead of the loop, same
+    * shape); leading/trailing BLACK frames trimmed (luma < `black`),
+    * the luma-over-time envelope resampled to 65 anchors, bit j =
+    * anchor j+1 brighter than anchor j. Same invariance algebra as
+    * [[audioHash]], transposed to time-over-frames: delta-sign makes
+    * it invariant to global BRIGHTNESS/contrast gain (positive scaling
+    * preserves every strict comparison short of clipping), the trim to
+    * black-frame padding (leader/trailer), and the 65-anchor temporal
+    * resample to uniform frame-rate changes (each frame duplicated k
+    * times — slow-motion re-encodes — yields the same anchor
+    * sequence). Constant-brightness clips key by quantized mean luma
+    * in their own family; sub-2-frame payloads return None (md5
+    * fallback family). */
+  private[graft] def videoHash(bytes: Array[Byte], frameSize: Int,
+                               black: Double = 1.0): Option[(Long, Byte)] = {
+    val nFrames = if (bytes == null) 0 else (bytes.length + frameSize - 1) / frameSize
+    val env = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * frameSize
+      val end = math.min(start + frameSize, bytes.length)
+      var s = 0L
+      var i = start
+      while (i < end) { s += (bytes(i) & 0xff); i += 1 }
+      env(f) = s.toDouble / (end - start)
+      f += 1
+    }
+    val lo = env.indexWhere(_ >= black)
+    val hi = env.lastIndexWhere(_ >= black)
+    if (lo < 0 || hi - lo < 1) None
+    else {
+      val t = env.slice(lo, hi + 1)
+      // midpoint position sampling: anchor j reads t[floor((2j+1)·|t|/130)].
+      // Under k-fold frame duplication t'[i] = t[i/k] this is EXACTLY
+      // invariant (floor(floor(k·x)/k) = floor(x)), unlike endpoint
+      // interpolation — slow-motion re-encodes hash identically.
+      @inline def anchor(j: Int): Double = t((((2L * j + 1) * t.length) / 130).toInt)
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        if (anchor(j + 1) > anchor(j)) h |= (1L << j)
+        j += 1
+      }
+      if (h == 0L) Some((math.round(t.sum / t.length * 1e3), FamFlatVideo))
+      else Some((h, FamVideo))
+    }
+  }
+
+  /** Per-payload video fingerprint column — same batch shape and family
+    * discipline as [[imageHashes]]/[[audioHashes]]. */
+  def videoHashes(withMedia: DataFrame, frameSize: Int = 1024): DataFrame = {
+    val spark = withMedia.sparkSession
+    val rdd = withMedia.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (h, fam) = (if (bytes == null) None else videoHash(bytes, frameSize))
+          .getOrElse {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(if (bytes == null) Array.empty[Byte] else bytes)
+            (java.nio.ByteBuffer.wrap(d, 0, 8).getLong, FamBinary)
+          }
+        Row(docId, h, fam)
+      }
+    }
+    spark.createDataFrame(rdd, HashSchema)
+  }
+
+  /** VIDEO DEDUP on the temporal-envelope fingerprint — closes the
+    * image/audio/video dedup triangle: identical / brightness-scaled /
+    * black-padded / frame-duplicated (slow-motion) copies share the
+    * hash BY CONSTRUCTION of [[videoHash]]. Exact-hash groups collapse
+    * keep-min-id per family; one |distinct-hash|-group shuffle, the
+    * fingerprint pass map-only. */
+  def videoDedup(withMedia: DataFrame, frameSize: Int = 1024): DataFrame = {
+    val h = videoHashes(withMedia, frameSize)
+    val keep = h.groupBy(col("hfam"), col("phash"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    h.join(keep, Seq("hfam", "phash"))
+      .select(col("doc_id"), col("phash"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("keep"),
+        col("hfam"))
+  }
 }

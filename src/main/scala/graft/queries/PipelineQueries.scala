@@ -586,6 +586,15 @@ object PipelineQueries {
     "mm_audio_dedup" -> ((s, dir) =>
       Multimodal.audioDedup(Multimodal.asBinary(docs(s, dir)))),
 
+    // temporal-envelope VIDEO dedup (per-frame mean luma → black-frame
+    // trim → 65 midpoint anchors → delta-sign bits): brightness-scaled
+    // / black-padded / frame-duplicated (slow-motion) copies merge,
+    // distinct clips separate — closes the image/audio/video dedup
+    // triangle; rows-only, planted-clip spec carries the invariance
+    // checks
+    "mm_video_dedup" -> ((s, dir) =>
+      Multimodal.videoDedup(Multimodal.asBinary(docs(s, dir)), frameSize = 64)),
+
     // zlib compression-ratio quality gate (too-compressible = templated
     // junk): native codegen'd expression, map-only scan. rows-only —
     // deflate length is JDK-deterministic, not a cross-engine contract;

@@ -232,6 +232,41 @@ class OperatorsSpec extends SparkSpec {
       "md5 fallback dedups exact non-audio payloads")
   }
 
+  test("videoDedup: envelope hash survives brightness gain, black padding, frame duplication") {
+    val fs = 32
+    // raw-frame "video": per-frame brightness follows `lumas`
+    def vid(lumas: Seq[Int], dup: Int = 1, padFrames: Int = 0): Array[Byte] =
+      (Seq.fill(padFrames)(0) ++ lumas.flatMap(Seq.fill(dup)(_)) ++
+        Seq.fill(padFrames)(0))
+        .flatMap(l => Array.fill(fs)(l.toByte)).toArray
+    val ramp = (1 to 80).map(i => 20 + i)            // distinctive rise
+    val peaked = ramp.take(40) ++ ramp.take(40).reverse
+    val media = Seq(
+      (1L, vid(ramp)),
+      (2L, vid(ramp)),                         // identical bytes
+      (3L, vid(ramp.map(_ * 2))),              // brightness-doubled re-encode
+      (4L, vid(ramp, padFrames = 10)),         // black leader/trailer
+      (5L, vid(ramp, dup = 3)),                // 3x slow-motion re-encode
+      (6L, vid(peaked)),                       // different content
+      (7L, vid(Seq.fill(50)(100))),            // constant-brightness clip
+      (8L, vid(Seq.fill(50)(200))),            // constant but brighter: separate
+      (9L, "not a video".getBytes("UTF-8")),
+      (10L, "not a video".getBytes("UTF-8")))  // exact non-video dup
+      .toDF("doc_id", "media")
+    val out = Multimodal.videoDedup(media, frameSize = fs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)), "identical clip must merge")
+    assert(out(3L) === ((1L, false)), "brightness-scaled copy must merge")
+    assert(out(4L) === ((1L, false)), "black-padded copy must merge")
+    assert(out(5L) === ((1L, false)), "frame-duplicated copy must merge")
+    assert(out(6L)._1 === 6L && out(6L)._2, "different envelope must separate")
+    assert(out(7L) === ((7L, true)) && out(8L) === ((8L, true)),
+      "constant clips of different brightness must not false-merge")
+    assert(out(9L)._1 === 9L && out(10L) === ((9L, false)),
+      "md5 fallback dedups exact non-video payloads")
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
