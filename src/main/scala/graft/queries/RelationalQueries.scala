@@ -572,6 +572,65 @@ object RelationalQueries {
         .agg(max(col("run") + col("off")).as("max_conc"))
     }),
 
+    // INTERVAL COALESCE (interval union): merge the overlapping/
+    // adjacent session intervals of ALL users into maximal global
+    // activity spans — the sibling of q_concurrency on the same
+    // boundary sweep. Islands need TWO global prefix sums (running
+    // active count; prefix count of zero-runs = island id), both
+    // decomposed per-day + cumulative day offsets — never one
+    // global-order window. The boundary order (t, delta desc,
+    // user_id, sid) is TOTAL, so ROWS frames are deterministic in
+    // both engines; a span closes where the running count returns to
+    // zero, and every boundary's island id = zeros strictly before it.
+    "q_interval_coalesce" -> ((s, dir) => {
+      val dayUs = 86400L * 1000 * 1000
+      val gapUs = 1800L * 1000 * 1000
+      val ev = events(s, dir).select(col("user_id"), expr("ts_ns div 1000").as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val sess = ev
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      val bounds = sess.select(col("user_id"), col("sid"), explode(array(
+          struct(col("t0").as("t"), lit(1).as("delta")),
+          struct((col("t1") + 1).as("t"), lit(-1).as("delta")))).as("b"))
+        .select(col("b.t").as("t"), col("b.delta").as("delta"),
+          col("user_id"), col("sid"))
+        .withColumn("day", expr(s"t div $dayUs"))
+        .localCheckpoint(true)
+      val ord = Seq(col("t").asc, col("delta").desc, col("user_id").asc,
+        col("sid").asc)
+      val wd = Window.partitionBy(col("day")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wo = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bounds.groupBy(col("day")).agg(sum(col("delta")).as("dtot"))
+        .withColumn("off", coalesce(sum(col("dtot")).over(wo), lit(0L)))
+        .select(col("day"), col("off"))
+      // broadcast keeps the day-partitioning from wd alive for wd2
+      val zb = bounds.withColumn("runLoc", sum(col("delta")).over(wd))
+        .join(broadcast(offsets), Seq("day"))
+        .withColumn("z", when(col("runLoc") + col("off") === 0, 1L).otherwise(0L))
+        .localCheckpoint(true) // 2 consumers (z-window, per-day z totals)
+      val wd2 = Window.partitionBy(col("day")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val zoff = zb.groupBy(col("day")).agg(sum(col("z")).as("ztot"))
+        .withColumn("zo", coalesce(sum(col("ztot")).over(wo), lit(0L)))
+        .select(col("day"), col("zo"))
+      zb.withColumn("zLoc", coalesce(sum(col("z")).over(wd2), lit(0L)))
+        .join(broadcast(zoff), Seq("day"))
+        .withColumn("island", col("zLoc") + col("zo"))
+        .groupBy(col("island"))
+        .agg(min(col("t")).as("span_start"),
+          (max(col("t")) - 1L).as("span_end"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"))
+        .select(col("span_start"), col("span_end"), col("n_sessions"))
+    }),
+
     // data-profiling histogram: fixed-width value buckets with count /
     // exact sum / min / max per bucket — ONE map-side-combinable
     // shuffle of |buckets| groups. Bucket arithmetic is plain floor
@@ -899,6 +958,40 @@ object RelationalQueries {
                     FROM b)
          SELECT t // 86400000000 AS day, CAST(max(run) AS BIGINT) AS max_conc
          FROM r GROUP BY 1""",
+    // the oracle states both prefix sums as global-order windows (the
+    // semantic definition); the Spark side decomposes each into the
+    // per-day + day-offset form and must land on identical spans.
+    // (t, delta DESC, user_id, sid) is a total order, so the ROWS
+    // frames are deterministic in both engines; every SUM-derived
+    // output is CAST to BIGINT (the audited HUGEINT class).
+    "q_interval_coalesce" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+              g AS (SELECT user_id, ts_us,
+                      CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                             OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                                > 1800000000
+                           THEN 1 ELSE 0 END AS ns
+                    FROM ev),
+              s2 AS (SELECT user_id, ts_us,
+                            SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+                     FROM g),
+              sess AS (SELECT user_id, sid, min(ts_us) AS t0, max(ts_us) AS t1
+                       FROM s2 GROUP BY 1, 2),
+              b AS (SELECT t0 AS t, 1 AS delta, user_id, sid FROM sess
+                    UNION ALL SELECT t1 + 1, -1, user_id, sid FROM sess),
+              r AS (SELECT t, delta, user_id, sid,
+                           SUM(delta) OVER (ORDER BY t, delta DESC, user_id, sid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                    FROM b),
+              i AS (SELECT t, delta,
+                           COALESCE(SUM(CASE WHEN run = 0 THEN 1 ELSE 0 END)
+                             OVER (ORDER BY t, delta DESC, user_id, sid
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS island
+                    FROM r)
+         SELECT CAST(min(t) AS BIGINT) AS span_start,
+                CAST(max(t) - 1 AS BIGINT) AS span_end,
+                CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM i GROUP BY island""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
               su AS (SELECT user_id, min(ts_us) AS signup_us FROM ev
