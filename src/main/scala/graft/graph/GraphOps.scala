@@ -697,4 +697,45 @@ object GraphOps {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** LINK PREDICTION by common-neighbor JACCARD over a bipartite
+    * incidence (node, item): for every candidate pair sharing ≥1 item,
+    * J = |items(a) ∩ items(b)| / |items(a) ∪ items(b)|; each node keeps
+    * its topK most similar partners (jaccard desc, partner asc — a
+    * total order, so the ranking is engine-deterministic).
+    *
+    * Scale shape: candidates come from the shared-item self-join, cost
+    * Σ_item deg(item)² — NEVER all-pairs. Hub items (deg > maxItemDeg)
+    * are pruned first, the same stopword discipline as similarity
+    * search: an item shared by everyone predicts nothing and its deg²
+    * term is exactly the quadratic blowup. Jaccard is then computed
+    * over the PRUNED sets (sizes taken after the filter) so the score
+    * is internally consistent. The final per-node top-k is a rank<=k
+    * filter → Spark's map-side WindowGroupLimit. */
+  def jaccardLinks(incidence: DataFrame, nodeCol: String, itemCol: String,
+                   maxItemDeg: Int = 50, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = incidence.select(col(nodeCol).as("n"), col(itemCol).as("it")).distinct()
+    val kept = ps.join(
+      ps.groupBy(col("it")).agg(count(lit(1)).as("ideg"))
+        .filter(col("ideg") <= maxItemDeg).select(col("it")),
+      Seq("it")).localCheckpoint(true) // 3 consumers: sizes + both join sides
+    val sz = kept.groupBy(col("n")).agg(count(lit(1)).as("sz"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.it") === col("b.it") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    val sym = pairs.select(col("n1").as("src"), col("n2").as("dst"), col("inter"))
+      .unionByName(pairs.select(col("n2").as("src"), col("n1").as("dst"), col("inter")))
+    val scored = sym
+      .join(sz.select(col("n").as("src"), col("sz").as("sz1")), Seq("src"))
+      .join(sz.select(col("n").as("dst"), col("sz").as("sz2")), Seq("dst"))
+      .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("jaccard").desc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("src"), col("dst"), col("inter"), col("uni"),
+        col("jaccard"), col("rk"))
+  }
 }

@@ -155,6 +155,19 @@ object GraphQueries {
           (col("community") - TestData.NationBase).as("community"))
     }),
 
+    // LINK PREDICTION: top-5 most similar suppliers per supplier by
+    // common-neighbor Jaccard over the lineitem part-incidence
+    // bipartite graph — candidates from the shared-part self-join
+    // (cost Σ_part deg², never all-pairs), hub parts (deg > 50)
+    // pruned first (the stopword discipline: an item everyone shares
+    // predicts nothing and is exactly the deg² blowup), per-node
+    // top-k via rank<=k → map-side WindowGroupLimit.
+    "graph_jaccard" -> ((s, dir) =>
+      GraphOps.jaccardLinks(
+        TestData.read(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", maxItemDeg = 50, topK = 5)),
+
     "graph_temporal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val ev = TestData.events(s, dir)
@@ -270,6 +283,31 @@ object GraphQueries {
     // sync-LPA on a clique converges to the clique minimum in <= 2
     // rounds (round 1 = min neighbor under the all-tied count, round 2
     // = majority); singleton regions have no edges and drop out.
+    // same pruning + pruned-set sizes + total-order ranking; BIGINT
+    // throughout (count(*) never widens in DuckDB)
+    "graph_jaccard" ->
+      """WITH ps AS (SELECT DISTINCT l_suppkey AS n, l_partkey AS it FROM lineitem),
+              kept AS (SELECT n, it FROM ps
+                       WHERE it IN (SELECT it FROM ps GROUP BY it
+                                    HAVING count(*) <= 50)),
+              sz AS (SELECT n, count(*) AS sz FROM kept GROUP BY n),
+              pairs AS (SELECT a.n AS n1, b.n AS n2, count(*) AS inter
+                        FROM kept a JOIN kept b
+                          ON a.it = b.it AND a.n < b.n
+                        GROUP BY 1, 2),
+              sym AS (SELECT n1 AS src, n2 AS dst, inter FROM pairs
+                      UNION ALL SELECT n2, n1, inter FROM pairs),
+              scored AS (SELECT src, dst, inter,
+                                s1.sz + s2.sz - inter AS uni,
+                                round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6)
+                                  AS jaccard
+                         FROM sym
+                         JOIN sz s1 ON s1.n = src
+                         JOIN sz s2 ON s2.n = dst),
+              rnk AS (SELECT *, row_number() OVER (PARTITION BY src
+                                ORDER BY jaccard DESC, dst ASC) AS rk
+                      FROM scored)
+         SELECT src, dst, inter, uni, jaccard, rk FROM rnk WHERE rk <= 5""",
     "graph_lpa" ->
       """WITH m AS (SELECT n_regionkey, min(n_nationkey) AS mn
                     FROM nation GROUP BY n_regionkey),

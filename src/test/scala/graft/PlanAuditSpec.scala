@@ -12,7 +12,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
   private def plan(name: String): String =
-    (RelationalQueries.queries ++ PipelineQueries.queries)(name)(spark, sf)
+    SparkEntry.queries(name)(spark, sf)
       .queryExecution.executedPlan.toString
 
   test("q1_agg: shipdate filter reaches the parquet scan; unused columns pruned") {
@@ -472,6 +472,15 @@ class PlanAuditSpec extends SparkSpec {
     // partition — the difference between shipping 2 rows and a
     // customer's whole order history at 100 TB
     assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+  }
+
+  test("graph_jaccard: per-node top-k gets WindowGroupLimit; candidates never cartesian") {
+    val p = plan("graph_jaccard")
+    // rank<=k must pre-filter map-side (a node's full candidate list
+    // never crosses the wire), and pairs must come from the shared-item
+    // equi-join, not any all-pairs shape
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
   test("q_unpivot: wide-to-long is a map-only Expand — zero shuffles") {
