@@ -610,20 +610,43 @@ object TextAnalysis {
     * engines agree at the boundary. */
   def importanceWeights(docs: DataFrame, isTarget: Column,
                         buckets: Int = 1024): DataFrame = {
-    val tok = docs.select(col("doc_id"), isTarget.as("tgt"),
+    val tok = dsirTokens(docs, isTarget, buckets)
+    // grand totals derive from the ≤buckets-row counts relation inside
+    // dsirScoreTokens — never a second corpus pass
+    val bcnt = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_r"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("n_t"))
+    dsirScoreTokens(tok, bcnt, buckets)
+  }
+
+  /** (doc_id, tgt, b): one row per token occurrence with its md5
+    * feature bucket — the shared front of the batch operator and the
+    * streaming twin. */
+  private[graft] def dsirTokens(docs: DataFrame, isTarget: Column,
+                                buckets: Int): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("tgt"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .withColumn("b",
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
-    // rollup folds the grand totals into the SAME map-side-combinable
-    // shuffle as the per-bucket counts (a separate .agg would re-run
-    // the whole corpus explode a third time)
-    val agg = tok.rollup(col("b"))
+
+  /** Per-bucket DSIR counts of one doc set — ≤`buckets` rows, PURELY
+    * ADDITIVE (a sum of per-batch counts equals the whole-corpus
+    * counts, any grouping), which is what makes the streaming sidecar
+    * exact under arbitrary batch boundaries. */
+  def dsirBucketCounts(docs: DataFrame, isTarget: Column,
+                       buckets: Int = 1024): DataFrame =
+    dsirTokens(docs, isTarget, buckets)
+      .groupBy(col("b"))
       .agg(count(lit(1)).as("n_r"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("n_t"))
-    val bcnt = agg.filter(col("b").isNotNull)
-    val totals = agg.filter(col("b").isNull)
-      .select(col("n_r").as("nr"), col("n_t").as("nt"))
+
+  /** Score a tokenized doc set against a (b, n_r, n_t) bucket-count
+    * relation: totals derive from the ≤`buckets`-row relation itself
+    * (no extra corpus pass), the log-ratio relation broadcasts. */
+  private[graft] def dsirScoreTokens(tok: DataFrame, bcnt: DataFrame,
+                                     buckets: Int): DataFrame = {
+    val totals = bcnt.agg(sum(col("n_r")).as("nr"), sum(col("n_t")).as("nt"))
     val ratio = bcnt.crossJoin(broadcast(totals))
       .select(col("b"),
         (log((col("n_t") + lit(1.0)) / (col("nt") + lit(buckets.toDouble))) -
@@ -634,6 +657,12 @@ object TextAnalysis {
       .agg(round(sum(col("log_ratio")), 6).as("log_weight"))
       .withColumn("keep", col("log_weight") > 0.0)
   }
+
+  /** Score any doc set against a maintained bucket-count relation (the
+    * serving face of the streaming DSIR sidecar). */
+  def dsirScoreAgainst(docs: DataFrame, bucketCounts: DataFrame,
+                       buckets: Int = 1024): DataFrame =
+    dsirScoreTokens(dsirTokens(docs, lit(false), buckets), bucketCounts, buckets)
 
   /** BIGRAM LM quality score — the CCNet-style "LM thinks this text is
     * natural" gate one model order above [[unigramLogProb]]: per doc,

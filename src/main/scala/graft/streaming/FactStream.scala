@@ -991,4 +991,49 @@ object FactStream {
         } finally graded.unpersist(false): Unit
       }
       .start()
+
+  /** STREAMING DSIR (the §2C sample_importance twin): the maintained
+    * state is the per-bucket (n_r, n_t) token-count relation — ≤
+    * `buckets` rows no matter the stream volume, and PURELY ADDITIVE,
+    * so the merged sidecar after any batch equals the batch operator's
+    * counts over every doc ingested so far under ANY batch boundaries
+    * (spec-pinned). Scoring is the serving face:
+    * [[graft.pipeline.TextAnalysis.dsirScoreAgainst]] against the
+    * current sidecar reproduces the batch importanceWeights output
+    * exactly once ingestion has covered the corpus. Same versioned
+    * sidecar + atomic pointer + batchId-idempotent replay guard + GC
+    * discipline as [[ingestHeavyHitters]]. */
+  def ingestDsir(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 path: String, checkpoint: String,
+                 buckets: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirStep(batch, isTarget, batchId, path, buckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One [[ingestDsir]] micro-batch — exposed for the replay/parity
+    * specs. Reads the previous version dir and writes a NEW one (never
+    * the dir being read), then swings the pointer. */
+  private[graft] def dsirStep(batch: DataFrame, isTarget: org.apache.spark.sql.Column,
+                              batchId: Long, path: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val prevV = readPtr(fs, ptr)
+    if (!prevV.contains(s"v$batchId")) {
+      val bCnt = graft.pipeline.TextAnalysis.dsirBucketCounts(batch, isTarget, buckets)
+      val merged = prevV match {
+        case Some(v) => bCnt.unionByName(spark.read.parquet(s"$path/$v"))
+          .groupBy(col("b"))
+          .agg(sum(col("n_r")).as("n_r"), sum(col("n_t")).as("n_t"))
+        case None => bCnt
+      }
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+      writePtr(fs, ptr, s"v$batchId")
+      gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+    }
+  }
 }

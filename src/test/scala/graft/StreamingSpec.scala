@@ -968,4 +968,45 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 2L), (1L, 2L), (2L, 1L)), s"sidecar drifted: $got")
   }
+
+  test("stream_importance: additive bucket sidecar is batch-boundary exact; scoring matches batch DSIR") {
+    import graft.pipeline.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val buckets = 64
+    val docs = Seq(
+      (1L, "spark fast query engine", "tgt"),
+      (2L, "slow junk junk junk spam", "raw"),
+      (3L, "query engine fast plan", "tgt"),
+      (4L, "spam spam lottery winner", "raw"),
+      (5L, "fast plan join engine", "raw"),
+      (6L, "junk lottery spam spam", "raw")).toDF("doc_id", "text", "source")
+    val isTarget = col("source") === "tgt"
+    // ingest in UNEVEN batches; the additive sidecar must equal the
+    // batch operator's counts over everything ingested so far
+    FactStream.dsirStep(docs.filter(col("doc_id") <= 1), isTarget, 0L, s"$dir/ds", buckets)
+    FactStream.dsirStep(docs.filter(col("doc_id").between(2, 4)), isTarget, 1L, s"$dir/ds", buckets)
+    FactStream.dsirStep(docs.filter(col("doc_id") >= 5), isTarget, 2L, s"$dir/ds", buckets)
+    def sidecar() = spark.read.parquet(s"$dir/ds/v2")
+    val want = TextAnalysis.dsirBucketCounts(docs, isTarget, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = sidecar().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"sidecar counts drifted from batch: $got vs $want")
+    // at-least-once replay of the last batch is a no-op
+    FactStream.dsirStep(docs.filter(col("doc_id") >= 5), isTarget, 2L, s"$dir/ds", buckets)
+    val got2 = sidecar().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === want, "replayed batch inflated the DSIR counters")
+    // serving parity: scoring the corpus against the sidecar == the
+    // batch importanceWeights output, row-identical
+    val servem = TextAnalysis.dsirScoreAgainst(docs, sidecar(), buckets).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = TextAnalysis.importanceWeights(docs, isTarget, buckets).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(servem === batch, s"sidecar scoring != batch DSIR: $servem vs $batch")
+    // version GC: live + previous version dirs remain, older are gone
+    val vDirs = new java.io.File(s"$dir/ds").listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).toSet
+    assert(vDirs === Set("v2", "v1"), s"version GC left $vDirs")
+  }
 }
