@@ -549,6 +549,42 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** ASYMMETRIC CONTAINMENT — the quote/inclusion signal symmetric
+    * Jaccard cannot see: C(A→B) = |S(A) ∩ S(B)| / |S(A)| over DISTINCT
+    * n-token shingles. A short doc fully quoted inside a long one has
+    * C(short→long) ≈ 1 while the Jaccard is tiny (the union is the
+    * long doc), so the pair never clears a symmetric threshold — this
+    * is the containment-dedup step of web-curation pipelines. Output:
+    * every ORDERED pair with C ≥ threshold (a = the contained doc).
+    *
+    * Scale shape: shingles, not unigrams — an n-gram is shared only
+    * through real copying, so the (doc, sh) self-join's Σ_sh df(sh)²
+    * stays near-linear on organic corpora (a pathological template
+    * span behaves like the hub items graph_jaccard prunes; here
+    * exactness is the contract, so skew lands on AQE's skew-join
+    * split). The corpus is exploded and hashed once; distinct,
+    * per-doc sizes and both self-join sides all hang off the same
+    * (doc_id, sh) exchange subtree (AQE ReusedExchange). */
+  def shingleContainment(docs: DataFrame, n: Int = 8,
+                         threshold: Double = 0.5): DataFrame = {
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val sh = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), explode(TextAnalysis.shingleHashCol(col("tk"), n)).as("sh"))
+      .distinct()
+    val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(szs.select(col("doc_id").as("a"), col("n_sh")), Seq("a"))
+      .withColumn("cont", col("inter").cast("double") / col("n_sh"))
+      .filter(col("cont") >= threshold)
+      .select(col("a"), col("b"), col("inter"), col("n_sh"),
+        round(col("cont"), 6).as("containment"))
+  }
+
   /** [[duplicatedSpans]]' completion — the REMOVAL step of exact-
     * substring dedup (Lee et al. 2022 drop duplicated spans, not whole
     * documents): every token covered by any cross-document duplicated

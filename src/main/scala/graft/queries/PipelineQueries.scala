@@ -414,6 +414,14 @@ object PipelineQueries {
     // granularity: per-doc duplicated-span coverage over the corpus
     "dedup_spans" -> ((s, dir) => Dedup.duplicatedSpans(docs(s, dir), n = 8)),
 
+    // asymmetric CONTAINMENT (quote/inclusion) at 8-token shingle
+    // granularity: ordered pairs where ≥ half of doc a's distinct
+    // shingles appear in doc b — the signal symmetric Jaccard cannot
+    // see (a short doc quoted inside a long one); one (doc, sh)
+    // self-join over the reduced distinct relation
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.shingleContainment(docs(s, dir), n = 8, threshold = 0.5)),
+
     // the REMOVAL step of exact-substring dedup: cut every token
     // covered by a cross-document duplicated 8-token span
     "dedup_trim" -> ((s, dir) => Dedup.trimDuplicatedSpans(docs(s, dir), n = 8)),
@@ -1126,6 +1134,28 @@ object PipelineQueries {
                 round(CAST(coalesce(d.dup_spans, 0) AS DOUBLE) / b.n_spans, 6)
                   AS dup_frac
          FROM base b LEFT JOIN d USING (doc_id)""",
+    // DISTINCT shingles (unlike dedup_spans' multiplicity form);
+    // count(*) never widens, the division is an exact IEEE quotient in
+    // both engines so the threshold filter agrees at the boundary
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents
+                       WHERE doc_id IS NOT NULL),
+              sp AS (SELECT DISTINCT doc_id,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              szs AS (SELECT doc_id, count(*) AS n_sh FROM sp GROUP BY 1),
+              inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                        FROM sp x JOIN sp y
+                          ON x.sh = y.sh AND x.doc_id <> y.doc_id
+                        GROUP BY 1, 2)
+         SELECT a, b, inter, n_sh,
+                round(CAST(inter AS DOUBLE) / n_sh, 6) AS containment
+         FROM inter JOIN szs ON szs.doc_id = a
+         WHERE CAST(inter AS DOUBLE) / n_sh >= 0.5""",
     "text_src_overlap" ->
       """WITH toks AS (SELECT source,
                               string_split_regex(lower(trim(text)), '\s+') AS t
