@@ -295,6 +295,70 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** FULL BPE MERGE LEARNING (Sennrich et al. 2016) — the iterative
+    * loop [[bpePairCounts]] is one round of: represent each vocabulary
+    * word as char symbols (+ the `</w>` end marker), then `merges`
+    * times pick the most frequent adjacent symbol pair (count desc,
+    * then lexicographic — a total order, so the learned table is
+    * deterministic) and fuse it everywhere.
+    *
+    * Scale shape: the corpus is reduced to (word, count) ONCE (the one
+    * corpus shuffle — the reason real BPE trainers count words before
+    * counting pairs); every iteration then runs over the vocab
+    * relation only: a map-side-combinable pair count, a 1-ROW argmax
+    * collect (the bounded driver state, same discipline as the Lloyd /
+    * k-center loops), and a map-only fold that rewrites each word's
+    * symbol array via codegen'd `aggregate` — leftmost-first
+    * non-overlapping exactly because the fused symbol becomes the
+    * fold's tail. 100 TB of text is ~millions of distinct words, so
+    * iterations cost vocab-sized shuffles regardless of corpus size.
+    * Output: the merge table (step, left, right, merged, pair_count) —
+    * spec-pinned against an independent in-test reference
+    * implementation on a planted corpus. */
+  def bpeLearn(docs: DataFrame, merges: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    var vocab = words
+      .select(col("cnt"),
+        concat(filter(split(col("w"), ""), s => s =!= ""),
+          array(lit("</w>"))).as("syms"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l"), col("p.r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val merged = l + r
+        rules += ((step, l, r, merged, pc))
+        vocab = vocab.withColumn("syms",
+            aggregate(
+              slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+              slice(col("syms"), lit(1), lit(1)),
+              (acc, s) => when(element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(s)))))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    rules.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+  }
+
   /** Collocation mining: PMI-ranked adjacent-token bigrams over the
     * corpus — the phrase-discovery pass (e.g. word2vec-style phrase
     * joining, tokenizer-vocab seeding). Three reduce shuffles total

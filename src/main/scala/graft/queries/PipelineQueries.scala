@@ -299,6 +299,14 @@ object PipelineQueries {
     // shuffle) → char-pair explode over vocab only → weighted counts.
     "text_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(docs(s, dir), topK = 100)),
 
+    // FULL BPE merge learning (Sennrich 2016): 12 iterations over the
+    // reduced (word, count) relation — corpus shuffled ONCE, each
+    // round = vocab-sized pair count + 1-row argmax + map-only fold
+    // rewrite; deterministic merge table (count desc, lexicographic).
+    // rows-only — the loop is not SQL-expressible; parity spec pins
+    // the table against an independent reference implementation.
+    "text_bpe_learn" -> ((s, dir) => TextAnalysis.bpeLearn(docs(s, dir), merges = 12)),
+
     // model-based quality gate: linear scorer over the hashed
     // bag-of-words (fasttext shape), md5 stand-in weights; no UDF.
     "text_quality_model" -> ((s, dir) =>

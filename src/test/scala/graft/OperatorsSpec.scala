@@ -267,6 +267,58 @@ class OperatorsSpec extends SparkSpec {
       "md5 fallback dedups exact non-video payloads")
   }
 
+  test("bpeLearn matches an independent reference BPE on a planted corpus") {
+    // independent reimplementation of Sennrich-style BPE over word
+    // counts (chars + </w>, count-desc/lexicographic argmax,
+    // leftmost-first non-overlapping fuse)
+    def refBpe(wordCounts: Map[String, Long], merges: Int)
+        : Seq[(Int, String, String, String, Long)] = {
+      var vocab = wordCounts.toVector.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ "</w>", c) }
+      val out = scala.collection.mutable.Buffer
+        .empty[(Int, String, String, String, Long)]
+      var m = 1
+      var done = false
+      while (m <= merges && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) += c
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), c) = pc.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((m, l, r, l + r, c))
+          vocab = vocab.map { case (syms, cnt) =>
+            val acc = scala.collection.mutable.Buffer(syms.head)
+            for (s <- syms.tail)
+              if (acc.last == l && s == r) acc(acc.length - 1) = l + r
+              else acc += s
+            (acc.toVector, cnt)
+          }
+          m += 1
+        }
+      }
+      out.toSeq
+    }
+    // the classic fixture plus an overlap case ("aaaa": pair counts
+    // with multiplicity, leftmost-first fusing)
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest",
+      "widest widest aaaa aaaa")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val wc = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(wc, 10)
+    val got = graft.pipeline.TextAnalysis.bpeLearn(docs, merges = 10)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === want, s"merge tables diverged:\n got=$got\nwant=$want")
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
