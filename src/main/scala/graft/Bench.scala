@@ -13,16 +13,17 @@ object Bench {
     // so a future loader/encoding break also shows up as a perf hole)
     "q_sessionize", "q_pivot", "q_percentile", "q_resample",
     "q_window_range", "q_skew_join", "q_merge_cdc", "q_funnel",
-    "q_concurrency",
+    "q_concurrency", "q_interval_coalesce",
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_rule_mutual",
     "dl_asof", "dl_asof_bucketed",
-    "dedup_exact", "dedup_minhash", "dedup_spans",
+    "dedup_exact", "dedup_minhash", "dedup_spans", "dedup_containment",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
+    "text_bigram_lm", "sample_importance", "text_bpe_learn",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",
-    "graph_kcore", "graph_temporal", "graph_lpa")
+    "graph_kcore", "graph_temporal", "graph_lpa", "graph_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

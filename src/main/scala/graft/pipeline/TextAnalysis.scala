@@ -741,10 +741,16 @@ object TextAnalysis {
     * pass. Docs with <2 tokens are omitted (no bigram evidence). */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val bi = docs.select(col("doc_id"),
-        posexplode(slice(toks, lit(1), greatest(size(toks) - 1, lit(0)))).as(Seq("i", "v")),
-        toks.as("tk"))
-      .select(col("doc_id"), col("v"), expr("tk[i + 1]").as("w"))
+    // one zip_with pair explode — the posexplode + tk[i+1] form
+    // re-evaluates the split per POSITION (a per-output-row generator
+    // input), turning a linear pass quadratic in document length
+    val bi = docs.select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (x, y) => struct(x.as("v"), y.as("w")))).as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.w").as("w"))
     val cnt = bi.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c_vw"))
     val ctx = cnt.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
     val vocab = docs.select(explode(toks).as("tok")).agg(
