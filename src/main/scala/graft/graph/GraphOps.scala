@@ -715,21 +715,28 @@ object GraphOps {
   def jaccardLinks(incidence: DataFrame, nodeCol: String, itemCol: String,
                    maxItemDeg: Int = 50, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.expressions.Window
     val ps = incidence.select(col(nodeCol).as("n"), col(itemCol).as("it")).distinct()
+    // pruned-set size rides along as a column (one window shuffle by n)
+    // so scoring never needs a node-keyed join — at web scale the
+    // per-node size relation is itself millions of rows, and joining it
+    // onto the (much larger) candidate-pair stream twice is the shape
+    // that doesn't survive; first() over the group is free.
     val kept = ps.join(
-      ps.groupBy(col("it")).agg(count(lit(1)).as("ideg"))
-        .filter(col("ideg") <= maxItemDeg).select(col("it")),
-      Seq("it")).localCheckpoint(true) // 3 consumers: sizes + both join sides
-    val sz = kept.groupBy(col("n")).agg(count(lit(1)).as("sz"))
+        ps.groupBy(col("it")).agg(count(lit(1)).as("ideg"))
+          .filter(col("ideg") <= maxItemDeg).select(col("it")),
+        Seq("it"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("n"))))
+      .localCheckpoint(true) // 2 consumers: both self-join sides
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.it") === col("b.it") && col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("inter"))
-    val sym = pairs.select(col("n1").as("src"), col("n2").as("dst"), col("inter"))
-      .unionByName(pairs.select(col("n2").as("src"), col("n1").as("dst"), col("inter")))
-    val scored = sym
-      .join(sz.select(col("n").as("src"), col("sz").as("sz1")), Seq("src"))
-      .join(sz.select(col("n").as("dst"), col("sz").as("sz2")), Seq("dst"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz1"), first(col("b.sz")).as("sz2"))
+    val scored = pairs.select(col("n1").as("src"), col("n2").as("dst"),
+        col("inter"), col("sz1"), col("sz2"))
+      .unionByName(pairs.select(col("n2").as("src"), col("n1").as("dst"),
+        col("inter"), col("sz2").as("sz1"), col("sz1").as("sz2")))
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
     val w = Window.partitionBy(col("src"))
