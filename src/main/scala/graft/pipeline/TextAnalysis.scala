@@ -359,6 +359,39 @@ object TextAnalysis {
     rules.toSeq.toDF("step", "left", "right", "merged", "pair_count")
   }
 
+  /** BPE ENCODE — [[bpeLearn]]'s application half: tokenize the corpus
+    * with a learned merge table and report per-doc BPE token counts +
+    * FERTILITY (BPE tokens per word — the tokenizer-quality number a
+    * vocab is judged by). The merge rules are applied IN LEARNED ORDER
+    * (the BPE contract) to the distinct-word vocabulary only — M
+    * chained codegen'd folds over the ≤vocab-sized relation — and the
+    * corpus then just joins word → token count: the per-word encode
+    * work is vocabulary-sized no matter the corpus, and the per-doc
+    * reduce is one map-side-combinable shuffle. */
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val vocab0 = words.select(col("w")).distinct()
+      .withColumn("syms",
+        concat(filter(split(col("w"), ""), s => s =!= ""), array(lit("</w>"))))
+    val encoded = rules.foldLeft(vocab0) { case (v, (l, r)) =>
+      v.withColumn("syms",
+        aggregate(
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(1), lit(1)),
+          (acc, s) => when(element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+    }.select(col("w"), size(col("syms")).cast("long").as("n_bpe"))
+    words.join(encoded, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+  }
+
   /** Collocation mining: PMI-ranked adjacent-token bigrams over the
     * corpus — the phrase-discovery pass (e.g. word2vec-style phrase
     * joining, tokenizer-vocab seeding). Three reduce shuffles total

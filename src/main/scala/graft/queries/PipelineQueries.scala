@@ -307,6 +307,18 @@ object PipelineQueries {
     // the table against an independent reference implementation.
     "text_bpe_learn" -> ((s, dir) => TextAnalysis.bpeLearn(docs(s, dir), merges = 12)),
 
+    // tokenizer APPLICATION + fertility datasheet: encode the corpus
+    // with the merge table learned on it (12-rule driver state — the
+    // bounded-collect discipline); per-word encode work is
+    // vocab-sized, corpus pays one word join + one reduce. rows-only;
+    // parity spec pins encode against the reference implementation.
+    "text_bpe_encode" -> ((s, dir) => {
+      val rules = TextAnalysis.bpeLearn(docs(s, dir), merges = 12)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, dir), rules)
+    }),
+
     // model-based quality gate: linear scorer over the hashed
     // bag-of-words (fasttext shape), md5 stand-in weights; no UDF.
     "text_quality_model" -> ((s, dir) =>

@@ -319,6 +319,38 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want, s"merge tables diverged:\n got=$got\nwant=$want")
   }
 
+  test("bpeEncode applies learned merges in order; fertility matches reference encode") {
+    // reference encode: apply (l, r) rules in learned order,
+    // leftmost-first non-overlapping, over chars + </w>
+    def refEncode(w: String, rules: Seq[(String, String)]): Int = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      for ((l, r) <- rules) {
+        val acc = scala.collection.mutable.Buffer(syms.head)
+        for (s <- syms.tail)
+          if (acc.last == l && s == r) acc(acc.length - 1) = l + r
+          else acc += s
+        syms = acc.toVector
+      }
+      syms.length
+    }
+    val corpus = Seq("low low lower", "newest newest widest", "aaaa aa a")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rules = graft.pipeline.TextAnalysis.bpeLearn(docs, merges = 6)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = graft.pipeline.TextAnalysis.bpeEncode(docs, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val ws = text.split("\\s+").toSeq
+      val nBpe = ws.map(w => refEncode(w, rules).toLong).sum
+      val (gw, gb, gf) = got(i.toLong)
+      assert(gw === ws.size.toLong && gb === nBpe,
+        s"doc $i: got ($gw words, $gb bpe) want (${ws.size}, $nBpe)")
+      assert(math.abs(gf - nBpe.toDouble / ws.size) < 1e-6)
+    }
+  }
+
   test("map-form list-of-maps expands to per-child refs (reference expand-map-forms)") {
     // reference transact_test.clj "List value": line-items is a seq of
     // maps → one ref per child + the child facts
