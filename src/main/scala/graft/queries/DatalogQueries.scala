@@ -503,7 +503,20 @@ object DatalogQueries {
           Pattern(V("c"), C("name"), V("nm")),
           Pattern(V("c"), C("nation"), V("n")),
           Pattern(V("n"), C("nname"), V("nn")))))(s)
-    })
+    }),
+
+    // the TEXTUAL face: a reference-syntax EDN query map (keyword
+    // attrs, ?vars, find aggregates) parsed by QueryText and compiled
+    // by the same engine — a unifyDB user's query text runs verbatim.
+    // min/max aggregates only (order-independent on doubles; a plain
+    // text-form sum of doubles would be accumulation-order dependent).
+    "dl_edn" -> q(static, QueryText.parseQuery(
+      """{:find [?nn (count ?c) (min ?bal) (max ?bal)]
+         :where [[?r :r_name "ASIA"]
+                 [?n :n_regionkey_ref ?r]
+                 [?c :c_nationkey_ref ?n]
+                 [?n :n_name ?nn]
+                 [?c :c_acctbal ?bal]]}"""))
   )
 
   val oracle: Map[String, String] = Map(
@@ -704,6 +717,14 @@ object DatalogQueries {
     "tx_mapform" ->
       """SELECT DISTINCT c_name, n_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey
-         WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5"""
+         WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5""",
+    "dl_edn" ->
+      """SELECT n_name AS nn, count(*) AS count_c,
+                min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY 1"""
   )
 }

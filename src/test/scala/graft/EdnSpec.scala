@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.{FactDb, FactStore}
+import graft.datalog._
+import graft.datalog.Compiler.Db
+import graft.datalog.Edn._
+import org.apache.spark.sql.Row
+
+/** EDN front-end: the reference's TEXTUAL query maps parse and run
+  * against the engine verbatim (reference query shapes:
+  * test/unifydb/query_test.clj — rules :135-140, sort/limit :371-397,
+  * bind :272). */
+class EdnSpec extends SparkSpec {
+
+  private def mkDb(facts: Seq[Row], types: Map[String, String]): Db =
+    Db(FactDb(
+      spark.createDataFrame(spark.sparkContext.parallelize(facts, 1), FactStore.factSchema),
+      types))
+
+  private def s(e: Long, a: String, v: String): Row =
+    Row(e, a, "s", v, null, null, null, null, 0L, true)
+  private def l(e: Long, a: String, v: Long): Row =
+    Row(e, a, "l", null, v, null, null, null, 0L, true)
+
+  private val employees = mkDb(Seq(
+    s(1, "name", "Ben Bitdiddle"), s(1, "town", "slumerville"), l(1, "salary", 60000),
+    s(2, "name", "Alyssa P. Hacker"), s(2, "town", "cambridge"), l(2, "salary", 40000),
+    s(3, "name", "Lem E. Tweakit"), s(3, "town", "slumerville"), l(3, "salary", 25000)),
+    Map("name" -> "vstr", "town" -> "vstr", "salary" -> "vlong"))
+
+  test("edn parser: atoms, collections, comments, commas") {
+    assert(Edn.parse("nil") === ENil)
+    assert(Edn.parse("42") === ELong(42))
+    assert(Edn.parse("-7.5") === EDouble(-7.5))
+    assert(Edn.parse("1e3") === EDouble(1000.0))
+    assert(Edn.parse("\"a \\\"b\\\" c\"") === EStr("a \"b\" c"))
+    assert(Edn.parse(":unifydb/txInstant") === EKw("unifydb/txInstant"))
+    assert(Edn.parse("?who") === ESym("?who"))
+    assert(Edn.parse("[1, 2, 3] ; tail comment") ===
+      EVec(Vector(ELong(1), ELong(2), ELong(3))))
+    assert(Edn.parse("{:a (f ?x) :b [_]}") ===
+      EMap(Vector(
+        EKw("a") -> ELst(Vector(ESym("f"), ESym("?x"))),
+        EKw("b") -> EVec(Vector(ESym("_"))))))
+    assertThrows[IllegalArgumentException](Edn.parse("[1 2"))
+    assertThrows[IllegalArgumentException](Edn.parse("1 2"))
+  }
+
+  test("query reader: clauses, predicates, binding fns, find aggregates") {
+    val q = QueryText.parseQuery(
+      """{:find [?n (count ?e)]
+         :where [[?e :name ?n]
+                 [:or [?e :town "slumerville"] [?e :town "cambridge"]]
+                 [?e :salary ?s]
+                 [(< 20000 ?s)]
+                 [(* ?s 2) ?double]
+                 [:not [?e :town "boston"]]]}""")
+    assert(q.find === Seq(FVar(V("n"), "n"), FAgg("count", V("e"), "count_e")))
+    assert(q.where === And(
+      Pattern(V("e"), C("name"), V("n")),
+      Or(Pattern(V("e"), C("town"), C("slumerville")),
+        Pattern(V("e"), C("town"), C("cambridge"))),
+      Pattern(V("e"), C("salary"), V("s")),
+      Pred("<", C(20000), V("s")),
+      FnBind("*", V("double"), V("s"), C(2)),
+      Not(Pattern(V("e"), C("town"), C("boston")))))
+  }
+
+  test("reference lives-near rules text runs end-to-end (incl. (:same ?x ?x))") {
+    // the reference's rule fixture shape (query_test.clj:135-140) on
+    // the town encoding; exercises keyword rule names, rule app inside
+    // :not, and the duplicate-head-param :same rule
+    val out = Compiler.run(employees, QueryText.parseQuery(
+      """{:find [?who]
+         :where [(:lives-near ?who ?target)
+                 [?target :name "Ben Bitdiddle"]]
+         :rules [[(:lives-near ?p1 ?p2)
+                  [?p1 :town ?t]
+                  [?p2 :town ?t]
+                  [:not (:same ?p1 ?p2)]]
+                 [(:same ?x ?x)]]}"""))(spark)
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("sort-by aggregate :desc, limit and bind text forms") {
+    val top = Compiler.run(employees, QueryText.parseQuery(
+      """{:find [?t (count ?p)]
+         :where [[?p :town ?t]]
+         :sort-by [(count ?p) :desc]
+         :limit 1}"""))(spark)
+    assert(top.columns.toSeq === Seq("t", "count_p"))
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("slumerville", 2L)))
+
+    val bound = Compiler.run(employees, QueryText.parseQuery(
+      """{:find [?town]
+         :where [[?e :name ?n] [?e :town ?town]]
+         :bind {n "Alyssa P. Hacker"}}"""))(spark)
+    assert(bound.collect().map(_.getString(0)).toSeq === Seq("cambridge"))
+  }
+}
