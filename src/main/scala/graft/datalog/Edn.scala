@@ -35,6 +35,9 @@ object Edn {
   final case class ELst(items: Vector[Edn]) extends Edn
   final case class EVec(items: Vector[Edn]) extends Edn
   final case class EMap(entries: Vector[(Edn, Edn)]) extends Edn
+  /** Tagged literal `#tag form` (the reference prints entity ids as
+    * `#unifydb/id N`). */
+  final case class ETagged(tag: String, value: Edn) extends Edn
 
   /** Parse ONE edn form (trailing whitespace/comments allowed). */
   def parse(s: String): Edn = {
@@ -73,6 +76,13 @@ object Edn {
           require(items.length % 2 == 0, "map literal needs even number of forms")
           EMap(items.grouped(2).map(p => (p(0), p(1))).toVector)
         case '"' => str()
+        case '#' =>
+          pos += 1
+          val tagStart = pos
+          while (!eof && !peek.isWhitespace && peek != ',' && !delim(peek)) pos += 1
+          val tag = s.substring(tagStart, pos)
+          require(tag.nonEmpty, s"empty tag at $tagStart")
+          ETagged(tag, form())
         case _ => atom()
       }
     }
@@ -265,6 +275,69 @@ object QueryText {
         s"empty rule body with no duplicate params: $e")
       Rule(opName(name), renamed, And(bodyClauses: _*))
     case other => sys.error(s"unsupported rule definition: $other")
+  }
+
+  /** Reference tx-data text → [[graft.transact.Transactor.TxStmt]]s —
+    * the transact half of the textual face (reference forms:
+    * `[:unifydb/add e :attr v]` / `[:unifydb/retract e :attr v]` /
+    * nested map forms with `:unifydb/id`, transact.clj:23-49
+    * map-form->add-forms + process-tx-data; `#unifydb/id N` tagged
+    * ids). A string in entity OR value position that is used as a
+    * temp id anywhere in the same tx-data resolves as that temp id
+    * (the reference's gen-temp-ids rule); other strings stay string
+    * values. */
+  def parseTxData(text: String,
+                  sess: graft.transact.Transactor.Session)
+      : Seq[graft.transact.Transactor.TxStmt] = {
+    import graft.transact.Transactor
+    val stmts = Edn.parse(text) match {
+      case EVec(items) => items
+      case other => sys.error(s"tx-data must be a vector, got $other")
+    }
+    // pass 1: every string used as an entity id (Add/Retract e, or a
+    // map form's :unifydb/id) is a temp id
+    def mapTempIds(m: EMap): Vector[String] =
+      m.entries.flatMap {
+        case (EKw("unifydb/id"), EStr(s)) => Vector(s)
+        case (_, v: EMap) => mapTempIds(v)
+        case (_, EVec(items)) => items.collect { case mm: EMap => mapTempIds(mm) }.flatten
+        case _ => Vector.empty
+      }
+    val tempIds: Set[String] = stmts.flatMap {
+      case EVec(Vector(EKw("unifydb/add" | "unifydb/retract"), EStr(s), _, _)) => Vector(s)
+      case m: EMap => mapTempIds(m)
+      case _ => Vector.empty
+    }.toSet
+    def entity(e: Edn): Any = e match {
+      case EStr(s) => s // temp id (entity position is always an id)
+      case ELong(n) => n
+      case ETagged("unifydb/id", ELong(n)) => n
+      case other => sys.error(s"unsupported entity form: $other")
+    }
+    def value(v: Edn): Any = v match {
+      case EStr(s) if tempIds(s) => sess.EntityRef(s)
+      case ETagged("unifydb/id", ELong(n)) => sess.EntityRef(n)
+      case m: EMap => mapForm(m)
+      case EVec(items) => items.map(value)
+      case other => constVal(other)
+    }
+    def mapForm(m: EMap): Transactor.MapForm = {
+      val tempId = m.entries.collectFirst {
+        case (EKw("unifydb/id"), EStr(s)) => s }
+      val attrs = m.entries.collect {
+        case (EKw(k), v) if k != "unifydb/id" => k -> value(v)
+        case (ESym(k), v) => k -> value(v)
+      }
+      Transactor.MapForm(attrs, tempId)
+    }
+    stmts.map {
+      case EVec(Vector(EKw("unifydb/add"), e, EKw(a), v)) =>
+        Transactor.Add(entity(e), a, value(v))
+      case EVec(Vector(EKw("unifydb/retract"), e, EKw(a), v)) =>
+        Transactor.Retract(entity(e), a, value(v))
+      case m: EMap => mapForm(m)
+      case other => sys.error(s"unsupported tx statement: $other")
+    }
   }
 
   /** :sort-by — a single expr or a vector, optional trailing

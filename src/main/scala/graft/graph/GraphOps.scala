@@ -727,7 +727,11 @@ object GraphOps {
           .filter(col("ideg") <= maxItemDeg).select(col("it")),
         Seq("it"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("n"))))
-      .localCheckpoint(true) // 2 consumers: both self-join sides
+    // NO checkpoint: both self-join sides are byte-identical subtrees,
+    // so AQE reuses the materialized shuffle stage — reuse lives in
+    // shuffle FILES, not BlockManager heap. At 100× the checkpointed
+    // form cached ~45M deserialized rows and OOM'd an 8 GB driver;
+    // this form runs the same probe in the same heap.
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.it") === col("b.it") && col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))

@@ -82,6 +82,39 @@ class EdnSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("reference tx-data text transacts end-to-end: adds, map forms, refs, tagged-id retract") {
+    import graft.transact.Transactor
+    val sess = Transactor.emptySession(spark)
+    // the reference's transact fixture verbatim (transact_test.clj:21-25)
+    // plus a nested map form; "ben" in value position resolves as the
+    // temp id (gen-temp-ids rule)
+    sess.transact(QueryText.parseTxData(
+      """[[:unifydb/add "ben" :name "Ben Bitdiddle"]
+         [:unifydb/add "ben" :salary 60000]
+         [:unifydb/add "alyssa" :name "Alyssa P. Hacker"]
+         [:unifydb/add "alyssa" :salary 40000]
+         [:unifydb/add "alyssa" :supervisor "ben"]
+         {:unifydb/id "lem" :name "Lem E. Tweakit"
+          :address {:town "slumerville"}}]""", sess)): Unit
+    val boss = Compiler.run(Db(sess.db), QueryText.parseQuery(
+      """{:find [?n]
+         :where [[?e :supervisor ?b] [?b :name "Ben Bitdiddle"] [?e :name ?n]]}"""))(spark)
+    assert(boss.collect().map(_.getString(0)).toSeq === Seq("Alyssa P. Hacker"))
+    val town = Compiler.run(Db(sess.db), QueryText.parseQuery(
+      """{:find [?t]
+         :where [[?e :name "Lem E. Tweakit"] [?e :address ?a] [?a :town ?t]]}"""))(spark)
+    assert(town.collect().map(_.getString(0)).toSeq === Seq("slumerville"))
+    // tagged-id retraction (the reference prints ids as #unifydb/id N)
+    val alyssa = Compiler.run(Db(sess.db), QueryText.parseQuery(
+      """{:find [?e] :where [[?e :name "Alyssa P. Hacker"]]}"""))(spark)
+      .collect()(0).getLong(0)
+    sess.transact(QueryText.parseTxData(
+      s"""[[:unifydb/retract #unifydb/id $alyssa :salary 40000]]""", sess)): Unit
+    val sal = Compiler.run(Db(sess.db), QueryText.parseQuery(
+      s"""{:find [?s] :where [[?e :name "Alyssa P. Hacker"] [?e :salary ?s]]}"""))(spark)
+    assert(sal.collect().isEmpty, "retracted salary fact must be gone")
+  }
+
   test("sort-by aggregate :desc, limit and bind text forms") {
     val top = Compiler.run(employees, QueryText.parseQuery(
       """{:find [?t (count ?p)]
