@@ -53,6 +53,34 @@ object TextAnalysis {
     docs.select(col("doc_id") +: qualityMetricCols: _*)
       .withColumn("quality_score", qualityScoreCol)
 
+  /** GATE-CALIBRATION SWEEP — the datasheet consulted before fixing a
+    * quality threshold: for each candidate cutoff 0.1..0.9, how many
+    * docs and how many tokens survive. ONE corpus scan: all 18
+    * conditional aggregates fuse into a single map-side-combinable
+    * reduce to one row, unpivoted to 9 report rows by a map-only
+    * stack. Token sums are integer-valued doubles (< 2^53), so the
+    * distributed sum is exact under any accumulation order. */
+  def gateSweep(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("quality_score").as("s"),
+      col("n_tokens").as("nt"))
+    val ts = (1 to 9).map(_ / 10.0)
+    val aggs = count(lit(1)).as("total") +:
+      ts.zipWithIndex.flatMap { case (t, i) => Seq(
+        sum(when(col("s") >= t, 1L).otherwise(0L)).as(s"k$i"),
+        sum(when(col("s") >= t, col("nt")).otherwise(0.0))
+          .cast("long").as(s"t$i")) }
+    val fused = q.agg(aggs.head, aggs.tail: _*)
+    // literal 0.1 parses as DECIMAL(1,1) in both engines' SQL — CAST
+    // pins the report column to DOUBLE (the audited type surface)
+    val stackArgs = ts.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), k$i, t$i" }.mkString(", ")
+    fused.select(col("total"),
+        expr(s"stack(9, $stackArgs) AS (threshold, n_keep, tokens_kept)"))
+      .select(col("threshold"), col("n_keep"), col("total").as("n_total"),
+        round(col("n_keep") / col("total").cast("double"), 6).as("keep_rate"),
+        col("tokens_kept"))
+  }
+
   /** Stopword profiles per language for the n-gram/stopword language-ID
     * heuristic. Deterministic argmax with alphabetical tie-break. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

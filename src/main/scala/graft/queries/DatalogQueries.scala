@@ -517,6 +517,37 @@ object DatalogQueries {
                  [?c :c_nationkey_ref ?n]
                  [?n :n_name ?nn]
                  [?c :c_acctbal ?bal]]}"""))
+      ,
+
+    // the transact TEXTUAL face through the same driver gate as
+    // tx_mapform: the tx-data arrives as reference-syntax EDN text
+    // (nested map forms with temp ids + an add + a tagged-id retract),
+    // and the result is read back with a TEXT query — the full textual
+    // round trip, oracle-certified
+    "tx_edn" -> ((s: SparkSession, dir: String) => {
+      val rows = TestData.read(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 10))
+        .join(TestData.read(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .collect().sortBy(_.getLong(0))
+      val sess = Transactor.emptySession(s)
+      val mapForms = rows.map { r =>
+        s"""{:unifydb/id "c${r.getLong(0)}" :name "${r.getString(1)}"
+            :nation {:nname "${r.getString(2)}"}}"""
+      }.mkString("\n")
+      val report = sess.transact(QueryText.parseTxData(s"[$mapForms]", sess))
+      val victim = rows.find(_.getLong(0) == 5L).get
+      sess.transact(QueryText.parseTxData(
+        s"""[[:unifydb/retract #unifydb/id ${report.tempIds("c5")}
+              :name "${victim.getString(1)}"]]""", sess)): Unit
+      Compiler.run(Db(sess.db), QueryText.parseQuery(
+        """{:find [?nm ?nn]
+           :where [[?c :name ?nm]
+                   [?c :nation ?n]
+                   [?n :nname ?nn]]}"""))(s)
+        .withColumnRenamed("nm", "c_name").withColumnRenamed("nn", "n_name")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -715,6 +746,10 @@ object DatalogQueries {
          UNION ALL SELECT 'c_mktsegment', 's', c_mktsegment
            FROM customer WHERE c_custkey = 1""",
     "tx_mapform" ->
+      """SELECT DISTINCT c_name, n_name
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5""",
+    "tx_edn" ->
       """SELECT DISTINCT c_name, n_name
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5""",

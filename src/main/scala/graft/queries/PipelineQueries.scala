@@ -264,6 +264,11 @@ object PipelineQueries {
 
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
 
+    // gate-calibration sweep: docs/tokens surviving each candidate
+    // quality cutoff 0.1..0.9 — 18 conditional aggregates fused into
+    // ONE map-side-combinable scan, unpivoted by a map-only stack
+    "text_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(docs(s, dir))),
+
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
 
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
@@ -860,6 +865,32 @@ object PipelineQueries {
                    CAST(length(text) AS DOUBLE)
                      / CAST(len($toksSql) AS DOUBLE) AS mean_word_len
             FROM documents) t""",
+    // same score expression as text_quality; token sums CAST to
+    // BIGINT (integer-valued, exact), rate from the same division
+    "text_gate_sweep" ->
+      s"""WITH q AS (
+            SELECT least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
+                     + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS s,
+                   n_tokens AS nt
+            FROM (
+              SELECT CAST(len($toksSql) AS DOUBLE) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                     CAST(len(list_filter($toksSql, x -> x IN ($stopList))) AS DOUBLE)
+                       / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+              FROM documents) t),
+          thr AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                    AS DOUBLE) AS threshold)
+         SELECT threshold,
+                CAST(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_keep,
+                count(*) AS n_total,
+                round(CAST(SUM(CASE WHEN s >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+                      / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+                CAST(SUM(CASE WHEN s >= threshold THEN nt ELSE 0 END) AS BIGINT)
+                  AS tokens_kept
+         FROM q CROSS JOIN thr
+         GROUP BY threshold""",
     "text_langid" -> langIdSql,
     "pipeline_e2e" ->
       s"""WITH lang AS ($langIdSql),

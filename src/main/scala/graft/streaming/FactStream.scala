@@ -1036,4 +1036,46 @@ object FactStream {
       gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
     }
   }
+
+  /** STREAMING weighted reservoir (the §2C sample_weighted twin):
+    * Efraimidis-Spirakis keys are a DETERMINISTIC function of the id
+    * (md5-derived u, key = ln u / w), and top-k is MERGEABLE —
+    * top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) — so the k-row sidecar
+    * after any batch is EXACTLY the batch operator's sample over
+    * everything ingested so far, under ANY batch boundaries (not just
+    * distribution-equal; spec-pinned). State = k rows regardless of
+    * stream volume; same versioned sidecar + pointer + replay-guard +
+    * GC discipline as the other sinks. */
+  def ingestWeightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                           k: Int, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        weightedSampleStep(batch, batchId, path, idCol, weightCol, k)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One [[ingestWeightedSample]] micro-batch — exposed for specs. */
+  private[graft] def weightedSampleStep(batch: DataFrame, batchId: Long,
+                                        path: String, idCol: String,
+                                        weightCol: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val prevV = readPtr(fs, ptr)
+    if (!prevV.contains(s"v$batchId")) {
+      val bTop = graft.pipeline.TextAnalysis
+        .weightedSample(batch.select(col(idCol), col(weightCol)), idCol, weightCol, k)
+      val merged = prevV match {
+        case Some(v) => graft.pipeline.TextAnalysis.weightedSample(
+          bTop.unionByName(spark.read.parquet(s"$path/$v")), idCol, weightCol, k)
+        case None => bTop
+      }
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")
+      writePtr(fs, ptr, s"v$batchId")
+      gcVersions(fs, path, Set(s"v$batchId") ++ prevV)
+    }
+  }
 }

@@ -969,6 +969,26 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0L, 2L), (1L, 2L), (2L, 1L)), s"sidecar drifted: $got")
   }
 
+  test("stream_sample: merged k-row reservoir equals the batch ES sample under any boundaries") {
+    import graft.pipeline.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("wres").toString
+    val docs = (1L to 60L).map(i => (i, i * 10 + (i % 7))).toDF("doc_id", "weight")
+    val k = 8
+    // three uneven batches
+    FactStream.weightedSampleStep(docs.filter(col("doc_id") <= 5), 0L, s"$dir/ws", "doc_id", "weight", k)
+    FactStream.weightedSampleStep(docs.filter(col("doc_id").between(6, 40)), 1L, s"$dir/ws", "doc_id", "weight", k)
+    FactStream.weightedSampleStep(docs.filter(col("doc_id") >= 41), 2L, s"$dir/ws", "doc_id", "weight", k)
+    def reservoir() = spark.read.parquet(s"$dir/ws/v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = TextAnalysis.weightedSample(docs, "doc_id", "weight", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reservoir() === want,
+      s"streamed reservoir != batch sample: ${reservoir()} vs $want")
+    // replay no-op
+    FactStream.weightedSampleStep(docs.filter(col("doc_id") >= 41), 2L, s"$dir/ws", "doc_id", "weight", k)
+    assert(reservoir() === want, "replayed batch changed the reservoir")
+  }
+
   test("stream_importance: additive bucket sidecar is batch-boundary exact; scoring matches batch DSIR") {
     import graft.pipeline.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
