@@ -800,4 +800,49 @@ object Similarity {
     filtered.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** CONTRASTIVE PAIR MINING — the training-data op ahead of an
+    * embedding-model fine-tune (E5/GTE-style): per anchor, one
+    * POSITIVE (its nearest neighbor with cos ≥ posThresh) and up to
+    * `nHard` HARD NEGATIVES — the closest neighbors BELOW the positive
+    * band. Hard negatives are the whole point: random negatives are
+    * too easy to teach a margin, and above-band ones are false
+    * negatives (near-dups of the anchor), so the band edge IS the
+    * mining policy. Anchors with no in-band neighbor emit nothing (no
+    * positive → no training pair).
+    *
+    * Scale shape: candidates come from SignLsh buckets (the
+    * embeddingNearDup / semanticDedup family) — Σ|bucket|² directed
+    * pairs, never corpus² (size `planes` so buckets stay small); both
+    * per-anchor selections are rank ≤ n windows → map-side
+    * WindowGroupLimit. LSH recall applies (a cross-bucket neighbor is
+    * unseen) — the standard ANN mining trade-off; the planted-cluster
+    * spec pins behavior where signatures agree. */
+  def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       posThresh: Double, nHard: Int = 3,
+                       planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dotFn = graft.functions.VectorExpressions.dot _
+    val sig = graft.functions.VectorExpressions.signLsh(col(vecCol), planes)
+    val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sig.as("bucket"))
+      .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
+    val pairs = withSig.as("x").join(withSig.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("anchor"), col("y.id").as("partner"),
+        round(dotFn(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cos").desc, col("partner"))
+    val pos = pairs.filter(col("cos") >= posThresh)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("anchor"), col("partner"), lit("positive").as("role"),
+        col("cos"), col("rk"))
+    val neg = pairs.filter(col("cos") < posThresh)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= nHard)
+      .join(pos.select(col("anchor")), Seq("anchor")) // pair needs a positive
+      .select(col("anchor"), col("partner"), lit("hard_negative").as("role"),
+        col("cos"), col("rk"))
+    pos.unionByName(neg)
+  }
 }

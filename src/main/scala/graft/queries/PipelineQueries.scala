@@ -183,6 +183,15 @@ object PipelineQueries {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), maxHamming = 8)),
 
+    // CONTRASTIVE PAIR MINING for embedding-model fine-tuning: per
+    // anchor one positive (nearest in-band neighbor) + up to 3 hard
+    // negatives (closest below-band — informative, not random);
+    // SignLsh bucket candidates (never corpus²), rank windows →
+    // map-side WindowGroupLimit. rows-only; planted-cluster spec.
+    "train_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(emb(s, dir), "vec_id", "vec",
+        posThresh = 0.35, nHard = 3, planes = 4)),
+
     "dedup_embed" -> ((s, dir) => {
       // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale
       // path); corpus from the vec_id-bucketed layout so the verify

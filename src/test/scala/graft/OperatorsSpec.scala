@@ -319,6 +319,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want, s"merge tables diverged:\n got=$got\nwant=$want")
   }
 
+  test("contrastivePairs: cluster mates become positives, below-band neighbors hard negatives") {
+    val a = Seq(1.0, 0.1, 0.1, 0.1)
+    val b = Seq(0.1, 1.0, 0.1, 0.1)
+    val noise = Seq(-0.5, -0.5, 1.0, -0.5) // far from both clusters
+    val emb = Seq(
+      (1L, a), (2L, a), (3L, a),      // cluster A (identical → same bucket)
+      (10L, b), (11L, b),             // cluster B
+      (99L, noise))
+      .toDF("vec_id", "vec")
+    val out = graft.pipeline.Similarity.contrastivePairs(emb, "vec_id", "vec",
+        posThresh = 0.9, nHard = 3, planes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val pos = out.filter(_._3 == "positive").map(p => p._1 -> p._2).toMap
+    assert(pos(1L) === 2L && pos(2L) === 1L && pos(3L) === 1L,
+      s"cluster-A positives wrong: $pos")
+    assert(pos(10L) === 11L && pos(11L) === 10L)
+    assert(!pos.contains(99L) && !pos.values.toSet.contains(99L),
+      "noise vector must never be a positive")
+    val neg = out.filter(_._3 == "hard_negative")
+    assert(neg.forall(_._4 < 0.9), "hard negatives must be below the positive band")
+    assert(neg.forall(n => pos.contains(n._1)),
+      "negatives only for anchors that have a positive")
+    // in-band rank-2 neighbors are NEITHER positives nor negatives
+    assert(!out.exists(r => r._3 == "hard_negative" && r._1 == 1L && r._2 == 3L))
+  }
+
   test("bpeEncode applies learned merges in order; fertility matches reference encode") {
     // reference encode: apply (l, r) rules in learned order,
     // leftmost-first non-overlapping, over chars + </w>
