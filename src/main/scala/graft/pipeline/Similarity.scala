@@ -820,10 +820,20 @@ object Similarity {
     * spec pins behavior where signatures agree. */
   def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
                        posThresh: Double, nHard: Int = 3,
-                       planes: Int = 8): DataFrame = {
+                       planes: Int = 0, corpusSize: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // planes = 0 sizes adaptively like embeddingNearDup: ~64 vectors
+    // per bucket keeps the per-bucket pair cost bounded as the corpus
+    // grows — a FIXED plane count is a quadratic time bomb (buckets
+    // stay constant while |bucket| grows linearly)
+    val nPlanes =
+      if (planes > 0) planes
+      else {
+        val n = (if (corpusSize > 0) corpusSize else emb.count()).max(1L)
+        math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+      }
     val dotFn = graft.functions.VectorExpressions.dot _
-    val sig = graft.functions.VectorExpressions.signLsh(col(vecCol), planes)
+    val sig = graft.functions.VectorExpressions.signLsh(col(vecCol), nPlanes)
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

@@ -190,7 +190,7 @@ object PipelineQueries {
     // map-side WindowGroupLimit. rows-only; planted-cluster spec.
     "train_pairs" -> ((s, dir) =>
       Similarity.contrastivePairs(emb(s, dir), "vec_id", "vec",
-        posThresh = 0.35, nHard = 3, planes = 4)),
+        posThresh = 0.35, nHard = 3)), // planes sized by volume
 
     "dedup_embed" -> ((s, dir) => {
       // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale
