@@ -483,6 +483,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("graph_jaccard + dedup_containment: self-join sides reuse the materialized stage") {
+    // the no-checkpoint design (SCALE_r12 memory finding): both
+    // self-join consumers are byte-identical subtrees, so AQE must
+    // reuse the shuffle stage from disk — if a refactor breaks subtree
+    // identity, the corpus-sized relation computes twice AND the 100x
+    // heap relief is silently lost
+    for (name <- Seq("graph_jaccard", "dedup_containment")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange"),
+        s"$name: expected ReusedExchange across the self-join sides:\n$p")
+    }
+  }
+
   test("q_unpivot: wide-to-long is a map-only Expand — zero shuffles") {
     val p = plan("q_unpivot")
     assert(p.contains("Expand"), s"expected Expand:\n$p")
