@@ -39,7 +39,7 @@ object Compiler {
       else Some(spark.range(1).select(q.bind.map { case (k, v) => lit(v).as(k) }.toSeq: _*))
     val frames = eval(db, q.where, rules, ruleCache, initFrames)
       .getOrElse(throw new IllegalArgumentException("query binds no variables"))
-    project(frames, q)
+    project(db, frames, q)
   }
 
   // ---------------------------------------------------------------- find
@@ -79,9 +79,47 @@ object Compiler {
     case other => throw new IllegalArgumentException(s"Unknown aggregation expression $other")
   }).as(alias)
 
-  private def project(frames: DataFrame, q: Query): DataFrame = {
+  private def project(db: Db, frames: DataFrame, q: Query): DataFrame = {
     val aggs = q.find.collect { case a: FAgg => a }
     val vars = q.find.collect { case fv: FVar => fv }
+    val pulls = q.find.collect { case p: FPull => p }
+    if (pulls.nonEmpty) {
+      // Each pull is its OWN sub-query over the result entity set
+      // (reference pull.clj: one generated sub-query per pull), then a
+      // left join back on the pull var — frames stay distributed, no
+      // driver-side reassembly. Set semantics group on find vars ∪
+      // pull vars, so one output row per distinct entity binding.
+      require(aggs.isEmpty, "pull expressions cannot mix with aggregates in :find")
+      val keyVars = (vars.map(_.v.name) ++ pulls.map(_.v.name)).distinct
+      var out = frames.select(keyVars.map(col): _*).distinct()
+      val pulledCols = scala.collection.mutable.ArrayBuffer.empty[String]
+      pulls.foreach { p =>
+        val ids = out.select(col(p.v.name).as("e")).distinct()
+        val pulled =
+          if (p.nested) Pull.pullNested(db.facts, ids, p.spec, db.asOf)
+          else Pull.pullFlat(db.facts, ids, p.spec, db.asOf)
+        val attrCols = pulled.columns.filterNot(_ == "e").toSeq
+        attrCols.foreach { c =>
+          require(!pulledCols.contains(c),
+            s"pull output column '$c' pulled twice across :find pulls")
+          pulledCols += c
+        }
+        // Re-alias: `pulled` derives from `out` (via `ids`), so its
+        // columns carry the same expression ids — mint fresh ones
+        // before joining back (same discipline as :not's anti-join).
+        val fresh = pulled
+          .select((col("e").as(p.v.name) +: attrCols.map(c => col(c).as(c))): _*)
+        out = out.join(fresh, joinCond(out, fresh, Seq(p.v.name)), "left")
+          .drop(fresh(p.v.name))
+      }
+      val sel = vars.map(fv => col(fv.v.name).as(fv.alias)) ++ pulledCols.map(col)
+      val projected = out.select(sel: _*)
+      val sorted =
+        if (q.sortBy.isEmpty) projected
+        else projected.orderBy(q.sortBy.map(k =>
+          if (k.desc) col(k.alias).desc else col(k.alias).asc): _*)
+      return q.limit.fold(sorted)(sorted.limit)
+    }
     val projected =
       if (aggs.isEmpty) {
         // Set semantics: the reference groups frames by the find vars and
@@ -736,6 +774,10 @@ object Compiler {
     case "sign" => signum(cs.head).cast(LongType)
     case "reverse" => reverse(cs.head)
     case "md5" => md5(cs.head.cast(StringType))
+    // assemble N bound columns into one struct value — the textual
+    // rest-pattern's rest var (`[?h & ?t]` binds ?t to the remaining
+    // components as one value, Edn.scala restClause)
+    case "struct" => struct(cs: _*)
     case "index-of" => position(cs(1), cs.head).cast(LongType) // 1-based, 0 = absent
     case "capitalize" => initcap(cs.head)
     case "replace" => regexp_replace(cs.head, cs(1), cs(2))

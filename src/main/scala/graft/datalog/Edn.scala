@@ -15,12 +15,31 @@ package graft.datalog
   * (compilation to one Catalyst plan, rules, fixpoints, aggregates,
   * sort/limit/bind) is the existing engine; this file is syntax only.
   *
-  * Deliberate v1 limits (documented, fail fast): pull expressions in
-  * :find and rest-patterns in values are AST-level features with their
-  * own typed constructors (the text forms need schema knowledge the
-  * engine keeps elsewhere); an empty-body rule is supported exactly in
-  * the reference's `(:same ?x ?x)` shape (duplicate head params become
-  * explicit equality predicates).
+  * Pull expressions in :find (`(pull ?e [:attr {:ref [...]}])`,
+  * reference src/unifydb/query/pull.clj:7-21, exercised at
+  * test/unifydb/query_test.clj:521-570) parse onto [[FPull]]/
+  * [[Pull.Spec]] — nested map refs included — and compile through the
+  * same one-subquery-per-pull path as the typed dl_pull face.
+  *
+  * Rest-patterns in value position (`[?h & ?t]`, reference
+  * unify.clj:85, query_test.clj:30-60) parse onto [[RestPattern]] when
+  * the caller supplies the attribute's component-field encoding via
+  * `componentFields` (graft's typed-column value model stores a
+  * queryable collection as a sub-entity — the fields are the schema
+  * knowledge the engine keeps outside the query text). The single var
+  * after `&` binds the REMAINING components as one struct column
+  * (graft's flat re-encoding of the reference's nested-list rest
+  * value); `_` after `&` ignores them.
+  *
+  * Find-position `sum`/`avg`/`stddev` route through the engine's
+  * exact-decimal aggregation path (Compiler `sum$exact` etc.): a
+  * text-form double sum would otherwise be accumulation-order
+  * dependent — not reproducible across cluster sizes, and never
+  * hash-equal to an exact oracle.
+  *
+  * An empty-body rule is supported exactly in the reference's
+  * `(:same ?x ?x)` shape (duplicate head params become explicit
+  * equality predicates).
   */
 sealed trait Edn
 object Edn {
@@ -144,9 +163,16 @@ object Edn {
 object QueryText {
   import Edn._
 
-  def parseQuery(text: String): Query = readQuery(Edn.parse(text))
+  /** `componentFields` maps a collection-valued attribute to its
+    * ordered sub-entity component fields (the typed-column encoding of
+    * the reference's in-fact collection values) — required only for
+    * queries that use a rest-pattern `[?h & ?t]` in value position. */
+  def parseQuery(text: String,
+                 componentFields: Map[String, Seq[String]] = Map.empty): Query =
+    readQuery(Edn.parse(text), componentFields)
 
-  def readQuery(e: Edn): Query = e match {
+  def readQuery(e: Edn,
+                componentFields: Map[String, Seq[String]] = Map.empty): Query = e match {
     case EMap(entries) =>
       val m = entries.collect { case (EKw(k), v) => k -> v }.toMap
       val find = m.getOrElse("find",
@@ -156,11 +182,11 @@ object QueryText {
       }
       val where = m.getOrElse("where",
         sys.error("query map needs :where")) match {
-        case EVec(items) => And(items.map(clause): _*)
+        case EVec(items) => And(items.map(clause(_, componentFields)): _*)
         case other => sys.error(s":where must be a vector, got $other")
       }
       val rules = m.get("rules") match {
-        case Some(EVec(defs)) => defs.map(ruleDef)
+        case Some(EVec(defs)) => defs.map(ruleDef(_, componentFields))
         case None => Vector.empty
         case other => sys.error(s":rules must be a vector, got $other")
       }
@@ -196,6 +222,10 @@ object QueryText {
     case EDouble(d) => d
     case EBool(b) => b
     case ENil => null
+    // `#unifydb/id N` tagged entity-id literal (the reference prints and
+    // accepts these anywhere a value can appear, e.g. `:bind {?who
+    // #unifydb/id 1}`) — entity ids are Longs in graft's fact log.
+    case ETagged("unifydb/id", ELong(n)) => n
     case other => sys.error(s"unsupported :bind value: $other")
   }
 
@@ -208,6 +238,10 @@ object QueryText {
     case EDouble(d) => C(d)
     case EBool(b) => C(b)
     case ENil => C(null)
+    // `#unifydb/id N` in a :where pattern or rule application — the
+    // reference fixture shape `(:lives-near ?who #unifydb/id 1)`
+    // (query_test.clj:134). Long, matching the fact log's e column.
+    case ETagged("unifydb/id", ELong(n)) => C(n)
     case other => sys.error(s"unsupported term: $other")
   }
 
@@ -217,13 +251,15 @@ object QueryText {
     case other => sys.error(s"operator must be a symbol/keyword, got $other")
   }
 
-  def clause(e: Edn): Clause = e match {
+  def clause(e: Edn): Clause = clause(e, Map.empty)
+
+  def clause(e: Edn, cf: Map[String, Seq[String]]): Clause = e match {
     // [:and ...] / [:or ...] / [:not c]
-    case EVec(EKw("and") +: rest) => And(rest.map(clause): _*)
-    case EVec(EKw("or") +: rest) => Or(rest.map(clause): _*)
+    case EVec(EKw("and") +: rest) => And(rest.map(clause(_, cf)): _*)
+    case EVec(EKw("or") +: rest) => Or(rest.map(clause(_, cf)): _*)
     case EVec(EKw("not") +: rest) =>
       require(rest.length == 1, ":not takes exactly one clause")
-      Not(clause(rest.head))
+      Not(clause(rest.head, cf))
     // [(fn args...) ?out] binding function
     case EVec(Vector(ELst(op +: args), out @ ESym(_))) =>
       FnBind(opName(op), term(out).asInstanceOf[V], args.map(term): _*)
@@ -233,29 +269,119 @@ object QueryText {
     // (rule-name args...) rule application (reference rule names are
     // keywords, e.g. (:lives-near ?a ?b))
     case ELst(head +: args) => RuleApp(opName(head), args.map(term): _*)
-    // plain pattern [e a v] / [e a v tx] / [e a v tx added]
-    case EVec(items) if items.length >= 3 && items.length <= 5 =>
-      val ts = items.map(term)
-      Pattern(ts(0), ts(1), ts(2),
-        if (ts.length > 3) ts(3) else W,
-        if (ts.length > 4) ts(4) else W)
+    // [?e :attr [... & ...]] — rest-pattern in value position
+    // (reference unify.clj:85; query_test.clj:41-57). Needs the
+    // attribute's component-field encoding (see parseQuery doc).
+    case EVec(Vector(ePos, EKw(attr), v: EVec))
+        if v.items.exists(_ == ESym("&")) || cf.contains(attr) =>
+      restClause(term(ePos), attr, v, cf)
+    // plain pattern [e] / [e a] / [e a v] / [e a v tx] / [e a v tx added]
+    // — the reference pads short clauses to the 5-tuple with wildcards
+    // (query.clj pad-clause), so `[?e :name]` is a valid clause.
+    case EVec(items) if items.nonEmpty && items.length <= 5 =>
+      val ts = items.map(term).padTo(5, W: Term)
+      Pattern(ts(0), ts(1), ts(2), ts(3), ts(4))
     case other => sys.error(s"unsupported clause: $other")
+  }
+
+  /** Lower a value-position vector pattern — positional
+    * (`[:computer ?what]`) or rest (`[?town & ?rest]`) — onto
+    * [[RestPattern]] over the attribute's component-field encoding.
+    * The single var after `&` binds the remaining components as one
+    * struct column (graft's flat re-encoding of the reference's
+    * nested-list rest value); `_` after `&` ignores them. */
+  private def restClause(ePos: Term, attr: String, v: EVec,
+                         cf: Map[String, Seq[String]]): Clause = {
+    val fields = cf.getOrElse(attr, sys.error(
+      s"rest/positional pattern on :$attr needs componentFields for it " +
+        "(the sub-entity encoding's ordered component fields)"))
+    val ampIdx = v.items.indexOf(ESym("&"))
+    if (ampIdx < 0) {
+      // positional: every component named, same shape as the list
+      require(v.items.length == fields.length,
+        s"positional pattern on :$attr has ${v.items.length} terms, " +
+          s"encoding has ${fields.length} components (use & for a prefix)")
+      val ts = v.items.map(term)
+      RestPattern(ePos, C(attr), fields, ts.head, ts.tail)
+    } else {
+      require(ampIdx >= 1 && ampIdx == v.items.length - 2,
+        s"rest-pattern must be [p0 ... & rest], got $v")
+      require(ampIdx < fields.length,
+        s"rest-pattern on :$attr names $ampIdx positions before &, " +
+          s"encoding has only ${fields.length} components")
+      val before = v.items.take(ampIdx).map(term)
+      val restForm = v.items.last
+      val nRest = fields.length - ampIdx
+      restForm match {
+        case ESym("_") =>
+          RestPattern(ePos, C(attr), fields, before.head,
+            before.tail ++ Vector.fill(nRest)(W: Term))
+        case ESym(s) =>
+          // bind remaining components to internal vars, then assemble
+          // the user's rest var as ONE struct column (compiler drops
+          // the internals at projection)
+          val rv = varName(s)
+          val innerVs = (0 until nRest).map(i => V(s"__${rv}$$rest$i"))
+          And(
+            RestPattern(ePos, C(attr), fields, before.head,
+              before.tail ++ innerVs),
+            FnBind("struct", V(rv), innerVs: _*))
+        case other => sys.error(s"after & expects a var or _, got $other")
+      }
+    }
   }
 
   private def findExpr(e: Edn): FindExpr = e match {
     case ESym(s) => val n = varName(s); FVar(V(n), n)
-    case ELst(Vector(op, ESym(v))) =>
-      val fn = opName(op)
+    // (pull ?e [:attr ... {:ref [...]}]) — nested map refs recurse.
+    // Flat columns when every pulled attr name is unique across
+    // levels (oracle-friendly); the reference's nested-map shape (one
+    // struct column) when flat names would collide.
+    case ELst(Vector(ESym("pull"), ESym(v), spec: EVec)) =>
       val n = varName(v)
-      FAgg(fn, V(n), s"${fn.replace('-', '_')}_$n")
-    case other => sys.error(
-      s"unsupported :find expression (pull goes through the typed API): $other")
+      val sp = pullSpec(spec)
+      def scalarAttrs(s: Pull.Spec): Seq[String] =
+        s.attrs ++ s.refs.flatMap { case (_, sub) => scalarAttrs(sub) }
+      val flatNames = scalarAttrs(sp)
+      FPull(V(n), sp, n, nested = flatNames.distinct.size != flatNames.size)
+    case ELst(Vector(op, ESym(v))) =>
+      val fn0 = opName(op)
+      val n = varName(v)
+      // Text-face sums/avgs/stddevs route through the exact-decimal
+      // aggregation path: a distributed double sum is accumulation-
+      // order dependent, so the plain text form would not be
+      // reproducible across cluster sizes (or hash-equal to an exact
+      // oracle). The alias keeps the user-facing fn name.
+      val fn = fn0 match {
+        case "sum" => "sum$exact"
+        case "avg" | "mean" => "avg$exact"
+        case "stddev" => "stddev$exact"
+        case other => other
+      }
+      FAgg(fn, V(n), s"${fn0.replace('-', '_')}_$n")
+    case other => sys.error(s"unsupported :find expression: $other")
+  }
+
+  /** `[:attr1 :attr2 {:ref [...]} ...]` → [[Pull.Spec]] (reference
+    * pull pattern grammar, pull.clj:7-21). */
+  private def pullSpec(e: EVec): Pull.Spec = {
+    val attrs = Vector.newBuilder[String]
+    val refs = Vector.newBuilder[(String, Pull.Spec)]
+    e.items.foreach {
+      case EKw(k) => attrs += k
+      case EMap(entries) => entries.foreach {
+        case (EKw(r), sub: EVec) => refs += (r -> pullSpec(sub))
+        case (k, v) => sys.error(s"pull ref entry must be {:ref [spec]}, got $k $v")
+      }
+      case other => sys.error(s"unsupported pull spec entry: $other")
+    }
+    Pull.Spec(attrs.result(), refs.result())
   }
 
   /** Rule def: [(name ?p...) body-clause...]. Duplicate head params
     * (the reference's `(:same ?x ?x)`) are renamed apart and become
     * explicit equality predicates in the body. */
-  private def ruleDef(e: Edn): Rule = e match {
+  private def ruleDef(e: Edn, cf: Map[String, Seq[String]] = Map.empty): Rule = e match {
     case EVec(ELst(name +: params) +: body) =>
       val ps = params.map {
         case ESym(s) => V(varName(s))
@@ -270,7 +396,7 @@ object QueryText {
       val eqPreds = ps.zip(renamed).collect {
         case (orig, ren) if orig != ren => Pred("=", orig, ren)
       }
-      val bodyClauses = body.map(clause) ++ eqPreds
+      val bodyClauses = body.map(clause(_, cf)) ++ eqPreds
       require(bodyClauses.nonEmpty,
         s"empty rule body with no duplicate params: $e")
       Rule(opName(name), renamed, And(bodyClauses: _*))

@@ -715,7 +715,6 @@ object GraphOps {
   def jaccardLinks(incidence: DataFrame, nodeCol: String, itemCol: String,
                    maxItemDeg: Int = 50, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.expressions.Window
     val ps = incidence.select(col(nodeCol).as("n"), col(itemCol).as("it")).distinct()
     // pruned-set size rides along as a column (one window shuffle by n)
     // so scoring never needs a node-keyed join — at web scale the

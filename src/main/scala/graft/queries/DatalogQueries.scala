@@ -508,15 +508,32 @@ object DatalogQueries {
     // the TEXTUAL face: a reference-syntax EDN query map (keyword
     // attrs, ?vars, find aggregates) parsed by QueryText and compiled
     // by the same engine — a unifyDB user's query text runs verbatim.
-    // min/max aggregates only (order-independent on doubles; a plain
-    // text-form sum of doubles would be accumulation-order dependent).
+    // The text-form (sum ?bal) routes through the exact-decimal
+    // aggregation path (QueryText findExpr → Compiler sum$exact):
+    // deterministic on any cluster size and hash-equal to the exact
+    // DuckDB oracle, where a plain double sum would be
+    // accumulation-order dependent.
     "dl_edn" -> q(static, QueryText.parseQuery(
-      """{:find [?nn (count ?c) (min ?bal) (max ?bal)]
+      """{:find [?nn (count ?c) (sum ?bal) (min ?bal) (max ?bal)]
          :where [[?r :r_name "ASIA"]
                  [?n :n_regionkey_ref ?r]
                  [?c :c_nationkey_ref ?n]
                  [?n :n_name ?nn]
                  [?c :c_acctbal ?bal]]}"""))
+      ,
+
+    // the TEXTUAL pull face (reference query_test.clj:521-570
+    // doc-store-queries): the reference's `(pull ?e [... {:ref [...]}])`
+    // find syntax parsed by QueryText onto the same Pull engine as the
+    // typed dl_pull — nested map refs two levels deep, run as one
+    // sub-query per pull and left-joined back, certified against the
+    // same plain-SQL oracle shape.
+    "dl_edn_pull" -> q(static, QueryText.parseQuery(
+      """{:find [(pull ?c [:c_name :c_acctbal
+                           {:c_nationkey_ref [:n_name
+                                              {:n_regionkey_ref [:r_name]}]}])]
+         :where [[?c :c_acctbal ?bal]
+                 [(> ?bal 9900.0)]]}"""))
       ,
 
     // the transact TEXTUAL face through the same driver gate as
@@ -755,11 +772,18 @@ object DatalogQueries {
          WHERE c_custkey BETWEEN 1 AND 10 AND c_custkey <> 5""",
     "dl_edn" ->
       """SELECT n_name AS nn, count(*) AS count_c,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
                 min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "dl_edn_pull" ->
+      """SELECT c_name, c_acctbal, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE c_acctbal > 9900.0"""
   )
 }

@@ -1068,9 +1068,15 @@ object FactStream {
     if (!prevV.contains(s"v$batchId")) {
       val bTop = graft.pipeline.TextAnalysis
         .weightedSample(batch.select(col(idCol), col(weightCol)), idCol, weightCol, k)
+      // dropDuplicates on id BEFORE the merging re-sample: the same doc
+      // id delivered in two different micro-batches (distinct batchIds,
+      // so the replay guard doesn't apply) computes identical ES keys
+      // and would otherwise occupy TWO of the k reservoir slots,
+      // diverging from the batch operator on the deduped corpus.
       val merged = prevV match {
         case Some(v) => graft.pipeline.TextAnalysis.weightedSample(
-          bTop.unionByName(spark.read.parquet(s"$path/$v")), idCol, weightCol, k)
+          bTop.unionByName(spark.read.parquet(s"$path/$v"))
+            .dropDuplicates(idCol), idCol, weightCol, k)
         case None => bTop
       }
       merged.coalesce(1).write.mode("overwrite").parquet(s"$path/v$batchId")

@@ -158,6 +158,53 @@ class CollectionsParitySpec extends SparkSpec {
     assert(rows === Set(10L, 42L))
   }
 
+  test("reference rest-pattern TEXT runs verbatim (query_test.clj:36-60) via componentFields") {
+    val (_, ben, _, _, _) = fixture
+    val cf = Map("address" -> addrFields, "job" -> jobFields)
+    def runText(text: String) =
+      run(QueryText.parseQuery(text, componentFields = cf))
+
+    // `[#unifydb/id 1 :address [?town & ?road-and-number]]` — the rest
+    // var binds the remaining components as ONE struct (graft's flat
+    // re-encoding of the reference's nested-list rest value)
+    val rows = runText(
+      s"""{:find [?town ?road-and-number]
+          :where [[#unifydb/id $ben :address [?town & ?road-and-number]]]}""")
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "slumerville")
+    val rest = rows(0).getStruct(1)
+    assert((rest.getString(0), rest.getString(1), rest.getLong(2)) ===
+      ("ridge", "road", 10L))
+
+    // `[_ :address [:slumerville & ?address]]` — constant head, rest var
+    val slum = runText(
+      """{:find [?address]
+         :where [[_ :address [:slumerville & ?address]]]}""")
+      .collect().map { r =>
+        val st = r.getStruct(0)
+        (st.getString(0), st.getString(1), st.getLong(2))
+      }.toSet
+    assert(slum === Set(("ridge", "road", 10L), ("davis", "square", 42L)))
+
+    // positional vector patterns: `[?e :job [:computer ?what]]` and the
+    // wildcard form `[?e :job [:computer _]]`
+    val what = runText(
+      """{:find [?e ?what] :where [[?e :job [:computer ?what]]]}""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(what.map(_._2) === Set("wizard", "programmer"))
+    val both = runText(
+      """{:find [?e] :where [[?e :job [:computer _]]]}""")
+      .collect().map(_.getLong(0)).toSet
+    assert(both === what.map(_._1))
+
+    // `& _` ignores the rest entirely
+    val towns = runText(
+      """{:find [?t] :where [[_ :address [?t & _]]]}""")
+      .collect().map(_.getString(0)).toSet
+    assert(towns === Set("slumerville"))
+  }
+
   test("ragged lists ingest via meltList and query positionally — no hand-written fields") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

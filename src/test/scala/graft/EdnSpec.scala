@@ -115,6 +115,86 @@ class EdnSpec extends SparkSpec {
     assert(sal.collect().isEmpty, "retracted salary fact must be gone")
   }
 
+  test("pattern pad-clause: 1/2-element clauses pad with wildcards (query.clj pad-clause)") {
+    val q = QueryText.parseQuery(
+      """{:find [?e] :where [[?e :name] [?e]]}""")
+    assert(q.where === And(
+      Pattern(V("e"), C("name"), W),
+      Pattern(V("e"), W, W)))
+  }
+
+  test("reference doc-store pull text runs verbatim (query_test.clj:521-570)") {
+    import graft.core.Schema
+    import graft.transact.Transactor
+    // the reference doc-store fixture re-transacted: Alice with
+    // card-many friends (Bob, Carl) and a status ref; Carl has his own
+    // status; Bob has none
+    val sess = Transactor.emptySession(spark)
+    sess.transact(Seq(Transactor.MapForm(Seq(
+      Schema.SchemaAttr -> "friends",
+      Schema.CardinalityAttr -> Schema.CardinalityMany))))
+    val r = sess.transact(Seq(
+      Transactor.MapForm(Seq("name" -> "Alice", "favorite-color" -> "red",
+        "status" -> Transactor.MapForm(Seq("text" -> "Feeling good"))),
+        tempId = Some("alice")),
+      Transactor.MapForm(Seq("name" -> "Bob", "favorite-color" -> "green"),
+        tempId = Some("bob")),
+      Transactor.MapForm(Seq("name" -> "Carl", "favorite-color" -> "yellow",
+        "status" -> Transactor.MapForm(Seq("text" -> "Feeling bad"))),
+        tempId = Some("carl"))))
+    val (alice, bob, carl) =
+      (r.tempIds("alice"), r.tempIds("bob"), r.tempIds("carl"))
+    sess.transact(Seq(
+      Transactor.Add(alice, "friends", sess.EntityRef(bob)),
+      Transactor.Add(alice, "friends", sess.EntityRef(carl))))
+    val db = Db(Schema.applySchema(sess.db))
+
+    // reference query 1 VERBATIM: :name collides across levels, so the
+    // text face compiles the nested shape — one struct column, arrays
+    // of structs for the card-many friends ref (sorted; the engine's
+    // deterministic order), null-filled where the reference omits keys
+    val nested = Compiler.run(db, QueryText.parseQuery(
+      """{:find [(pull ?e [:name
+                           :favorite-color
+                           {:status [:text]}
+                           {:friends [:name
+                                      :favorite-color
+                                      {:status [:text]}]}])]
+         :where [[?e :name "Alice"]]}"""))(spark).collect()
+    assert(nested.length === 1)
+    val p = nested(0).getStruct(nested(0).fieldIndex("pulled"))
+    assert(p.getString(p.fieldIndex("name")) === "Alice")
+    assert(p.getString(p.fieldIndex("favorite-color")) === "red")
+    assert(p.getStruct(p.fieldIndex("status")).getString(0) === "Feeling good")
+    val friends = p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("friends"))
+    assert(friends.map(f => (f.getString(0), f.getString(1))) ===
+      Seq(("Bob", "green"), ("Carl", "yellow")))
+    assert(friends(0).isNullAt(2), "Bob has no status (reference omits the key)")
+    assert(friends(1).getStruct(2).getString(0) === "Feeling bad")
+
+    // reference query 2 VERBATIM: collision-free → flat column
+    val flat = Compiler.run(db, QueryText.parseQuery(
+      """{:find [(pull ?e [:name])] :where [[?e :name _]]}"""))(spark)
+    assert(flat.columns.toSeq === Seq("name"))
+    assert(flat.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("Alice", "Bob", "Carl"))
+
+    // reference query 3 shape: MULTI-pull over the same var + a
+    // tagged-id predicate (`#unifydb/id N` in a :where term)
+    val multi = Compiler.run(db, QueryText.parseQuery(
+      s"""{:find [(pull ?e [:name]) (pull ?e [:favorite-color])]
+          :where [[?e _ _]
+                  [(= ?e #unifydb/id $alice)]]}"""))(spark).collect()
+    assert(multi.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("Alice", "red")))
+
+    // tagged id in :bind (constVal's ETagged case)
+    val viaBind = Compiler.run(db, QueryText.parseQuery(
+      s"""{:find [?n] :where [[?who :name ?n]]
+          :bind {who #unifydb/id $carl}}"""))(spark)
+    assert(viaBind.collect().map(_.getString(0)).toSeq === Seq("Carl"))
+  }
+
   test("sort-by aggregate :desc, limit and bind text forms") {
     val top = Compiler.run(employees, QueryText.parseQuery(
       """{:find [?t (count ?p)]
