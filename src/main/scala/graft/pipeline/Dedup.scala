@@ -559,20 +559,35 @@ object Dedup {
     *
     * Scale shape: shingles, not unigrams — an n-gram is shared only
     * through real copying, so the (doc, sh) self-join's Σ_sh df(sh)²
-    * stays near-linear on organic corpora (a pathological template
-    * span behaves like the hub items graph_jaccard prunes; here
-    * exactness is the contract, so skew lands on AQE's skew-join
-    * split). The corpus is exploded and hashed once; distinct,
-    * per-doc sizes and both self-join sides all hang off the same
-    * (doc_id, sh) exchange subtree (AQE ReusedExchange). */
+    * stays near-linear on organic corpora. The quadratic tail that
+    * organic sharing can't produce but TEMPLATED corpora routinely do
+    * (one boilerplate 8-gram header in 10⁶ crawl pages → 10¹²
+    * candidate pairs BEFORE any filter — output volume AQE's skew
+    * split cannot fix) is cut by the `maxDf` document-frequency
+    * bound, the Lee et al. 2022 boilerplate discipline: a shingle in
+    * more than maxDf docs is template furniture, not copying
+    * evidence, and is excluded from BOTH the intersection and the
+    * |S(A)| denominator (containment over informative shingles; the
+    * oracle applies the identical bound). maxDf=256 is ~64× the
+    * organic df ceiling of the test corpus (max df 4 at sf0.1), so
+    * capped == uncapped there (spec-pinned), while Σ_sh df² is
+    * bounded by #shingles × maxDf². The df filter runs as a window
+    * count over the same hash-by-sh exchange the self-join needs —
+    * the cap adds no extra shuffle; distinct, df-filter, per-doc
+    * sizes and both self-join sides all hang off one exchange
+    * subtree (AQE ReusedExchange). */
   def shingleContainment(docs: DataFrame, n: Int = 8,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5, maxDf: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tk = split(lower(trim(col("text"))), "\\s+")
-    val sh = docs.filter(col("doc_id").isNotNull)
+    val sh0 = docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"), tk.as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), explode(TextAnalysis.shingleHashCol(col("tk"), n)).as("sh"))
       .distinct()
+    val sh = sh0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf).drop("__df")
     val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))

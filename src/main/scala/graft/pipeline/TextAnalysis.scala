@@ -584,8 +584,17 @@ object TextAnalysis {
     * bounded by #sources per shingle, and #sources is small by
     * definition); per-source totals are a tiny aggregate broadcast
     * onto the pair rows. The corpus-sized position stream is scanned
-    * once and never joined raw. */
-  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    * once and never joined raw. A `maxDf` source-frequency bound
+    * (same Lee et al. boilerplate discipline as
+    * [[Dedup.shingleContainment]]) excludes shingles present in more
+    * than maxDf sources from both the pair evidence and the n_sh
+    * totals: without it one boilerplate header shared by every
+    * source emits |sources|² pair rows per occurrence. The cap is a
+    * window count on the same hash-by-sh exchange the self-join
+    * needs — no extra shuffle; capped == uncapped on the organic
+    * corpus (source count 8 << 256; spec-pinned). */
+  def sourceOverlap(docs: DataFrame, n: Int = 8, maxDf: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // null sources can appear in no pair (the a<b comparison rejects
     // them in both engines) — filtering them up front ALSO makes all
     // three uses of this relation canonically identical, so AQE reuses
@@ -593,6 +602,8 @@ object TextAnalysis {
     // corpus per reference (plan-pinned)
     val sh = shingleHashes(docs.filter(col("source").isNotNull), n, keyCol = "source")
       .distinct()
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf).drop("__df")
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))

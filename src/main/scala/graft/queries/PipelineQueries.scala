@@ -1202,11 +1202,15 @@ object PipelineQueries {
                               string_split_regex(lower(trim(text)), '\s+') AS t
                        FROM documents
                        WHERE doc_id IS NOT NULL),
-              sp AS (SELECT DISTINCT doc_id,
+              sp0 AS (SELECT DISTINCT doc_id,
                             md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
                      FROM (SELECT doc_id, t,
                                   unnest(range(0, len(t) - 8 + 1)) AS i
                            FROM toks WHERE len(t) >= 8) x),
+              sp AS (SELECT doc_id, sh FROM
+                       (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+                        FROM sp0) d
+                     WHERE df <= 256),
               szs AS (SELECT doc_id, count(*) AS n_sh FROM sp GROUP BY 1),
               inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
                         FROM sp x JOIN sp y
@@ -1219,12 +1223,17 @@ object PipelineQueries {
     "text_src_overlap" ->
       """WITH toks AS (SELECT source,
                               string_split_regex(lower(trim(text)), '\s+') AS t
-                       FROM documents),
-              sh AS (SELECT DISTINCT source,
+                       FROM documents
+                       WHERE source IS NOT NULL),
+              sh0 AS (SELECT DISTINCT source,
                             md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
                      FROM (SELECT source, t,
                                   unnest(range(0, len(t) - 8 + 1)) AS i
                            FROM toks WHERE len(t) >= 8) x),
+              sh AS (SELECT source, sh FROM
+                       (SELECT source, sh, count(*) OVER (PARTITION BY sh) AS df
+                        FROM sh0) d
+                     WHERE df <= 256),
               tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
               pairs AS (SELECT a.source AS source_a, b.source AS source_b,
                                count(*) AS shared

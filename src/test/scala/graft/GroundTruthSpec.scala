@@ -919,6 +919,53 @@ class GroundTruthSpec extends SparkSpec {
     assert(got.toSeq === Seq(("s1", "s2", 2L, 0.5)))
   }
 
+  test("shingleContainment maxDf: boilerplate shingles excluded, organic output unchanged") {
+    // TEMPLATED corpus: 6 docs share an identical 4-token boilerplate
+    // header (the crawl-template shape whose Σdf² blows up the
+    // uncapped self-join at scale); docs 10/11 additionally share a
+    // REAL copied 4-token span. With maxDf=4 the header shingle
+    // (df=6 > 4) is template furniture — only the real copy pair
+    // survives; uncapped, every header pair scores too.
+    val hdr = "terms of service apply"
+    val tmpl = (0L until 6L).map(i =>
+      (i, s"$hdr unique$i token$i filler$i end$i"))
+    val copied = Seq(
+      (10L, "alpha beta gamma delta pad10 x10 y10 z10"),
+      (11L, "alpha beta gamma delta pad11 x11 y11 z11"))
+    val docs = (tmpl ++ copied).toDF("doc_id", "text")
+    val capped = Dedup.shingleContainment(docs, n = 4, threshold = 0.1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L), (11L, 10L)),
+      "only the genuinely copied pair survives the df bound")
+    val uncapped = Dedup.shingleContainment(docs, n = 4, threshold = 0.1,
+        maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size === 6 * 5 + 2, "uncapped scores every template pair")
+
+    // ORGANIC corpus (no shingle near the default cap): capped ==
+    // uncapped row-for-row — the bound never binds on real sharing
+    val organic = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(maxDf: Int) =
+      Dedup.shingleContainment(organic, n = 8, threshold = 0.5, maxDf = maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    assert(rows(256) === rows(Int.MaxValue))
+  }
+
+  test("sourceOverlap maxDf: template shingle shared by every source drops out") {
+    // one boilerplate bigram in all 5 sources (df=5 > maxDf=3) plus a
+    // real 2-source overlap; capped keeps only the real pair
+    val docs = ((0 until 5).map(i => (i.toLong, "common header", s"s$i")) ++
+      Seq((10L, "real shared span", "s0"), (11L, "real shared span", "s1")))
+      .toDF("doc_id", "text", "source")
+    val capped = TextAnalysis.sourceOverlap(docs, n = 2, maxDf = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped === Set(("s0", "s1")))
+    val uncapped = TextAnalysis.sourceOverlap(docs, n = 2, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.size === 5 * 4 / 2, "uncapped pairs every source")
+  }
+
   test("splitAssign: deterministic bucket-ranged labels, ~train fraction holds") {
     val df = spark.range(0, 2000).toDF("doc_id")
     val a = TextAnalysis.splitAssign(df, "doc_id").collect()
