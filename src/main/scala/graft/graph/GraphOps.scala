@@ -704,14 +704,28 @@ object GraphOps {
     * its topK most similar partners (jaccard desc, partner asc — a
     * total order, so the ranking is engine-deterministic).
     *
-    * Scale shape: candidates come from the shared-item self-join, cost
-    * Σ_item deg(item)² — NEVER all-pairs. Hub items (deg > maxItemDeg)
-    * are pruned first, the same stopword discipline as similarity
-    * search: an item shared by everyone predicts nothing and its deg²
-    * term is exactly the quadratic blowup. Jaccard is then computed
-    * over the PRUNED sets (sizes taken after the filter) so the score
-    * is internally consistent. The final per-node top-k is a rank<=k
-    * filter → Spark's map-side WindowGroupLimit. */
+    * Scale shape: candidates come from WITHIN-ITEM pair generation,
+    * cost Σ_item deg(item)² — NEVER all-pairs. Hub items (deg >
+    * maxItemDeg) are pruned first, the same stopword discipline as
+    * similarity search: an item shared by everyone predicts nothing
+    * and its deg² term is exactly the quadratic blowup. Jaccard is
+    * then computed over the PRUNED sets (sizes taken after the
+    * filter) so the score is internally consistent. The final
+    * per-node top-k is a rank<=k filter → Spark's map-side
+    * WindowGroupLimit.
+    *
+    * A measured negative result stands recorded here (r13): generating
+    * pairs by aggregating per-item member ARRAYS and exploding
+    * within-array combinations — "halve the exchange read, drop the
+    * join" — benched 1.8× SLOWER at sf0.1 (4.99 s vs 2.84 s): the
+    * candidate stream (Σdeg² ≈ 18M pairs) dominates, and codegen'd
+    * SMJ emits a candidate far cheaper than interpreted nested
+    * transform/flatten/explode over collected arrays. The self-join
+    * stays; both sides are byte-identical subtrees so AQE reuses the
+    * materialized shuffle stage from disk (not BlockManager heap —
+    * the r12 OOM lesson). What DID stick: both scoring orientations
+    * explode map-side from the aggregated pair row instead of a
+    * unionByName that ran the reduce-side pair aggregation twice. */
   def jaccardLinks(incidence: DataFrame, nodeCol: String, itemCol: String,
                    maxItemDeg: Int = 50, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -726,20 +740,17 @@ object GraphOps {
           .filter(col("ideg") <= maxItemDeg).select(col("it")),
         Seq("it"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("n"))))
-    // NO checkpoint: both self-join sides are byte-identical subtrees,
-    // so AQE reuses the materialized shuffle stage — reuse lives in
-    // shuffle FILES, not BlockManager heap. At 100× the checkpointed
-    // form cached ~45M deserialized rows and OOM'd an 8 GB driver;
-    // this form runs the same probe in the same heap.
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.it") === col("b.it") && col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"),
         first(col("a.sz")).as("sz1"), first(col("b.sz")).as("sz2"))
-    val scored = pairs.select(col("n1").as("src"), col("n2").as("dst"),
-        col("inter"), col("sz1"), col("sz2"))
-      .unionByName(pairs.select(col("n2").as("src"), col("n1").as("dst"),
-        col("inter"), col("sz2").as("sz1"), col("sz1").as("sz2")))
+    val scored = pairs.select(explode(array(
+        struct(col("n1").as("src"), col("n2").as("dst"),
+          col("inter"), col("sz1"), col("sz2")),
+        struct(col("n2").as("src"), col("n1").as("dst"),
+          col("inter"), col("sz2").as("sz1"), col("sz1").as("sz2")))).as("q"))
+      .select(col("q.*"))
       .withColumn("uni", col("sz1") + col("sz2") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
     val w = Window.partitionBy(col("src"))

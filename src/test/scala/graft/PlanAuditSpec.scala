@@ -488,7 +488,9 @@ class PlanAuditSpec extends SparkSpec {
     // self-join consumers are byte-identical subtrees, so AQE must
     // reuse the shuffle stage from disk — if a refactor breaks subtree
     // identity, the corpus-sized relation computes twice AND the 100x
-    // heap relief is silently lost
+    // heap relief is silently lost. (r13 kept graph_jaccard's
+    // self-join deliberately: the array-explode alternative benched
+    // 1.8x slower — negative result recorded at GraphOps.jaccardLinks.)
     for (name <- Seq("graph_jaccard", "dedup_containment")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
@@ -497,6 +499,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("ReusedExchange"),
         s"$name: expected ReusedExchange across the self-join sides:\n$p")
     }
+  }
+
+  test("graph_jaccard: both scoring orientations explode map-side — pair agg runs once") {
+    // the unionByName shape ran the reduce-side pair aggregation
+    // twice (one per orientation); the explode form scores both
+    // directions from the single aggregated pair row — exactly one
+    // pair-keyed HashAggregate pair (partial + final) in the plan
+    val p = plan("graph_jaccard")
+    assert(!p.contains("Union"), s"expected explode, not union:\n$p")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"expected the orientation explode:\n$p")
   }
 
   test("q_unpivot: wide-to-long is a map-only Expand — zero shuffles") {
