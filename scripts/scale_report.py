@@ -32,6 +32,15 @@ def main():
     ap.add_argument("--sf01", required=True)
     ap.add_argument("--sf1", required=True)
     ap.add_argument("--prev", default=None)
+    ap.add_argument("--solo", default=None,
+                    help="Bench JSON of the top-cost queries re-run SOLO "
+                         "at the sf1 dir (SPARK_GRAFT_BENCH_ONLY=...): "
+                         "deconfounds in-run contention — r12's dedup_exact "
+                         "read 50s in-run but 18s solo. Folded into "
+                         "per_query as solo_sec/solo_ratio.")
+    ap.add_argument("--stream-latency", default=None,
+                    help="STREAM_LATENCY.jsonl path; the LAST line per "
+                         "suite is folded in as streaming_latency.")
     ap.add_argument("--note", action="append", default=[])
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
@@ -62,12 +71,17 @@ def main():
                 for q in common},
         }
 
+    solo = load(args.solo)["queries"] if args.solo else {}
     scale = {}
     for q, t1 in sf1["queries"].items():
         t01 = cur["queries"].get(q)
         if t01 and t01 > 0 and t1 > 0:
             scale[q] = {"sf0.1_sec": t01, "sf1_sec": t1,
                         "ratio": round(t1 / t01, 2)}
+            ts = solo.get(q)
+            if ts and ts > 0:
+                scale[q]["solo_sec"] = ts
+                scale[q]["solo_ratio"] = round(ts / t01, 2)
     worst = max(scale.values(), key=lambda v: v["ratio"], default=None)
     out["sf1_scale_probe"] = {
         "rows_factor": 10,
@@ -78,6 +92,16 @@ def main():
         "per_query": dict(sorted(scale.items(),
                                  key=lambda kv: -kv[1]["ratio"])),
     }
+
+    if args.stream_latency:
+        latest = {}
+        with open(args.stream_latency) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    rec = json.loads(ln)
+                    latest[rec.get("suite", "?")] = rec
+        out["streaming_latency"] = latest
 
     dest = args.out or f"SCALE_r{args.round:02d}.json"
     with open(dest, "w") as f:

@@ -823,6 +823,17 @@ class StreamingSpec extends SparkSpec {
     }
     val (t0s, t1s) = (timedBatch(b0), timedBatch(b1))
     info(f"stream_curation per-batch wall time: b0=$t0s%.2fs b1=$t1s%.2fs")
+    // persist the latency so the round artifacts keep a trendline
+    // (VERDICT r12 item 8): appended, one line per run, to
+    // STREAM_LATENCY.jsonl at the repo root — scale_report / the
+    // round-close notes fold the tail into STREAM_r{N}/SCALE_r{N}
+    try {
+      val line = f"""{"suite":"stream_curation","b0_sec":$t0s%.3f,"b1_sec":$t1s%.3f,"utc":"${java.time.Instant.now}"}%n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_LATENCY.jsonl"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () }
     q.stop()
     // 1. final packed corpus == the BATCH pipeline on the same data:
     //    shared gates, then exact dedup (min doc_id per content hash —
