@@ -525,6 +525,28 @@ object TextAnalysis {
         explode(array_distinct(shingleHashCol(col("toks"), n))).as("sh"))
   }
 
+  /** BOILERPLATE REPORT — the accounting half of the maxDf discipline
+    * ([[Dedup.shingleContainment]] / [[sourceOverlap]] exclude
+    * high-df shingles from pair evidence; this op is where those
+    * shingles get LOOKED AT instead of silently dropped): the topK
+    * most widely shared n-token shingles with their document
+    * frequency and an example doc — the crawl-template/footer
+    * inventory a curation run reviews before freezing a corpus.
+    * Scale shape: per-doc distinct shingle stream (array_distinct
+    * map-side, no corpus-wide distinct shuffle) → one count/min
+    * aggregate by sh (map-side combinable) → global top-k via
+    * TakeOrderedAndProject (heap per partition, never a full sort).
+    * Total order (df desc, sh asc) ⇒ engine-deterministic under
+    * ties at the limit boundary. */
+  def boilerplateReport(docs: DataFrame, n: Int = 8, minDf: Int = 2,
+                        topK: Int = 100): DataFrame =
+    shingleHashes(docs.filter(col("doc_id").isNotNull), n)
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("sh").asc)
+      .limit(topK)
+
   /** Benchmark decontamination: flag every training document sharing
     * at least one n-token shingle with the eval/benchmark set, with the
     * count of distinct shared shingles — the contamination gate run

@@ -469,6 +469,13 @@ object PipelineQueries {
     // overlap + vocabulary Jaccard between subcorpora
     "text_src_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(docs(s, dir), n = 8)),
 
+    // boilerplate inventory: the top shared 8-gram shingles by doc
+    // frequency — the accounting half of the containment/overlap
+    // maxDf discipline (what the df bound excludes, reviewed instead
+    // of silently dropped)
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateReport(docs(s, dir), n = 8, minDf = 2, topK = 100)),
+
     // train/val/test freeze: content-independent md5 basis-point
     // bucketing, engine-reproducible, shuffle-free
     "sample_split" -> ((s, dir) =>
@@ -1220,6 +1227,22 @@ object PipelineQueries {
                 round(CAST(inter AS DOUBLE) / n_sh, 6) AS containment
          FROM inter JOIN szs ON szs.doc_id = a
          WHERE CAST(inter AS DOUBLE) / n_sh >= 0.5""",
+    "text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents
+                       WHERE doc_id IS NOT NULL),
+              sp AS (SELECT DISTINCT doc_id,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x)
+         SELECT sh, df, example_doc FROM
+           (SELECT sh, count(*) AS df, min(doc_id) AS example_doc
+            FROM sp GROUP BY 1) d
+         WHERE df >= 2
+         ORDER BY df DESC, sh ASC
+         LIMIT 100""",
     "text_src_overlap" ->
       """WITH toks AS (SELECT source,
                               string_split_regex(lower(trim(text)), '\s+') AS t
