@@ -20,6 +20,7 @@ object Bench {
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
+    "text_boilerplate",
     "text_bigram_lm", "sample_importance", "text_bpe_learn",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",

@@ -731,6 +731,9 @@ object Compiler {
     case "between" => cs(0).between(cs(1), cs(2))
     case "null?" => cs.head.isNull
     case "some?" => cs.head.isNotNull
+    // set membership: (in ?v elem...) — the text face's lowering of
+    // the reference's `(some #{...} ?v)` set-literal predicate
+    case "in" => cs.tail.map(cs.head === _).reduce(_ || _)
     case other => userPreds.get(other) match {
       case Some(build) => build(cs)
       // exact reference error parity (:unknown-predicate) — the

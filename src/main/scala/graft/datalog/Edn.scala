@@ -54,6 +54,9 @@ object Edn {
   final case class ELst(items: Vector[Edn]) extends Edn
   final case class EVec(items: Vector[Edn]) extends Edn
   final case class EMap(entries: Vector[(Edn, Edn)]) extends Edn
+  /** Set literal `#{...}` (the reference's membership-predicate syntax,
+    * `[(some #{:computer} ?job)]`, query_test.clj operators test). */
+  final case class ESet(items: Vector[Edn]) extends Edn
   /** Tagged literal `#tag form` (the reference prints entity ids as
     * `#unifydb/id N`). */
   final case class ETagged(tag: String, value: Edn) extends Edn
@@ -97,11 +100,14 @@ object Edn {
         case '"' => str()
         case '#' =>
           pos += 1
-          val tagStart = pos
-          while (!eof && !peek.isWhitespace && peek != ',' && !delim(peek)) pos += 1
-          val tag = s.substring(tagStart, pos)
-          require(tag.nonEmpty, s"empty tag at $tagStart")
-          ETagged(tag, form())
+          if (!eof && peek == '{') { pos += 1; ESet(seqUntil('}')) }
+          else {
+            val tagStart = pos
+            while (!eof && !peek.isWhitespace && peek != ',' && !delim(peek)) pos += 1
+            val tag = s.substring(tagStart, pos)
+            require(tag.nonEmpty, s"empty tag at $tagStart")
+            ETagged(tag, form())
+          }
         case _ => atom()
       }
     }
@@ -263,6 +269,19 @@ object QueryText {
     // [(fn args...) ?out] binding function
     case EVec(Vector(ELst(op +: args), out @ ESym(_))) =>
       FnBind(opName(op), term(out).asInstanceOf[V], args.map(term): _*)
+    // [(some #{..} ?v)] / [(in ?v #{..})] — set-literal membership
+    // (reference operators test, query_test.clj: `(some #{:computer}
+    // ?job)`); the scalar var tests membership in the constant set.
+    // Lowered to Pred("in", scalar, elem*) — in graft's value model
+    // the var binds a SCALAR (e.g. one cardinality-many tag), the
+    // documented re-encoding of in-fact collection values.
+    case EVec(Vector(ELst(op +: args)))
+        if Set("some", "in")(opName(op)) && args.exists(_.isInstanceOf[ESet]) =>
+      val set = args.collectFirst { case s: ESet => s }.get
+      val scalars = args.filterNot(_.isInstanceOf[ESet])
+      require(scalars.length == 1,
+        s"membership predicate needs exactly one non-set argument: $e")
+      Pred("in", (term(scalars.head) +: set.items.map(term)): _*)
     // [(op args...)] predicate
     case EVec(Vector(ELst(op +: args))) =>
       Pred(opName(op), args.map(term): _*)

@@ -387,4 +387,26 @@ class CollectionsParitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(narrowed === Set(alyssa))
   }
+
+  test("set-literal membership TEXT: [(some #{:computer} ?tag)] over the tags encoding") {
+    val (_, ben, alyssa, _, _) = fixture
+    // the reference's set-literal predicate syntax runs verbatim over
+    // the card-many tags re-encoding (?tag binds one SCALAR tag —
+    // graft's documented collection model); incl. the != narrowing
+    // from the same reference test, text-driven end-to-end
+    val rows = run(QueryText.parseQuery(
+      """{:find [?e]
+         :where [[?e :job/tags ?tag]
+                 [(some #{:computer} ?tag)]]}"""))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(ben, alyssa))
+    val narrowed = run(QueryText.parseQuery(
+      """{:find [?e]
+         :where [[?e :job/tags ?tag]
+                 [(some #{:computer :lisp} ?tag)]
+                 [?e :name ?name]
+                 [(!= "Ben Bitdiddle" ?name)]]}"""))
+      .collect().map(_.getLong(0)).toSet
+    assert(narrowed === Set(alyssa))
+  }
 }
