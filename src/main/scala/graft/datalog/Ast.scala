@@ -144,6 +144,18 @@ final case class FPull(v: V, spec: Pull.Spec, alias: String,
 
 final case class SortKey(alias: String, desc: Boolean = false)
 
+/** Structured query-error contract (reference query.clj error maps,
+  * exercised at test/unifydb/query_test.clj:228-247, 436-441,
+  * 500-513): the error CODE and the offending field travel typed —
+  * `{:code :unbound-variable :variable "joob" :message ...}` becomes
+  * `QueryException("unbound-variable", "variable" -> "joob", ...)` —
+  * so an API layer can render the reference's exact error map.
+  * Extends IllegalArgumentException: every pre-existing catch site
+  * keeps working. */
+final class QueryException(val code: String, val field: (String, String),
+                           message: String)
+    extends IllegalArgumentException(message)
+
 final case class Query(
     find: Seq[FindExpr],
     where: Clause,

@@ -76,7 +76,8 @@ object Compiler {
       val n = count(col(v)).cast(DoubleType)
       sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
     }
-    case other => throw new IllegalArgumentException(s"Unknown aggregation expression $other")
+    case other => throw new QueryException("unknown-aggregation",
+      "aggregation" -> other, s"Unknown aggregation expression $other")
   }).as(alias)
 
   private def project(db: Db, frames: DataFrame, q: Query): DataFrame = {
@@ -120,20 +121,37 @@ object Compiler {
           if (k.desc) col(k.alias).desc else col(k.alias).asc): _*)
       return q.limit.fold(sorted)(sorted.limit)
     }
+    // Reference grouping semantics (query.clj query-results*:
+    // grouping-vars = find vars ∪ sort-by vars): a plain :sort-by var
+    // that is NOT in :find still joins the set-semantics key —
+    // `{:find [?name] :sort-by [?age]}` dedups on (name, age), sorts
+    // by age, then projects name WITHOUT re-deduping
+    // (query_test.clj:384-400).
+    val findAliases = vars.map(_.alias)
+    // an alias already projected by :find — var OR aggregate — is
+    // sorted on directly; only a genuinely unprojected frame var
+    // joins the grouping key
+    val projectedAliases = findAliases ++ aggs.map(_.alias)
+    val extraSort = q.sortBy.map(_.alias).distinct
+      .filterNot(projectedAliases.contains).filter(frames.columns.contains)
     val projected =
       if (aggs.isEmpty) {
         // Set semantics: the reference groups frames by the find vars and
         // emits one row per group even without aggregates (query.clj:441-467).
-        frames.select(vars.map(fv => col(fv.v.name).as(fv.alias)): _*).distinct()
+        frames.select((vars.map(fv => col(fv.v.name).as(fv.alias)) ++
+          extraSort.map(col)): _*).distinct()
       } else {
-        val keyed = frames.groupBy(vars.map(fv => col(fv.v.name).as(fv.alias)): _*)
+        val keyed = frames.groupBy((vars.map(fv => col(fv.v.name).as(fv.alias)) ++
+          extraSort.map(col)): _*)
         keyed.agg(aggCol(aggs.head.fn, aggs.head.v.name, aggs.head.alias),
           aggs.tail.map(a => aggCol(a.fn, a.v.name, a.alias)): _*)
       }
     val sorted =
       if (q.sortBy.isEmpty) projected
       else projected.orderBy(q.sortBy.map(k => if (k.desc) col(k.alias).desc else col(k.alias).asc): _*)
-    q.limit.fold(sorted)(sorted.limit)
+    val limited = q.limit.fold(sorted)(sorted.limit)
+    if (extraSort.isEmpty) limited
+    else limited.select((findAliases ++ aggs.map(_.alias)).map(col): _*)
   }
 
   // ------------------------------------------------------------- clauses
@@ -290,7 +308,8 @@ object Compiler {
     * "Unbound variable" error, not a planner error. */
   private def requireBound(f: DataFrame, args: Seq[Term]): Unit =
     args.collectFirst { case V(n) if !f.columns.contains(n) => n }.foreach { n =>
-      throw new IllegalArgumentException(s"Unbound variable $n")
+      throw new QueryException("unbound-variable", "variable" -> n,
+        s"Unbound variable $n")
     }
 
   /** All variable names appearing in a clause. */
@@ -738,7 +757,8 @@ object Compiler {
       case Some(build) => build(cs)
       // exact reference error parity (:unknown-predicate) — the
       // registerPred escape hatch is documented on the registry below
-      case None => throw new IllegalArgumentException(s"Unknown predicate $other")
+      case None => throw new QueryException("unknown-predicate",
+        "predicate" -> other, s"Unknown predicate $other")
     }
   }
 
@@ -786,7 +806,8 @@ object Compiler {
     case "replace" => regexp_replace(cs.head, cs(1), cs(2))
     case other => userFns.get(other) match {
       case Some(build) => build(cs)
-      case None => throw new IllegalArgumentException(s"Unknown function $other")
+      case None => throw new QueryException("unknown-function",
+        "function" -> other, s"Unknown function $other")
     }
   }
 

@@ -502,13 +502,23 @@ object QueryText {
       val alias = k match {
         case ESym(s) =>
           val n = varName(s)
-          find.collectFirst { case FVar(V(`n`), a) => a }
-            .getOrElse(sys.error(s"sort-by var ?$n not in :find"))
+          // Not in :find is VALID reference syntax (query_test.clj:
+          // 384-400): the var joins the set-semantics key and the
+          // compiler drops it after the sort.
+          find.collectFirst { case FVar(V(`n`), a) => a }.getOrElse(n)
         case ELst(Vector(op, ESym(v))) =>
-          val fn = opName(op)
+          val fn0 = opName(op)
+          // same exact-decimal aliasing as findExpr, so
+          // `:sort-by (sum ?x)` matches the `sum$exact` find entry
+          val fn = fn0 match {
+            case "sum" => "sum$exact"
+            case "avg" | "mean" => "avg$exact"
+            case "stddev" => "stddev$exact"
+            case other => other
+          }
           val n = varName(v)
           find.collectFirst { case FAgg(`fn`, V(`n`), a) => a }
-            .getOrElse(sys.error(s"sort-by aggregate ($fn ?$n) not in :find"))
+            .getOrElse(sys.error(s"sort-by aggregate ($fn0 ?$n) not in :find"))
         case other => sys.error(s"unsupported sort-by expression: $other")
       }
       SortKey(alias, desc)
