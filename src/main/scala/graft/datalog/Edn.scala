@@ -177,6 +177,32 @@ object QueryText {
                  componentFields: Map[String, Seq[String]] = Map.empty): Query =
     readQuery(Edn.parse(text), componentFields)
 
+  /** `{:tx-id :latest | #unifydb/id N [, :historical true]}` →
+    * [[Compiler.Db]] over `facts` — the reference's db-map wire shape
+    * (util/query's first argument; every `:db` entry in
+    * query_test.clj), so BOTH maps of a reference test case run from
+    * verbatim text. */
+  def parseDb(text: String, facts: graft.core.FactDb): Compiler.Db =
+    readDb(Edn.parse(text), facts)
+
+  def readDb(e: Edn, facts: graft.core.FactDb): Compiler.Db = e match {
+    case EMap(entries) =>
+      val m = entries.collect { case (EKw(k), v) => k -> v }.toMap
+      val asOf = m.get("tx-id") match {
+        case Some(EKw("latest")) | None => Long.MaxValue
+        case Some(ETagged("unifydb/id", ELong(n))) => n
+        case Some(ELong(n)) => n
+        case Some(other) => sys.error(s"unsupported :tx-id: $other")
+      }
+      val hist = m.get("historical") match {
+        case Some(EBool(b)) => b
+        case None => false
+        case Some(other) => sys.error(s":historical must be a boolean, got $other")
+      }
+      Compiler.Db(facts, asOf = asOf, historical = hist)
+    case other => sys.error(s"db spec must be an EDN map, got $other")
+  }
+
   def readQuery(e: Edn,
                 componentFields: Map[String, Seq[String]] = Map.empty): Query = e match {
     case EMap(entries) =>

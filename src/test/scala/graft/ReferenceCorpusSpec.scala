@@ -3,7 +3,7 @@ package graft
 import graft.core.{FactDb, FactStore, Schema}
 import graft.datalog._
 import graft.datalog.Compiler.Db
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 
 /** THE REFERENCE QUERY CORPUS, END TO END: every `:query` form in
   * test/unifydb/query_test.clj (11 deftests; ~45 cases including the
@@ -66,7 +66,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     * 1-3; job/address sub-entities take 11-12 / 21-23; every link and
     * component fact carries the reference's tx id, including the tx-3
     * retraction of Alyssa's address. */
-  private lazy val employees = Db(mkFacts(Seq(
+  private lazy val employees = mkFacts(Seq(
     s(1, "name", "Ben Bitdiddle", 0),
     r(1, "job", 11, 0),
     s(11, "job/field", "computer", 0), s(11, "job/title", "wizard", 0),
@@ -93,7 +93,7 @@ class ReferenceCorpusSpec extends SparkSpec {
       "job/tags" -> "vstr",
       "address" -> "vref", "addr/town" -> "vstr", "addr/street1" -> "vstr",
       "addr/street2" -> "vstr", "addr/number" -> "vlong"),
-    cardMany = Set("job/tags")))
+    cardMany = Set("job/tags"))
 
   private val cf = Map(
     "address" -> Seq("addr/town", "addr/street1", "addr/street2", "addr/number"),
@@ -102,16 +102,25 @@ class ReferenceCorpusSpec extends SparkSpec {
   private def run(db: Db, text: String) =
     Compiler.run(db, QueryText.parseQuery(text, componentFields = cf))(spark)
 
-  private def queryError(db: Db, text: String): QueryException =
+  /** Both maps of a reference case from verbatim text: the `:db` map
+    * (`{:tx-id ...}`) through QueryText.parseDb, the `:query` map
+    * through QueryText.parseQuery. */
+  private def run(facts: FactDb, dbText: String,
+                  queryText: String): DataFrame =
+    run(QueryText.parseDb(dbText, facts), queryText)
+
+  private def queryError(facts: FactDb, dbText: String,
+                         text: String): QueryException =
     intercept[QueryException] {
-      run(db, text).collect(): Unit
+      run(facts, dbText, text).collect(): Unit
     }
 
   // ------------------------------------- deftest simple-matching :11
 
   test("simple-matching: all seven reference cases (query_test.clj:31-59)") {
-    val latest = employees
-    val tx2 = employees.copy(asOf = 2)
+    // the reference's db fixtures verbatim (query_test.clj:26-27)
+    val latest = QueryText.parseDb("{:tx-id #unifydb/id 4}", employees)
+    val tx2 = QueryText.parseDb("{:tx-id #unifydb/id 2}", employees)
 
     assert(run(latest, """{:find [?e]
                            :where [[?e :name "Ben Bitdiddle"]]}""")
@@ -162,9 +171,11 @@ class ReferenceCorpusSpec extends SparkSpec {
   // ------------------------------------ deftest compound-queries :66
 
   test("compound-queries: :and / bare conjunction / :or / :not (query_test.clj:85-107)") {
-    def ids(text: String) = run(employees, text).collect().map(_.getLong(0)).toSet
+    val db4 = "{:tx-id #unifydb/id 4}"
+    def ids(text: String) =
+      run(employees, db4, text).collect().map(_.getLong(0)).toSet
 
-    val andRows = run(employees,
+    val andRows = run(employees, db4,
       """{:find [?e ?what]
          :where [[:and
                   [?e :job [:computer ?what]]
@@ -172,7 +183,7 @@ class ReferenceCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(andRows === Set((1L, "wizard")))
 
-    val bare = run(employees,
+    val bare = run(employees, db4,
       """{:find [?e ?what]
          :where [[?e :job [:computer ?what]]
                  [?e :salary 60000]]}""")
@@ -185,7 +196,7 @@ class ReferenceCorpusSpec extends SparkSpec {
                   [?e :job [:computer :wizard]]
                   [?e :job [:computer :programmer]]]]}""") === Set(1L, 2L))
 
-    val notRows = run(employees,
+    val notRows = run(employees, db4,
       """{:find [?e ?what]
          :where [[:and
                   [?e :job [:computer ?what]]
@@ -197,7 +208,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   // ----------------------------------------------- deftest rules :114
 
   test("rules: lives-near with rest-pattern bodies + (:same ?x ?x) (query_test.clj:133-141)") {
-    val who = run(employees,
+    val who = run(employees, "{:tx-id #unifydb/id 4}",
       """{:find [?who]
          :where [(:lives-near ?who #unifydb/id 1)]
          :rules [[(:lives-near ?person1 ?person2)
@@ -232,7 +243,8 @@ class ReferenceCorpusSpec extends SparkSpec {
       Map("name" -> "vstr", "favorite-colors" -> "vstr",
         Schema.SchemaAttr -> "vstr", Schema.CardinalityAttr -> "vstr",
         "lucky-number" -> "vlong"))
-    val db = Db(Schema.applySchema(raw), asOf = 5)
+    val db = QueryText.parseDb("{:tx-id #unifydb/id 5}",
+      Schema.applySchema(raw))
     val colors = run(db,
       """{:find [?ent ?color]
          :where [[?ent :favorite-colors ?color]]}""")
@@ -243,7 +255,8 @@ class ReferenceCorpusSpec extends SparkSpec {
   // ------------------------------------------- deftest operators :178
 
   test("operators: < comparisons, chained <, membership, != (query_test.clj:196-227)") {
-    assert(run(employees,
+    val db4 = "{:tx-id #unifydb/id 4}"
+    assert(run(employees, db4,
       """{:find [?e]
          :where [[?e :salary ?s]
                  [?ben :name "Ben Bitdiddle"]
@@ -251,7 +264,7 @@ class ReferenceCorpusSpec extends SparkSpec {
                  [(< ?s ?bs)]]}""")
       .collect().map(_.getLong(0)).toSet === Set(2L))
 
-    assert(run(employees,
+    assert(run(employees, db4,
       """{:find [?e]
          :where [[?e :salary ?s]
                  [(< 50000 ?s 70000)]]}""")
@@ -260,13 +273,13 @@ class ReferenceCorpusSpec extends SparkSpec {
     // membership over the cardinality-many tags re-encoding (the one
     // adapted attribute name: reference binds the in-fact list value,
     // graft's documented model binds one scalar tag)
-    assert(run(employees,
+    assert(run(employees, db4,
       """{:find [?e]
          :where [[?e :job/tags ?job]
                  [(some #{:computer} ?job)]]}""")
       .collect().map(_.getLong(0)).toSet === Set(2L, 1L))
 
-    assert(run(employees,
+    assert(run(employees, db4,
       """{:find [?e]
          :where [[?e :job/tags ?job]
                  [(some #{:computer} ?job)]
@@ -276,7 +289,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("operators: structured errors — unbound variable, unknown predicate (query_test.clj:228-247)") {
-    val unbound = queryError(employees,
+    val unbound = queryError(employees, "{:tx-id #unifydb/id 4}",
       """{:find [?e]
          :where [[?e :job/tags ?job]
                  [(some #{:computer} ?joob)]
@@ -286,7 +299,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(unbound.field === ("variable" -> "joob"))
     assert(unbound.getMessage === "Unbound variable joob")
 
-    val unknownPred = queryError(employees,
+    val unknownPred = queryError(employees, "{:tx-id #unifydb/id 4}",
       """{:find [?e]
          :where [[?e :salary ?s]
                  [(foo 50000 ?s 70000)]]}""")
@@ -298,7 +311,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   // ------------------------------------ deftest parameterization :251
 
   test("parameterization: :bind {name ...} (query_test.clj:270-274)") {
-    assert(run(employees,
+    assert(run(employees, "{:tx-id :latest}",
       """{:find [?e]
          :where [[?e :name ?name]]
          :bind {name "Ben Bitdiddle"}}""")
@@ -320,7 +333,7 @@ class ReferenceCorpusSpec extends SparkSpec {
          :where [[_ :address ?address ?tx-id ?added]
                  [?tx-id :doc ?doc]]}"""
 
-    val latest = run(Db(hist, historical = true), text)
+    val latest = run(hist, "{:tx-id :latest :historical true}", text)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
       .toSet
@@ -329,7 +342,7 @@ class ReferenceCorpusSpec extends SparkSpec {
       (0L, "78 Mass Ave, Cambridge MA", true, "First transaction"),
       (2L, "10 Ridge Road, Slumerville MA", true, "Second transaction")))
 
-    val asOf0 = run(Db(hist, asOf = 0, historical = true), text)
+    val asOf0 = run(hist, "{:tx-id #unifydb/id 0 :historical true}", text)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
       .toSet
@@ -345,7 +358,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   private val cp = "[:computer :programmer]"
   private val cw = "[:computer :wizard]"
 
-  private lazy val ages = Db(mkFacts(Seq(
+  private lazy val ages = mkFacts(Seq(
     s(1, "employee/name", "Ben Bitdiddle", 0), l(1, "employee/age", 45, 0),
     s(1, "employee/role", cw, 0), s(1, "employee/nickname", "Bennie", 0),
     s(2, "employee/name", "Alyssa P. Hacker", 0), l(2, "employee/age", 32, 0),
@@ -355,11 +368,11 @@ class ReferenceCorpusSpec extends SparkSpec {
     s(4, "employee/name", "Lem E. Tweakit", 0), l(4, "employee/age", 32, 0),
     s(4, "employee/role", cp, 0)),
     Map("employee/name" -> "vstr", "employee/age" -> "vlong",
-      "employee/role" -> "vstr", "employee/nickname" -> "vstr")))
+      "employee/role" -> "vstr", "employee/nickname" -> "vstr"))
 
   test("aggregation: sum/min/max/count/count-distinct (query_test.clj:333-360)") {
     def one(text: String): Row = {
-      val rows = run(ages, text).collect()
+      val rows = run(ages, "{:tx-id :latest}", text).collect()
       assert(rows.length === 1)
       rows(0)
     }
@@ -381,7 +394,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("aggregation: grouped min + :sort-by on the aggregate, asc and :desc (query_test.clj:361-383)") {
-    val grouped = run(ages,
+    val grouped = run(ages, "{:tx-id :latest}",
       """{:find [?role (min ?age)]
          :where [[?e :employee/role ?role]
                  [?e :employee/age ?age]]}""")
@@ -389,7 +402,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(grouped === Set((ce, 56L), (cp, 32L), (cw, 45L)))
 
     // bare (non-vector) :sort-by form
-    val asc = run(ages,
+    val asc = run(ages, "{:tx-id :latest}",
       """{:find [?role (min ?age)]
          :where [[?e :employee/role ?role]
                  [?e :employee/age ?age]]
@@ -397,7 +410,7 @@ class ReferenceCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(asc === Seq((cp, 32L), (cw, 45L), (ce, 56L)))
 
-    val desc = run(ages,
+    val desc = run(ages, "{:tx-id :latest}",
       """{:find [?role (min ?age)]
          :where [[?e :employee/role ?role]
                  [?e :employee/age ?age]]
@@ -410,7 +423,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     // reference grouping semantics: dedup on find ∪ sort vars, sort,
     // project find only. The 32-32 tie (Alyssa/Lem) has no defined
     // tie-break in either engine — compare those two positions set-wise.
-    val sorted = run(ages,
+    val sorted = run(ages, "{:tx-id :latest}",
       """{:find [?name]
          :where [[?e :employee/name ?name]
                  [?e :employee/age ?age]]
@@ -420,7 +433,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(sorted.take(2).toSet === Set("Alyssa P. Hacker", "Lem E. Tweakit"))
     assert(sorted.drop(2) === Seq("Ben Bitdiddle", "Oliver Warbucks"))
 
-    val limited = run(ages,
+    val limited = run(ages, "{:tx-id :latest}",
       """{:find [?name]
          :where [[?e :employee/name ?name]
                  [?e :employee/age ?age]]
@@ -431,7 +444,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("aggregation: multi-key :sort-by [?role ?name] (query_test.clj:401-409)") {
-    val rows = run(ages,
+    val rows = run(ages, "{:tx-id :latest}",
       """{:find [?role ?name]
          :where [[?e :employee/role ?role]
                  [?e :employee/name ?name]]
@@ -446,7 +459,7 @@ class ReferenceCorpusSpec extends SparkSpec {
 
   test("aggregation: distinct/mean/avg/median/mode/stddev (query_test.clj:410-435)") {
     def one(text: String): Row = {
-      val rows = run(ages, text).collect()
+      val rows = run(ages, "{:tx-id :latest}", text).collect()
       assert(rows.length === 1)
       rows(0)
     }
@@ -473,7 +486,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("aggregation: unknown aggregation is a structured error (query_test.clj:436-441)") {
-    val e = queryError(ages,
+    val e = queryError(ages, "{:tx-id :latest}",
       """{:find [(foo ?age)]
          :where [[_ :employee/age ?age]]}""")
     assert(e.code === "unknown-aggregation")
@@ -483,7 +496,7 @@ class ReferenceCorpusSpec extends SparkSpec {
 
   // ------------------------------- deftest binding-functions :449
 
-  private lazy val orders = Db(mkFacts(Seq(
+  private lazy val orders = mkFacts(Seq(
     s(1, "item/name", "Item 1", 0), l(1, "item/cost", 10, 0),
     s(2, "item/name", "Item 2", 0), l(2, "item/cost", 25, 0),
     s(3, "item/name", "Item 3", 0), l(3, "item/cost", 15, 0),
@@ -503,10 +516,10 @@ class ReferenceCorpusSpec extends SparkSpec {
     r(11, "line-item/order", 8, 0)),
     Map("item/name" -> "vstr", "item/cost" -> "vlong", "order/id" -> "vstr",
       "line-item/item" -> "vref", "line-item/quantity" -> "vlong",
-      "line-item/order" -> "vref")))
+      "line-item/order" -> "vref"))
 
   test("binding-functions: (* ?q ?cost) into a grouped sum (query_test.clj:482-491)") {
-    val totals = run(orders,
+    val totals = run(orders, "{:tx-id :latest}",
       """{:find [?order (sum ?line-item-cost)]
          :where [[?o :order/id ?order]
                  [?li :line-item/order ?o]
@@ -519,7 +532,7 @@ class ReferenceCorpusSpec extends SparkSpec {
   }
 
   test("binding-functions: structured errors — unbound fn arg, unknown function (query_test.clj:492-513)") {
-    val unbound = queryError(orders,
+    val unbound = queryError(orders, "{:tx-id :latest}",
       """{:find [?order (sum ?line-item-cost)]
          :where [[?o :order/id ?order]
                  [?li :line-item/order ?o]
@@ -531,7 +544,7 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(unbound.field === ("variable" -> "coost"))
     assert(unbound.getMessage === "Unbound variable coost")
 
-    val unknownFn = queryError(orders,
+    val unknownFn = queryError(orders, "{:tx-id :latest}",
       """{:find [?order (sum ?total)]
          :where [[?o :order/id ?order]
                  [?li :line-item/order ?o]
