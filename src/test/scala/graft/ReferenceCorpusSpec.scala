@@ -556,4 +556,61 @@ class ReferenceCorpusSpec extends SparkSpec {
     assert(unknownFn.field === ("function" -> "*foo"))
     assert(unknownFn.getMessage === "Unknown function *foo")
   }
+
+  // ------------------------------------- pull_test.clj behavioral :70
+
+  test("pull: the Alice/Bob/Carl nested fixture, pull-exp text verbatim (pull_test.clj:14-134)") {
+    // pull_test.clj exercises make-pull-query/parse-pull-rows
+    // INTERNALS (the generated sub-query AST and driver-side row
+    // reassembly) — implementation shapes graft deliberately does not
+    // mirror (SURVEY §3: pull is distributed joins + struct assembly,
+    // no driver reassembly). What carries over is the BEHAVIOR pinned
+    // by test-row-parsing's fixture: the same entities/attributes run
+    // through the same pull expression TEXT must assemble the same
+    // nested value, including the cardinality-many :friends vector and
+    // the one-level :status sub-map.
+    val facts = mkFacts(Seq(
+      s(2, "name", "Alice", 0), s(2, "favorite-color", "red", 0),
+      r(2, "status", 6, 0), r(2, "friends", 4, 0), r(2, "friends", 3, 0),
+      s(3, "name", "Bob", 0), s(3, "favorite-color", "green", 0),
+      s(4, "name", "Carl", 0), s(4, "favorite-color", "yellow", 0),
+      r(4, "status", 7, 0),
+      s(6, "text", "Feeling good", 0), s(7, "text", "Feeling bad", 0)),
+      Map("name" -> "vstr", "favorite-color" -> "vstr", "status" -> "vref",
+        "friends" -> "vref", "text" -> "vstr"),
+      cardMany = Set("friends"))
+
+    // the pull expression text verbatim (pull_test.clj:16-21); repeated
+    // attr names across levels force the reference's nested-map shape
+    val rows = run(facts, "{:tx-id :latest}",
+      """{:find [?e (pull ?e [:name
+                              :favorite-color
+                              {:status [:text]}
+                              {:friends [:name
+                                         :favorite-color
+                                         {:status [:text]}]}])]
+         :where [[?e :name ?n]]}""")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows.keySet === Set(2L, 3L, 4L))
+
+    // expected nested value for Alice (pull_test.clj:125-133)
+    val alice = rows(2L)
+    assert(alice.getString(0) === "Alice")
+    assert(alice.getString(1) === "red")
+    assert(alice.getStruct(2).getString(0) === "Feeling good")
+    // :friends is a vector; the reference's [Carl, Bob] order is its
+    // row-arrival order (no query guarantee) — compare as a set
+    val friends = alice.getSeq[Row](3).map { f =>
+      (f.getString(0), f.getString(1),
+        Option(f.getStruct(2)).map(_.getString(0)))
+    }.toSet
+    assert(friends === Set(
+      ("Carl", "yellow", Some("Feeling bad")),
+      ("Bob", "green", None)))
+
+    // non-root entities pull their own (shallower) shapes
+    assert(rows(3L).getString(0) === "Bob")
+    assert(rows(3L).isNullAt(2) && rows(3L).isNullAt(3))
+    assert(rows(4L).getStruct(2).getString(0) === "Feeling bad")
+  }
 }
