@@ -19,7 +19,8 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_spans", "dedup_containment",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
-    "text_quality", "text_tfidf", "text_collocations", "text_heavy_hitters",
+    "text_quality", "text_entropy", "text_tfidf", "text_collocations",
+    "text_heavy_hitters",
     "text_boilerplate",
     "text_bigram_lm", "sample_importance", "text_bpe_learn",
     "pipeline_pack", "pipeline_e2e",

@@ -273,6 +273,19 @@ object PipelineQueries {
 
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
 
+    // character-entropy gate (low entropy = repeated-char / templated
+    // junk): native codegen'd one-pass CharEntropy expression, map-only
+    // scan. Unlike the deflate gate this native expression IS
+    // cross-engine comparable — the code-point histogram matches the
+    // oracle's string_split(text, '') characters and both sides share
+    // the ln(n) - Σk·ln(k)/n formula + 6-decimal rounding; keep
+    // derives from the ROUNDED value so the boundary agrees
+    "text_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          round(graft.functions.CharEntropy.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .withColumn("keep", col("char_entropy") >= 2.6)),
+
     // gate-calibration sweep: docs/tokens surviving each candidate
     // quality cutoff 0.1..0.9 — 18 conditional aggregates fused into
     // ONE map-side-combinable scan, unpivoted by a map-only stack
@@ -866,6 +879,20 @@ object PipelineQueries {
       s"""SELECT doc_id, len($toksSql) AS ws_tokens,
                  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS re_tokens
           FROM documents""",
+    // same ln(n) - Σk·ln(k)/n shape as the native expression (not the
+    // algebraically-equal -Σp·ln(p)) so both engines sum the same
+    // float terms; keep compares the rounded value on both sides
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                     FROM documents),
+              cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+              tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n
+                      FROM cnt GROUP BY 1)
+         SELECT doc_id,
+                round(ln(n) - sum(k * ln(k)) / n, 6) AS char_entropy,
+                (round(ln(n) - sum(k * ln(k)) / n, 6) >= 2.6) AS keep
+         FROM cnt JOIN tot USING (doc_id)
+         GROUP BY doc_id, n""",
     "text_quality" ->
       s"""SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_word_len,
                  least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3

@@ -1173,6 +1173,33 @@ class GroundTruthSpec extends SparkSpec {
     assert(out(2L) > 3 * out(1L), s"prose ${out(2L)} vs junk ${out(1L)}")
   }
 
+  test("charEntropy: histogram entropy exact; junk separates; code points not UTF-16 units") {
+    import graft.functions.CharEntropy
+    import org.apache.spark.unsafe.types.UTF8String
+    val junk = "a" * 500                       // single symbol → 0 nats
+    val varied = "the quick brown fox jumps over the lazy dog"
+    // astral-plane chars are 2 UTF-16 units but ONE character to a
+    // string-splitting oracle — 𝕒𝕓 uniform over 2 symbols = ln 2
+    val astral = "𝕒𝕓"
+    val docs = Seq((1L, junk), (2L, varied), (3L, astral), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        CharEntropy.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the expression (codegen path) equals the scalar helper (eval path)
+    for ((id, t) <- Seq(1L -> junk, 2L -> varied, 3L -> astral, 4L -> ""))
+      assert(out(id) === CharEntropy.entropy(UTF8String.fromString(t)))
+    assert(out(1L) === 0.0)
+    assert(out(4L) === 0.0)
+    assert(math.abs(out(3L) - math.log(2.0)) < 1e-12, s"astral ${out(3L)}")
+    // hand-computed check: ln(n) - Σ k·ln(k) / n over the histogram
+    val counts = varied.groupBy(identity).map(_._2.length)
+    val expect = math.log(varied.length.toDouble) -
+      counts.map(k => k * math.log(k.toDouble)).sum / varied.length
+    assert(math.abs(out(2L) - expect) < 1e-12)
+    assert(out(2L) > 2.0, s"varied entropy ${out(2L)}")
+  }
+
   test("heavyHitters: MG retention guarantee on a skewed stream; exact output") {
     // two heavy tokens (30% and 20%) + a 1000-token distinct tail,
     // shuffled across many partitions — the sketch (k=8) must retain
