@@ -17,6 +17,7 @@ object Bench {
     "dl_join", "dl_agg", "dl_not", "dl_rule_rec", "dl_rule_mutual",
     "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans", "dedup_containment",
+    "dedup_edit",
     "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_entropy", "text_tfidf", "text_collocations",

@@ -88,6 +88,63 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** CHARACTER-level near-dup pairs: blocking + bounded Levenshtein
+    * verify — the edit-distance complement to the token-set signals
+    * (token Jaccard cannot see a doc whose every word carries a small
+    * typo; edit distance can). Classic record-linkage shape
+    * (blocking key → in-block compare):
+    *
+    *  - blocking key = (first `prefixLen` chars, length ÷ `lenBand`
+    *    band) — candidates are Σ|block|², never corpus²; an edit
+    *    inside the prefix or across a band boundary is the documented
+    *    recall trade every blocking scheme makes (run a second pass
+    *    with a shifted key to tighten recall);
+    *  - blocks larger than `maxBlock` are dropped before the
+    *    self-join — the same boilerplate cap as the shingle-df bound
+    *    (a templated 16-char prefix shared by a corpus fraction would
+    *    otherwise cost df² pairs; what the cap excludes is exactly
+    *    what [[graft.pipeline.TextAnalysis.boilerplate]]-style
+    *    reports account for);
+    *  - verify = levenshtein over the first `cmpLen` chars, via
+    *    Spark's bounded-threshold variant — O(maxLev·cmpLen) per
+    *    pair, not O(cmpLen²), and codegen'd;
+    *  - `edit_sim` = 1 - lev/max(|a|,|b|) over the compared prefixes,
+    *    kept when the ROUNDED value reaches `threshold` (the shared
+    *    oracle boundary discipline).
+    *
+    * Fully deterministic (no hashing), so the whole pipeline —
+    * blocking, cap, verify, rounding — is DuckDB-replicated
+    * value-for-value. */
+  def editDedup(docs: DataFrame, threshold: Double = 0.8,
+                prefixLen: Int = 16, lenBand: Int = 64,
+                cmpLen: Int = 256, maxBlock: Int = 256): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
+      floor(length(col("text")) / lenBand).cast("long").as("band"),
+      substring(col("text"), 1, cmpLen).as("cmp"))
+    // block-size cap rides a window over the SAME (pfx, band)
+    // partitioning the self-join shuffles on
+    val sized = d.withColumn("bc",
+      count(lit(1)).over(Window.partitionBy(col("pfx"), col("band"))))
+      .filter(col("bc") <= maxBlock).drop("bc")
+    // any pair passing `threshold` has lev <= (1-t)·cmpLen — the +1
+    // headroom keeps the early-exit bound from ever excluding a pair
+    // the rounded edit_sim filter would keep
+    val maxLev = math.ceil((1.0 - threshold) * cmpLen).toInt + 1
+    val pairs = sized.as("a").join(sized.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.cmp"), col("b.cmp"), maxLev).as("lev"),
+        greatest(length(col("a.cmp")), length(col("b.cmp"))).as("mx"))
+    pairs
+      .filter(col("lev") >= 0) // bounded variant marks > maxLev as -1
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        round(lit(1.0) - col("lev").cast("double") / col("mx"), 6)
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= threshold)
+  }
+
   /** EXACT all-pairs token-set Jaccard >= `threshold`, via prefix
     * filtering: order tokens by global rarity; if J(a,b) >= t the two
     * prefixes (first |s|-ceil(t*|s|)+1 rarest tokens) must intersect.

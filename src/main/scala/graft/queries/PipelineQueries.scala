@@ -176,6 +176,13 @@ object PipelineQueries {
 
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardFromToks(tokSidecar(s, dir), 0.8)),
 
+    // character-level near-dup pairs: (prefix, length-band) blocking +
+    // bounded-Levenshtein verify — the edit-distance complement to the
+    // token-set family; block cap = the boilerplate-df discipline; no
+    // hashing anywhere, so blocking + verify + rounding replicate in
+    // the oracle value-for-value
+    "dedup_edit" -> ((s, dir) => Dedup.editDedup(docs(s, dir))),
+
     "dedup_minhash" -> ((s, dir) => {
       val (sigs, k) = mhSidecar(s, dir)
       Dedup.minhashLshFromSigs(sigs, k = k, bands = 16, estThreshold = 0.8)
@@ -818,6 +825,27 @@ object PipelineQueries {
           FROM t a JOIN t b ON a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    // same blocking key, block cap, comparison prefix, and rounded
+    // boundary as editDedup — deterministic end to end
+    "dedup_edit" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 16) AS pfx,
+                           CAST(floor(length(text) / 64) AS BIGINT) AS band,
+                           substr(text, 1, 256) AS cmp
+                    FROM documents),
+              sized AS (SELECT *, count(*) OVER (PARTITION BY pfx, band) AS bc
+                        FROM d),
+              blk AS (SELECT * FROM sized WHERE bc <= 256),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       levenshtein(a.cmp, b.cmp) AS lev,
+                       greatest(length(a.cmp), length(b.cmp)) AS mx
+                FROM blk a JOIN blk b
+                  ON a.pfx = b.pfx AND a.band = b.band
+                 AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, lev,
+                round(1.0 - CAST(lev AS DOUBLE) / mx, 6) AS edit_sim
+         FROM pairs
+         WHERE round(1.0 - CAST(lev AS DOUBLE) / mx, 6) >= 0.8""",
     // the FULL simhash near-dup pipeline, value-for-value: md5-derived
     // 64-bit token hash (bit pattern of the first 16 md5 hex digits —
     // UBIGINT here, assembled big-endian byte-wise in HashUtil), per-bit

@@ -1173,6 +1173,29 @@ class GroundTruthSpec extends SparkSpec {
     assert(out(2L) > 3 * out(1L), s"prose ${out(2L)} vs junk ${out(1L)}")
   }
 
+  test("editDedup: typo'd copies pair up; blocking + block cap behave as documented") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val typo = base.updated(40, 'X').updated(90, 'Q')   // 2 edits past the prefix
+    val far = base.take(60) + (" unrelated suffix content entirely different " * 3)
+    val docs = Seq(
+      (1L, base), (2L, typo),                 // near-dup pair, same block
+      (3L, far),                              // same prefix, length band differs OR sim < t
+      (10L, "zzz " + base)                    // edit INSIDE the prefix → different block (documented recall trade)
+    ) ++ (100L until 400L).map(i => (i, "boilerplate header shared " + ("pad " * 20) + i))
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.editDedup(df, threshold = 0.8, maxBlock = 256)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // the typo'd copy is found, with the exact similarity value
+    assert(out.keySet === Set((1L, 2L)))
+    val expectSim = BigDecimal(1.0 - 2.0 / math.min(base.length, 256))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 2L)) === expectSim)
+    // 300 docs sharing a 16-char boilerplate prefix + band exceed the
+    // 256-block cap → dropped before the self-join, zero pairs from
+    // that block (the Σ|block|² guard); and the prefix-edited copy
+    // (10) lands in another block — blocking recall, not a bug
+  }
+
   test("charEntropy: histogram entropy exact; junk separates; code points not UTF-16 units") {
     import graft.functions.CharEntropy
     import org.apache.spark.unsafe.types.UTF8String
