@@ -801,6 +801,81 @@ object Similarity {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER mining criterion) — the training-data op that digs
+    * translation pairs out of a multilingual corpus for MT / contrastive
+    * fine-tuning. For each source-language doc x, its best
+    * cross-lingual neighbor y is scored by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+    *
+    * where avgK(·) is the mean cosine to the k nearest cross-lingual
+    * neighbors — a pair is mined when its similarity stands OUT of
+    * both local neighborhoods (margin ≥ `marginThresh`), which kills
+    * the hubness false positives a raw cosine cutoff admits. Emits one
+    * datasheet row per source doc (best target, cos, margin, mined
+    * flag) — the audit surface; filter on `mined` for the pair list.
+    *
+    * Shape: the scored relation is ONE pass (|X|·|Y| with `planes` =
+    * 0); forward top-k / backward top-k are rank windows over it (the
+    * forward ranking reuses the same shuffle as avgK(x)); everything
+    * after is k-sized per doc. All arithmetic is the shared md5 /
+    * IEEE-double surface, both rankings break ties on the ROUNDED
+    * cosine then id — so the exact path is DuckDB-replicated
+    * value-for-value.
+    *
+    * Scale path: `planes` > 0 signs both sides with SignLsh and
+    * restricts candidates to multi-probe ring buckets (the
+    * [[annTopKBatch]] discipline) — Σ|bucket|-bounded, never |X|·|Y|;
+    * neighborhood averages then run over the candidate set (the
+    * standard ANN-margin approximation; CCMatrix does exactly this
+    * over quantized indexes). Zero-norm embeddings (empty docs) are
+    * excluded up front — they have no direction, and both engines
+    * would otherwise emit NaN cosines. */
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+                 langCol: String, srcLang: String, k: Int = 4,
+                 marginThresh: Double = 1.05, planes: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dotFn = graft.functions.VectorExpressions.dot _
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(langCol).as("lang"))
+      .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
+      .filter(col("nrm") > 0)
+    val x = base.filter(col("lang") === srcLang)
+    val y = base.filter(col("lang") =!= srcLang)
+    val candidates =
+      if (planes <= 0) x.as("x").crossJoin(y.as("y"))
+      else {
+        // y indexed by its sign bucket; x probes its own bucket plus
+        // all 1-bit flips (multi-probe ring) — each y lives in ONE
+        // bucket and ring entries are distinct, so no pair dedup needed
+        val sig = graft.functions.VectorExpressions.signLsh(col("vec"), planes)
+        val yb = y.withColumn("bucket", sig)
+        val xs = x.withColumn("sig", sig)
+        val ring = array((col("sig") +: (0 until planes).map(b =>
+          col("sig").bitwiseXOR(lit(1L << b)))): _*)
+        xs.withColumn("bucket", explode(array_distinct(ring))).drop("sig")
+          .as("x").join(yb.as("y"), col("x.bucket") === col("y.bucket"))
+      }
+    val scored = candidates.select(
+      col("x.id").as("src_id"), col("y.id").as("tgt_id"),
+      col("y.lang").as("tgt_lang"),
+      round(dotFn(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 6)
+        .as("cos"))
+    val wf = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("tgt_id"))
+    val wb = Window.partitionBy(col("tgt_id")).orderBy(col("cos").desc, col("src_id"))
+    val fwd = scored.withColumn("rf", row_number().over(wf)).filter(col("rf") <= k)
+    val avgX = fwd.groupBy(col("src_id")).agg(avg(col("cos")).as("avg_x"))
+    val best = fwd.filter(col("rf") === 1).drop("rf")
+    val avgY = scored.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= k)
+      .groupBy(col("tgt_id")).agg(avg(col("cos")).as("avg_y"))
+    best.join(avgX, "src_id").join(avgY, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("tgt_lang"), col("cos"),
+        round(col("cos") / ((col("avg_x") + col("avg_y")) / 2), 6).as("margin"))
+      .withColumn("mined", col("margin") >= marginThresh)
+  }
+
   /** CONTRASTIVE PAIR MINING — the training-data op ahead of an
     * embedding-model fine-tune (E5/GTE-style): per anchor, one
     * POSITIVE (its nearest neighbor with cos ≥ posThresh) and up to

@@ -199,6 +199,18 @@ object PipelineQueries {
       Similarity.contrastivePairs(emb(s, dir), "vec_id", "vec",
         posThresh = 0.35, nHard = 3)), // planes sized by volume
 
+    // margin-based bitext mining (Artetxe & Schwenk ratio criterion)
+    // over the shared hashing-trick embeddings: per en doc the best
+    // cross-lingual neighbor, scored against BOTH local neighborhoods
+    // (k=4). Exact path (planes=0) → fully DuckDB-replicated; the
+    // SignLsh ring-bucket scale path is spec-pinned against it
+    "train_bitext" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val embd = TextAnalysis.hashEmbedding(d, dims = 64)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      Similarity.bitextMine(embd, "doc_id", "vec", "lang", srcLang = "en")
+    }),
+
     "dedup_embed" -> ((s, dir) => {
       // planes = 0 → auto-scaled with corpus size (SURVEY §2C scale
       // path); corpus from the vec_id-bucketed layout so the verify
@@ -1097,6 +1109,47 @@ object PipelineQueries {
                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
                FROM documents) t
          GROUP BY 1, 2""",
+    // the text_embed dense vectors re-assembled as lists; cosine via
+    // list_cosine_similarity (the sim_topk-certified parity surface);
+    // both rankings order by the ROUNDED cos then id, and margin /
+    // mined ride the rounded values — the shared boundary discipline
+    "train_bitext" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                      FROM documents),
+              cnt AS (SELECT doc_id,
+                             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS dim,
+                             CAST(count(*) AS DOUBLE) AS val
+                      FROM tok GROUP BY 1, 2),
+              dims AS (SELECT unnest(range(64)) AS dim),
+              dense AS (SELECT d.doc_id, dims.dim, coalesce(cnt.val, 0.0) AS val
+                        FROM (SELECT DISTINCT doc_id FROM documents) d
+                        CROSS JOIN dims
+                        LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = dims.dim),
+              emb AS (SELECT doc_id, list(val ORDER BY dim) AS v
+                      FROM dense GROUP BY 1),
+              base AS (SELECT e.doc_id, v, lang
+                       FROM emb e JOIN documents d ON d.doc_id = e.doc_id
+                       WHERE len(list_filter(v, z -> z <> 0)) > 0),
+              x AS (SELECT * FROM base WHERE lang = 'en'),
+              y AS (SELECT * FROM base WHERE lang <> 'en'),
+              scored AS (SELECT x.doc_id AS src_id, y.doc_id AS tgt_id,
+                                y.lang AS tgt_lang,
+                                round(list_cosine_similarity(x.v, y.v), 6) AS cos
+                         FROM x CROSS JOIN y),
+              fwd AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                                ORDER BY cos DESC, tgt_id) AS rf FROM scored),
+              ax AS (SELECT src_id, avg(cos) AS avg_x FROM fwd
+                     WHERE rf <= 4 GROUP BY 1),
+              ay AS (SELECT tgt_id, avg(cos) AS avg_y
+                     FROM (SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY cos DESC, src_id) AS rb FROM scored) b
+                     WHERE rb <= 4 GROUP BY 1),
+              best AS (SELECT src_id, tgt_id, tgt_lang, cos FROM fwd WHERE rf = 1)
+         SELECT best.src_id, best.tgt_id, best.tgt_lang, best.cos,
+                round(best.cos / ((avg_x + avg_y) / 2), 6) AS margin,
+                (round(best.cos / ((avg_x + avg_y) / 2), 6) >= 1.05) AS mined
+         FROM best JOIN ax USING (src_id) JOIN ay USING (tgt_id)""",
     // dense embedding = text_hashvec's sparse counts scattered over a
     // fixed 0..63 dim range (zeros explicit); same hash, same tokenizer
     "text_embed" ->

@@ -1173,6 +1173,41 @@ class GroundTruthSpec extends SparkSpec {
     assert(out(2L) > 3 * out(1L), s"prose ${out(2L)} vs junk ${out(1L)}")
   }
 
+  test("bitextMine: planted translation stands out by margin; bucketed path agrees on it") {
+    // axis-aligned embedding families: en doc 1 and de doc 101 are an
+    // exact "translation" (identical vectors); the remaining docs of
+    // each language point elsewhere, so the pair's cosine (1.0) towers
+    // over both local neighborhoods → large margin. en doc 2's best
+    // neighbor is only generically close (shared background mass) →
+    // margin ~1, not mined. Zero-vector doc 999 must vanish.
+    def v(hot: Int, w: Double = 1.0): Seq[Double] = {
+      val a = Array.fill(8)(0.1); a(hot) += w; a.toSeq
+    }
+    val emb = Seq(
+      (1L, v(0), "en"), (101L, v(0), "de"),          // the planted pair
+      (2L, v(1), "en"),                              // no aligned partner
+      (102L, v(2), "de"), (103L, v(3), "fr"), (104L, v(4), "de"),
+      (105L, v(5), "fr"), (106L, v(6), "de"),
+      (999L, Seq.fill(8)(0.0), "de")                 // zero norm → excluded
+    ).toDF("doc_id", "vec", "lang")
+    val out = Similarity.bitextMine(emb, "doc_id", "vec", "lang", "en", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val (tgt, cos, margin, mined) = out(1L)
+    assert(tgt === 101L && cos === 1.0 && mined, s"planted pair: ${out(1L)}")
+    assert(margin > 1.2, s"planted margin $margin")
+    assert(!out(2L)._4, s"unaligned doc mined: ${out(2L)}")
+    // the zero vector never appears as a target
+    assert(!out.values.exists(_._1 == 999L))
+    // scale path: identical vectors share every sign bucket, so the
+    // bucketed candidates must rediscover the planted pair and mine it
+    val bucketed = Similarity.bitextMine(emb, "doc_id", "vec", "lang", "en",
+        k = 3, planes = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(5))).toMap
+    assert(bucketed(1L) === (101L, true))
+  }
+
   test("editDedup: typo'd copies pair up; blocking + block cap behave as documented") {
     val base = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
     val typo = base.updated(40, 'X').updated(90, 'Q')   // 2 edits past the prefix
