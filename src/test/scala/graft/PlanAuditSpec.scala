@@ -80,6 +80,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
   }
 
+  test("text_entropy: shuffle-free map-only scan; native expression inside codegen") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+    assert(p.contains("graft_char_entropy"), s"expected the native expression:\n$p")
+    // codegen'd stages render with the `*(n)` star in toString
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("dedup_edit: blocked self-join — no cartesian; bounded levenshtein after the join") {
+    val p = plan("dedup_edit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"blocking key must drive an equi-join:\n$p")
+    assert(p.toLowerCase.contains("levenshtein"), s"expected levenshtein verify:\n$p")
+  }
+
+  test("train_bitext: both rank windows get the map-side WindowGroupLimit") {
+    // |X|·|Y| scored rows: the forward/backward top-k must prune
+    // map-side (WindowGroupLimit) so only ~k rows per key reach the
+    // rank shuffles — the difference between shuffling k·|X| and
+    // shuffling the whole scored relation
+    val p = plan("train_bitext")
+    assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
+  }
+
   test("dl_join: pattern scans prune to attribute dirs over the bucketed static log") {
     val p = SparkEntry.queries("dl_join")(spark, sf)
       .queryExecution.executedPlan.toString
