@@ -43,6 +43,32 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** SOFT dedup — frequency-based DOWN-WEIGHTING instead of dropping
+    * (the SoftDeDup discipline, Xue et al. 2024; also the D4 paper's
+    * observation that some duplication is informative): every doc
+    * survives, but its sampling weight is 1/|cluster| over its exact
+    * content-hash cluster, so a text duplicated k times contributes one
+    * doc-equivalent of expected training mass. Emits the per-doc
+    * datasheet a weighted-sampling trainer consumes: cluster size,
+    * weight, and the weighted (effective) token count.
+    *
+    * Scale: same single hash-shuffle as [[exact]]; the cluster-size
+    * relation is grouped on the SAME key the rejoin uses, so the plan
+    * reuses one exchange of the corpus (AQE stage reuse) rather than
+    * shuffling it twice. No driver state, no window. */
+  def softDedup(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      contentHash(col("text")).as("text_hash"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val sizes = hashed.groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("cluster_size"))
+    hashed.join(sizes, Seq("text_hash"))
+      .select(col("doc_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+        round(col("n_tokens") / col("cluster_size").cast("double"), 6)
+          .as("effective_tokens"))
+  }
+
   /** Incremental snapshot-vs-corpus exact dedup — the production step
     * that dedups a NEW crawl snapshot against the EXISTING (already
     * deduped) corpus without reprocessing the corpus: survivors are the

@@ -1347,4 +1347,175 @@ object TextAnalysis {
     driftShares(driftPerRow(docs)
       .groupBy(col("source"))
       .agg(driftAggCols.head, driftAggCols.tail: _*))
+
+  /** The Gopher "must contain ≥2 of these" stopword set (Rae et al.
+    * 2021 §A1.1) — membership of TYPES, not token frequency, which is
+    * what distinguishes this rule from the stop_ratio in [[quality]]. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER-style rule gates — the published rule-based curation
+    * filter (Rae et al. 2021 §A1.1) as a per-doc datasheet: each rule's
+    * measured statistic, its boolean verdict, and the conjunction.
+    * Word-count bounds default to 30..90 (the paper's 50..100k is
+    * calibrated to web pages; this corpus' docs span 10..99 words — a
+    * bound outside the support would make the rule constant), the
+    * other thresholds are the paper's. Rules over LINES (bullet/
+    * ellipsis line ratios) are omitted: this corpus has no newlines.
+    *
+    * Scale: map-only, one pass, no shuffle — mean word length is
+    * derived from two codegen'd lengths (non-space chars / words)
+    * rather than a per-token higher-order fold, so the whole gate
+    * stays inside whole-stage codegen except the two bounded
+    * array-membership filters. */
+  def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 90,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val toksArr = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(toksArr).cast("long")
+    val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nWords
+    val symbols = size(regexp_extract_all(col("text"),
+      lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
+    val alphaWords = size(filter(toksArr, t => t.rlike("[a-z]"))).cast("double")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*), w => array_contains(toksArr, w)))
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(symbols / nWords, 6).as("symbol_ratio"),
+        round(alphaWords / nWords, 6).as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("r_wordcount",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wordlen",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_symbol", col("symbol_ratio") < maxSymbolRatio)
+      .withColumn("r_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("r_stop", col("stop_hits") >= minStopHits)
+      .withColumn("pass", col("r_wordcount") && col("r_wordlen") &&
+        col("r_symbol") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** ZIPF rank–frequency fit over the corpus head — the one-row corpus
+    * health statistic (natural language sits near slope −1; template
+    * spam and boilerplate-heavy crawls flatten or steepen it): least
+    * squares of ln(freq) on ln(rank) over the top-`topRanks` terms,
+    * with slope, intercept and r².
+    *
+    * Determinism discipline: logs are QUANTIZED to 1e-4 and the whole
+    * normal-equation arithmetic runs on exact BIGINT-valued sums (every
+    * intermediate < 2^53, so double accumulation is order-independent
+    * and DuckDB needs no HUGEINT) — the audited double-sum divergence
+    * class cannot occur.
+    *
+    * Scale: one term-count shuffle (map-side combinable), then the
+    * top-R head via distributed TakeOrdered (orderBy+limit with the
+    * term tie-break — NOT a global row_number window, which would
+    * serialize a 100 TB vocabulary through one reducer); the rank
+    * window runs over the R-row head only. */
+  def zipfFit(docs: DataFrame, topRanks: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val head = tf.orderBy(col("freq").desc, col("tok").asc).limit(topRanks)
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
+    val xi = round(log(col("rank").cast("double")) * 1e4, 0).cast("long")
+    val yi = round(log(col("freq").cast("double")) * 1e4, 0).cast("long")
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(xi).as("sx"), sum(yi).as("sy"), sum(xi * yi).as("sxy"),
+      sum(xi * xi).as("sxx"), sum(yi * yi).as("syy"))
+    // normal-equation deltas in LONG — n·Σyy can pass 2^53 at large SF,
+    // where double accumulation would diverge between engines; the
+    // int64 range (9.2e18) holds to freq ~1e12 — then cast the three
+    // exact deltas to double for the final divisions.
+    // Back out the 1e4 quantization: slope is scale-free, intercept /1e4.
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    s.select(col("n").as("n_terms"),
+      round(dxy / dxx, 6).as("zipf_slope"),
+      round((col("sy").cast("double") - (dxy / dxx) * col("sx").cast("double"))
+        / col("n").cast("double") / 1e4, 6).as("intercept"),
+      round(dxy * dxy / (dxx * dyy), 6).as("r2"))
+  }
+
+  /** STUPID-BACKOFF trigram LM scoring (Brants et al. 2007 — THE
+    * web-scale LM smoothing: no discount estimation, just a fixed 0.4
+    * backoff factor, designed for exactly this kind of distributed
+    * count infrastructure): per doc, the mean ln S(w|u,v) over its
+    * trigram positions, where counts come from a held-out TRAIN
+    * partition (`trainPred` sources) so unseen trigrams genuinely back
+    * off — scoring a corpus against its own counts never would.
+    * S = c(uvw)/c(uv), else 0.4·c(vw)/c(v), else 0.4²·c(w)/N, else
+    * a 0.4³/N unseen-word floor.
+    *
+    * Scale: counts reduce map-side-combinably to vocabulary-sized
+    * relations; each DISTINCT scored trigram is scored ONCE against
+    * those relations (vocab-sized joins), and the corpus-sized
+    * position stream takes exactly ONE shuffle join against the
+    * scored-trigram relation, then the per-doc mean. Nothing is ever
+    * joined at corpus×vocab grain. */
+  def trigramStupidBackoff(docs: DataFrame,
+                           trainPred: Column = col("source")
+                             .isin("src0", "src1", "src2", "src3")): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    def triPositions(d: DataFrame): DataFrame = {
+      val tk = col("tk")
+      d.select(col("doc_id"), toks.as("tk"))
+        .filter(size(tk) >= 3)
+        .select(col("doc_id"), explode(zip_with(
+          zip_with(slice(tk, lit(1), size(tk) - 2), slice(tk, lit(2), size(tk) - 2),
+            (x, y) => struct(x.as("u"), y.as("v"))),
+          slice(tk, lit(3), size(tk) - 2),
+          (p, z) => struct(p.getField("u").as("u"),
+            p.getField("v").as("v"), z.as("w")))).as("t"))
+        .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"),
+          col("t.w").as("w"))
+    }
+    def biPairs(d: DataFrame): DataFrame = {
+      val tk = col("tk")
+      d.select(toks.as("tk")).filter(size(tk) >= 2)
+        .select(explode(zip_with(
+          slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (x, y) => struct(x.as("v"), y.as("w")))).as("p"))
+        .select(col("p.v").as("bv"), col("p.w").as("bw"))
+    }
+    val train = docs.filter(trainPred)
+    val triC = triPositions(train).groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c3"))
+    val biC = biPairs(train).groupBy(col("bv"), col("bw"))
+      .agg(count(lit(1)).as("c2"))
+    val uniC = train.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = train.select(explode(toks).as("tok"))
+      .agg(count(lit(1)).as("nn"))
+    val pos = triPositions(docs)
+    // score each DISTINCT trigram once — all joins here are vocab-sized
+    val scored = pos.select(col("u"), col("v"), col("w")).distinct()
+      .join(triC, Seq("u", "v", "w"), "left")
+      .join(biC.select(col("bv").as("u"), col("bw").as("v"),
+        col("c2").as("cuv")), Seq("u", "v"), "left")
+      .join(biC.select(col("bv").as("v"), col("bw").as("w"),
+        col("c2").as("cvw")), Seq("v", "w"), "left")
+      .join(uniC.select(col("tok").as("v"), col("c1").as("cv")),
+        Seq("v"), "left")
+      .join(uniC.select(col("tok").as("w"), col("c1").as("cw")),
+        Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("u"), col("v"), col("w"),
+        when(col("c3").isNotNull,
+            log(col("c3").cast("double") / col("cuv")))
+          .when(col("cvw").isNotNull,
+            log(lit(0.4) * col("cvw") / col("cv")))
+          .when(col("cw").isNotNull,
+            log(lit(0.16) * col("cw") / col("nn")))
+          .otherwise(log(lit(0.064) / col("nn"))).as("s"))
+    pos.join(scored, Seq("u", "v", "w"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("s")), 6).as("mean_sb_logscore"),
+        count(lit(1)).as("n_positions"))
+  }
 }

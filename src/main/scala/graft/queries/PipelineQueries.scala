@@ -467,6 +467,27 @@ object PipelineQueries {
     // relation (no second corpus pass)
     "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // Stupid-Backoff TRIGRAM LM (Brants et al. 2007): counts from a
+    // held-out train partition so backoff genuinely fires; each
+    // distinct trigram scored once against vocab-sized count
+    // relations, ONE corpus-sized position join
+    "text_trigram_lm" -> ((s, dir) =>
+      TextAnalysis.trigramStupidBackoff(docs(s, dir))),
+
+    // Gopher rule gates (Rae et al. 2021): per-doc rule datasheet,
+    // map-only single pass
+    "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
+
+    // Zipf rank-frequency fit over the top-1000 terms: corpus health
+    // one-rower; quantized-log integer normal equations (exact under
+    // any accumulation order), top-R head via TakeOrdered not a
+    // global window
+    "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir))),
+
+    // SOFT dedup: every doc kept, weight 1/|exact-hash cluster| —
+    // the down-weighting alternative to dropping; one hash shuffle
+    "dedup_soft" -> ((s, dir) => Dedup.softDedup(docs(s, dir))),
+
     // DSIR importance weights (hashed-unigram bucket multinomials,
     // target vs raw): the data-SELECTION step before a training run —
     // fixed-size (1024-bucket) distribution tables regardless of corpus
@@ -1459,6 +1480,123 @@ object PipelineQueries {
                 round(avg(ln((c_vw + 1.0) / (c_v + vsz))), 6) AS mean_bigram_logprob
          FROM bi JOIN cnt USING (v, w) JOIN ctx USING (v), vocab
          GROUP BY 1""",
+    // Stupid-Backoff trigram scoring: counts from the src0-3 train
+    // split; CASE arms mirror the Spark when-chain exactly (c3 present
+    // implies its (u,v) context was counted, so no division by NULL)
+    "text_trigram_lm" ->
+      """WITH t AS (SELECT doc_id, source,
+                           string_split_regex(lower(trim(text)), '\s+') AS tk
+                    FROM documents),
+              pos AS (SELECT doc_id, tk[i] AS u, tk[i + 1] AS v, tk[i + 2] AS w
+                      FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                            FROM t WHERE len(tk) >= 3) x),
+              train AS (SELECT tk FROM t WHERE source IN ('src0','src1','src2','src3')),
+              tri_c AS (SELECT tk[i] AS u, tk[i + 1] AS v, tk[i + 2] AS w,
+                               count(*) AS c3
+                        FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i
+                              FROM train WHERE len(tk) >= 3) x GROUP BY 1, 2, 3),
+              bi_c AS (SELECT tk[i] AS bv, tk[i + 1] AS bw, count(*) AS c2
+                       FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                             FROM train WHERE len(tk) >= 2) x GROUP BY 1, 2),
+              uni_c AS (SELECT tok, count(*) AS c1
+                        FROM (SELECT unnest(tk) AS tok FROM train) u GROUP BY 1),
+              tot AS (SELECT count(*) AS nn
+                      FROM (SELECT unnest(tk) AS tok FROM train) u),
+              sc AS (SELECT g.u, g.v, g.w,
+                            CASE WHEN c3 IS NOT NULL
+                                   THEN ln(CAST(c3 AS DOUBLE) / cuv)
+                                 WHEN cvw IS NOT NULL
+                                   THEN ln(CAST(0.4 AS DOUBLE) * cvw / cv)
+                                 WHEN cw IS NOT NULL
+                                   THEN ln(CAST(0.16 AS DOUBLE) * cw / nn)
+                                 ELSE ln(CAST(0.064 AS DOUBLE) / nn) END AS s
+                     FROM (SELECT DISTINCT u, v, w FROM pos) g
+                     LEFT JOIN tri_c USING (u, v, w)
+                     LEFT JOIN (SELECT bv AS u, bw AS v, c2 AS cuv FROM bi_c) b1
+                       USING (u, v)
+                     LEFT JOIN (SELECT bv AS v, bw AS w, c2 AS cvw FROM bi_c) b2
+                       USING (v, w)
+                     LEFT JOIN (SELECT tok AS v, c1 AS cv FROM uni_c) u1 USING (v)
+                     LEFT JOIN (SELECT tok AS w, c1 AS cw FROM uni_c) u2 USING (w)
+                     CROSS JOIN tot)
+         SELECT doc_id, round(avg(s), 6) AS mean_sb_logscore,
+                count(*) AS n_positions
+         FROM pos JOIN sc USING (u, v, w)
+         GROUP BY 1""",
+    // Gopher rule gates: statistics + per-rule verdicts, thresholds
+    // inlined (30..90 words, 3..10 mean length, symbol<0.1, alpha>=0.8,
+    // >=2 stopword types present)
+    "text_gopher" ->
+      """WITH g AS (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\s+') AS tk,
+                           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+                           len(regexp_replace(text, '\s+', '', 'g')) AS n_alpha_chars,
+                           len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+                    FROM documents),
+              m AS (SELECT doc_id, n_words,
+                           round(CAST(n_alpha_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+                           round(CAST(n_sym AS DOUBLE) / n_words, 6) AS symbol_ratio,
+                           round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n_words, 6) AS alpha_frac,
+                           (CAST(list_contains(tk, 'the') AS INT) + CAST(list_contains(tk, 'be') AS INT)
+                            + CAST(list_contains(tk, 'to') AS INT) + CAST(list_contains(tk, 'of') AS INT)
+                            + CAST(list_contains(tk, 'and') AS INT) + CAST(list_contains(tk, 'that') AS INT)
+                            + CAST(list_contains(tk, 'have') AS INT) + CAST(list_contains(tk, 'with') AS INT)) AS stop_hits
+                    FROM g)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+                stop_hits,
+                n_words >= 30 AND n_words <= 90 AS r_wordcount,
+                mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_wordlen,
+                symbol_ratio < 0.1 AS r_symbol,
+                alpha_frac >= 0.8 AS r_alpha,
+                stop_hits >= 2 AS r_stop,
+                (n_words >= 30 AND n_words <= 90)
+                  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                  AND symbol_ratio < 0.1 AND alpha_frac >= 0.8
+                  AND stop_hits >= 2 AS pass
+         FROM m""",
+    // Zipf fit: quantized-log (1e-4) integer normal equations — every
+    // sum BIGINT-cast (the audited HUGEINT class), deltas computed in
+    // BIGINT then cast, so both engines do identical exact arithmetic
+    "text_zipf" ->
+      """WITH tf AS (SELECT tok, count(*) AS freq
+                     FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                           FROM documents) u GROUP BY 1),
+              head AS (SELECT tok, freq FROM tf ORDER BY freq DESC, tok ASC LIMIT 1000),
+              ranked AS (SELECT freq,
+                                row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+                         FROM head),
+              q AS (SELECT CAST(round(ln(rank) * 10000) AS BIGINT) AS xi,
+                           CAST(round(ln(freq) * 10000) AS BIGINT) AS yi
+                    FROM ranked),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+                           CAST(sum(xi * yi) AS BIGINT) AS sxy,
+                           CAST(sum(xi * xi) AS BIGINT) AS sxx,
+                           CAST(sum(yi * yi) AS BIGINT) AS syy
+                    FROM q),
+              d AS (SELECT n, sx, sy,
+                           CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+                           CAST(n * syy - sy * sy AS DOUBLE) AS dyy,
+                           CAST(n * sxy - sx * sy AS DOUBLE) AS dxy
+                    FROM s)
+         SELECT n AS n_terms,
+                round(dxy / dxx, 6) AS zipf_slope,
+                round((CAST(sy AS DOUBLE) - (dxy / dxx) * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / CAST(10000.0 AS DOUBLE), 6) AS intercept,
+                round(dxy * dxy / (dxx * dyy), 6) AS r2
+         FROM d""",
+    // soft dedup: weight 1/|exact-hash cluster|, same normalization as
+    // dedup_exact
+    "dedup_soft" ->
+      """WITH h AS (SELECT doc_id,
+                           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+              c AS (SELECT text_hash, count(*) AS cluster_size FROM h GROUP BY 1)
+         SELECT doc_id, cluster_size,
+                round(CAST(1.0 AS DOUBLE) / cluster_size, 6) AS weight,
+                round(n_tokens / CAST(cluster_size AS DOUBLE), 6) AS effective_tokens
+         FROM h JOIN c USING (text_hash)""",
     // add-1-smoothed hashed-unigram multinomials; every integer SUM
     // cast to BIGINT (the audited HUGEINT class); keep derives from the
     // ROUNDED weight so the boundary agrees across engines

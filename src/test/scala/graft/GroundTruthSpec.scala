@@ -1336,4 +1336,98 @@ class GroundTruthSpec extends SparkSpec {
       assert(math.abs(viaDf(n) - r) < 1e-6, s"node $n: df=${viaDf(n)} graphx=$r")
     }
   }
+
+  test("gopherRules: each rule trips on exactly its planted violator") {
+    val good = (Seq("the", "be", "of") ++ Seq.fill(37)("word")).mkString(" ")
+    val docs = Seq(
+      1L -> good,                                   // passes all rules
+      2L -> Seq.fill(5)("the be word").mkString(" "),   // 15 words: r_wordcount
+      3L -> (Seq("the", "be") ++ Seq.fill(38)("ab")).mkString(" "), // mean len 2.1: r_wordlen
+      4L -> (Seq("the", "be") ++ Seq.fill(18)("word") ++
+        Seq.fill(20)("...")).mkString(" "),             // symbols: r_symbol (+r_alpha)
+      5L -> (Seq("the", "be") ++ Seq.fill(18)("word") ++
+        Seq.fill(20)("123")).mkString(" "),             // digits: r_alpha only
+      6L -> Seq.fill(40)("word").mkString(" ")          // no stopword types: r_stop
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_wordcount"), r.getAs[Boolean]("r_wordlen"),
+         r.getAs[Boolean]("r_symbol"), r.getAs[Boolean]("r_alpha"),
+         r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("pass"))).toMap
+    assert(out(1L) === ((true, true, true, true, true, true)))
+    assert(out(2L)._1 === false && out(2L)._6 === false)
+    assert(out(3L)._2 === false && out(3L)._1 === true)
+    assert(out(4L)._3 === false)
+    assert(out(5L)._3 === true && out(5L)._4 === false)
+    assert(out(6L)._5 === false && out(6L)._4 === true)
+    // stop_hits counts TYPES present, not token frequency
+    val hits = TextAnalysis.gopherRules(docs).filter(col("doc_id") === 2L)
+      .head().getAs[Int]("stop_hits")
+    assert(hits === 2) // 'the' and 'be' each appear 5x but count once
+  }
+
+  test("zipfFit: an exact power law recovers its slope; r2 ~ 1") {
+    // plant freq(rank) = round(1e6 * rank^-0.8) for ranks 1..200 using
+    // distinct single-token docs — the fit must recover -0.8 on the
+    // quantized-log normal equations (quantization error ~1e-4)
+    val rows = (1 to 200).flatMap { r =>
+      val freq = math.round(1e6 * math.pow(r.toDouble, -0.8)).toInt
+      Seq.fill(freq)(s"tok${"%04d".format(r)}")
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    val docs = rows.toDF("doc_id", "text").repartition(8)
+    val out = TextAnalysis.zipfFit(docs, topRanks = 200).head()
+    assert(out.getAs[Long]("n_terms") === 200L)
+    val slope = out.getAs[Double]("zipf_slope")
+    val r2 = out.getAs[Double]("r2")
+    assert(math.abs(slope - (-0.8)) < 1e-3, s"slope $slope")
+    assert(r2 > 0.999999, s"r2 $r2")
+  }
+
+  test("trigramStupidBackoff: exact trigram beats backoff beats unseen floor") {
+    // train docs (src0) establish counts; scored docs exercise each arm:
+    //  - d10 repeats a train trigram  -> c3 path, S = c(uvw)/c(uv)
+    //  - d11 has an unseen trigram whose (v,w) bigram IS in train
+    //     ("x b c": (b,c) seen)       -> 0.4 bigram backoff
+    //  - d12 unseen trigram + unseen bigram, last word in vocab
+    //     ("y x a": only 'a' known)   -> 0.4^2 unigram backoff
+    //  - d13 wholly unseen words      -> 0.4^3/N floor
+    val docs = Seq(
+      (1L, "a b c a b c", "src0"),
+      (10L, "a b c", "src9"),
+      (11L, "x b c", "src9"),
+      (12L, "y x a", "src9"),
+      (13L, "q r s", "src9")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.trigramStupidBackoff(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_sb_logscore")).toMap
+    // train tokens: a b c a b c -> N=6; trigrams: abc(2) bca(1) cab(1);
+    // bigrams: ab(2) bc(2) ca(1); unigrams: a2 b2 c2
+    val eps = 1e-6
+    assert(math.abs(out(10L) - math.log(2.0 / 2.0)) < eps)        // c3/cuv = 1
+    assert(math.abs(out(11L) - math.log(0.4 * 2.0 / 2.0)) < eps)  // 0.4*c(bc)/c(b)
+    assert(math.abs(out(12L) - math.log(0.16 * 2.0 / 6.0)) < eps) // 0.16*c(a)/N
+    assert(math.abs(out(13L) - math.log(0.064 / 6.0)) < eps)      // floor
+    // ordering: direct evidence > bigram backoff > unigram > floor
+    assert(out(10L) > out(11L) && out(11L) > out(12L) && out(12L) > out(13L))
+  }
+
+  test("softDedup: weights are 1/cluster and total mass is one doc per distinct text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "ALPHA   beta gamma"),          // normalizes into cluster 1
+      (4L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"),
+         r.getAs[Double]("effective_tokens"))).toMap
+    assert(out(1L) === ((3L, 0.333333, 1.0)))
+    assert(out(2L) === ((3L, 0.333333, 1.0)))
+    assert(out(3L) === ((3L, 0.333333, 1.0)))
+    assert(out(4L) === ((1L, 1.0, 2.0)))
+    // expected (weighted) doc mass == number of DISTINCT texts
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 2.0) < 2e-6) // 3x 0.333333 + 1.0, rounding
+  }
 }
