@@ -23,7 +23,8 @@ object Bench {
     "text_quality", "text_entropy", "text_tfidf", "text_collocations",
     "text_heavy_hitters",
     "text_boilerplate",
-    "text_bigram_lm", "sample_importance", "text_bpe_learn", "train_bitext",
+    "text_bigram_lm", "text_trigram_lm", "text_gopher", "text_zipf",
+    "dedup_soft", "sample_importance", "text_bpe_learn", "train_bitext",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",
     "graph_kcore", "graph_temporal", "graph_lpa", "graph_jaccard")

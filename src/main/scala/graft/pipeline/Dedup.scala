@@ -52,17 +52,18 @@ object Dedup {
     * datasheet a weighted-sampling trainer consumes: cluster size,
     * weight, and the weighted (effective) token count.
     *
-    * Scale: same single hash-shuffle as [[exact]]; the cluster-size
-    * relation is grouped on the SAME key the rejoin uses, so the plan
-    * reuses one exchange of the corpus (AQE stage reuse) rather than
-    * shuffling it twice. No driver state, no window. */
+    * Scale: ONE corpus scan and ONE hash-shuffle — cluster size is a
+    * count window over partitionBy(text_hash), the same single-exchange
+    * discipline as [[exact]]'s keep-min-id; a groupBy+rejoin shape
+    * would scan and shuffle the corpus twice (the two scans project
+    * different columns, so AQE cannot reuse the exchange). Plan-pinned
+    * in PlanAuditSpec. */
   def softDedup(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"),
       contentHash(col("text")).as("text_hash"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val sizes = hashed.groupBy(col("text_hash"))
-      .agg(count(lit(1)).as("cluster_size"))
-    hashed.join(sizes, Seq("text_hash"))
+    val w = Window.partitionBy(col("text_hash"))
+    hashed.withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size"), 6).as("weight"),
         round(col("n_tokens") / col("cluster_size").cast("double"), 6)

@@ -1363,24 +1363,30 @@ object TextAnalysis {
     * other thresholds are the paper's. Rules over LINES (bullet/
     * ellipsis line ratios) are omitted: this corpus has no newlines.
     *
-    * Scale: map-only, one pass, no shuffle — mean word length is
-    * derived from two codegen'd lengths (non-space chars / words)
-    * rather than a per-token higher-order fold, so the whole gate
-    * stays inside whole-stage codegen except the two bounded
-    * array-membership filters. */
+    * Scale: map-only, one pass, no shuffle — and every metric is a
+    * plain regexp/length expression, NOT a higher-order array function:
+    * an interpreted lambda (filter/transform) splits the projection out
+    * of whole-stage codegen AND defeats subexpression elimination, so
+    * the tokenizing split would re-run once per metric per row. The
+    * regex forms keep the entire gate one codegen'd projection
+    * (plan-pinned in PlanAuditSpec). Word membership as a regex:
+    * `(^|\s)w(\s|$)` over the normalized text is exactly array
+    * membership of a \s+-split token. */
   def gopherRules(docs: DataFrame, minWords: Int = 30, maxWords: Int = 90,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
                   minStopHits: Int = 2): DataFrame = {
-    val toksArr = split(lower(trim(col("text"))), "\\s+")
-    val nWords = size(toksArr).cast("long")
+    val norm = lower(trim(col("text")))
+    val nWords = size(split(norm, "\\s+")).cast("long")
     val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
       .cast("double") / nWords
     val symbols = size(regexp_extract_all(col("text"),
       lit("#|\\.\\.\\.|…"), lit(0))).cast("double")
-    val alphaWords = size(filter(toksArr, t => t.rlike("[a-z]"))).cast("double")
-    val stopHits = size(filter(
-      array(GopherStopwords.map(lit): _*), w => array_contains(toksArr, w)))
+    val alphaWords = size(regexp_extract_all(norm,
+      lit("(^|\\s)\\S*[a-z]\\S*"), lit(0))).cast("double")
+    val stopHits = GopherStopwords
+      .map(w => when(norm.rlike("(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0))
+      .reduce(_ + _)
     docs.select(col("doc_id"), nWords.as("n_words"),
         round(meanLen, 6).as("mean_word_len"),
         round(symbols / nWords, 6).as("symbol_ratio"),

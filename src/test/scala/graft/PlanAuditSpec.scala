@@ -584,4 +584,46 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_retention")
     assert(!p.contains("Window"), s"expected no window:\n$p")
   }
+
+  test("text_gopher: shuffle-free map-only gate inside codegen") {
+    val p = plan("text_gopher")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("text_zipf: head via TakeOrdered, not a global vocab window") {
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed TakeOrdered for the top-R head:\n$p")
+    // the only corpus-sized exchange is the term-count shuffle; the
+    // rank window runs over the R-row head (post-limit), never the
+    // full vocabulary
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"expected one corpus-sized exchange (term count):\n$p")
+  }
+
+  test("dedup_soft: one corpus scan, one hash exchange, sizes via window") {
+    // the groupBy+rejoin alternative scans and shuffles the corpus
+    // twice (different projections, no AQE reuse) — the count window
+    // shares the single text_hash exchange with the output
+    val p = plan("dedup_soft")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size === 1,
+      s"expected one corpus scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(p.contains("Window"), s"expected the count window:\n$p")
+  }
+
+  test("text_trigram_lm: equi-joins only; scored-once trigram relation reuses the position exchange") {
+    val df = PipelineQueries.queries("text_trigram_lm")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"),
+      s"n-gram count joins must be equi-joins:\n$finalSection")
+    // the corpus position stream shuffles on (u,v,w) once: the
+    // distinct-scoring branch and the final join share the exchange
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected position-stream exchange reuse:\n$finalSection")
+  }
 }
