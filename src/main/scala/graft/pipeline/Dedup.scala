@@ -70,6 +70,24 @@ object Dedup {
           .as("effective_tokens"))
   }
 
+  /** Duplication-multiplicity DATASHEET — the corpus-level accounting
+    * view of [[exact]]: for each exact-hash cluster size k, how many
+    * clusters, how many docs they hold, and how many docs full dedup
+    * would remove (k−1 per cluster). The one-glance answer to "how
+    * duplicated is this crawl" before any removal runs. Scale: the
+    * hash reduce is [[exact]]'s shuffle; the k-histogram reduces over
+    * the cluster relation (≤ distinct-content size) to at most
+    * |distinct k| rows — both map-side combinable. */
+  def dupStats(docs: DataFrame): DataFrame =
+    docs.select(contentHash(col("text")).as("text_hash"))
+      .groupBy(col("text_hash")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k")).agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("k") - 1).as("n_removable"))
+      .select(col("k").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_removable"))
+
   /** Incremental snapshot-vs-corpus exact dedup — the production step
     * that dedups a NEW crawl snapshot against the EXISTING (already
     * deduped) corpus without reprocessing the corpus: survivors are the

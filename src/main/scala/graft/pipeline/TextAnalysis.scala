@@ -525,6 +525,35 @@ object TextAnalysis {
         explode(array_distinct(shingleHashCol(col("toks"), n))).as("sh"))
   }
 
+  /** NOVELTY scoring — the curriculum/ordering signal: per doc, the
+    * fraction of its distinct n-token shingles whose corpus-wide FIRST
+    * occurrence (min doc_id — deterministic, the ingestion order
+    * surrogate) is this doc. A crawl snapshot full of already-seen
+    * n-grams scores ~0 and adds little; novelty ~1 is genuinely new
+    * text. The aggregate complement of [[Dedup.duplicatedSpans]]'s
+    * per-span view. Docs shorter than n tokens are omitted (no
+    * shingle evidence).
+    *
+    * Scale: first-occurrence is a min window over partitionBy(sh) on
+    * the per-doc distinct (doc_id, sh) stream — ONE corpus shingle
+    * explode and ONE sh exchange, then the doc_id reduce. The
+    * groupBy(sh)+rejoin formulation explodes the corpus twice and (at
+    * scale, where the distinct-shingle relation cannot broadcast)
+    * shuffles it twice more for the SMJ. Plan-pinned. */
+  def noveltyScore(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = shingleHashes(docs, n)
+    ds.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles").cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** BOILERPLATE REPORT — the accounting half of the maxDf discipline
     * ([[Dedup.shingleContainment]] / [[sourceOverlap]] exclude
     * high-df shingles from pair evidence; this op is where those

@@ -488,6 +488,15 @@ object PipelineQueries {
     // the down-weighting alternative to dropping; one hash shuffle
     "dedup_soft" -> ((s, dir) => Dedup.softDedup(docs(s, dir))),
 
+    // duplication-multiplicity datasheet: clusters/docs/removable per
+    // exact-hash cluster size k — "how duplicated is this crawl"
+    "dedup_stats" -> ((s, dir) => Dedup.dupStats(docs(s, dir))),
+
+    // novelty: fraction of a doc's distinct 8-token shingles first
+    // seen (min doc_id) in that doc — the curriculum-ordering signal;
+    // first-occurrence reduce + rejoin share one (doc,sh) exchange
+    "text_novelty" -> ((s, dir) => TextAnalysis.noveltyScore(docs(s, dir))),
+
     // DSIR importance weights (hashed-unigram bucket multinomials,
     // target vs raw): the data-SELECTION step before a training run —
     // fixed-size (1024-bucket) distribution tables regardless of corpus
@@ -1585,6 +1594,35 @@ object PipelineQueries {
                       / CAST(n AS DOUBLE) / CAST(10000.0 AS DOUBLE), 6) AS intercept,
                 round(dxy * dxy / (dxx * dyy), 6) AS r2
          FROM d""",
+    // duplication-multiplicity histogram over exact-hash clusters;
+    // integer sums BIGINT-cast (the audited HUGEINT class)
+    "dedup_stats" ->
+      """WITH h AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+                    FROM documents),
+              c AS (SELECT text_hash, count(*) AS k FROM h GROUP BY 1)
+         SELECT k AS cluster_size, count(*) AS n_clusters,
+                CAST(sum(k) AS BIGINT) AS n_docs,
+                CAST(sum(k - 1) AS BIGINT) AS n_removable
+         FROM c GROUP BY 1""",
+    // novelty: per-doc fraction of distinct 8-token shingles whose
+    // corpus-wide min(doc_id) is this doc; same shingle formulation as
+    // text_boilerplate / dedup_spans
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sp AS (SELECT DISTINCT doc_id,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              f AS (SELECT sh, min(doc_id) AS first_doc FROM sp GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                      / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM sp JOIN f USING (sh)
+         GROUP BY 1""",
     // soft dedup: weight 1/|exact-hash cluster|, same normalization as
     // dedup_exact
     "dedup_soft" ->

@@ -1430,4 +1430,35 @@ class GroundTruthSpec extends SparkSpec {
     val mass = out.values.map(_._2).sum
     assert(math.abs(mass - 2.0) < 2e-6) // 3x 0.333333 + 1.0, rounding
   }
+
+  test("dupStats: histogram counts clusters, docs and removables per multiplicity") {
+    val docs = Seq(
+      (1L, "aa bb"), (2L, "aa bb"), (3L, "aa  bb"),  // cluster of 3
+      (4L, "cc dd"), (5L, "cc dd"),                  // cluster of 2
+      (6L, "ee ff")                                  // singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupStats(docs).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+         r.getAs[Long]("n_removable"))).toMap
+    assert(out === Map(3L -> ((1L, 3L, 2L)), 2L -> ((1L, 2L, 1L)),
+      1L -> ((1L, 1L, 0L))))
+  }
+
+  test("noveltyScore: originator scores 1, verbatim copy 0, half-overlap in between") {
+    // 8-token shingles; doc 1 originates, doc 2 copies it verbatim,
+    // doc 3 shares exactly half its shingles with doc 1
+    val orig = (1 to 9).map(i => s"w$i").mkString(" ")   // shingles w1-w8, w2-w9
+    val half = (2 to 10).map(i => s"w$i").mkString(" ")  // w2-w9 (seen), w3-w10 (new)
+    val docs = Seq((1L, orig), (2L, orig), (3L, half),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) === ((2L, 1.0)))      // both shingles first here
+    assert(out(2L) === ((2L, 0.0)))      // verbatim copy: nothing novel
+    // doc 3: shingle w2-w9 first seen in doc 1, w3-w10 novel
+    assert(out(3L) === ((2L, 0.5)))
+    assert(!out.contains(4L))            // < n tokens: no evidence
+  }
 }

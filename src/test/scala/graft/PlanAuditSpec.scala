@@ -626,4 +626,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalSection.contains("ReusedExchange"),
       s"expected position-stream exchange reuse:\n$finalSection")
   }
+
+  test("text_novelty: one shingle explode, one sh exchange, first-doc via window") {
+    // the groupBy(sh)+rejoin shape explodes the corpus twice and (at
+    // scale) shuffles it twice more for the SMJ — the min window
+    // shares the single sh exchange with the output stream
+    val p = plan("text_novelty")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"expected exactly one corpus shingle explode:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected only the sh and doc_id exchanges:\n$p")
+    assert(p.contains("Window"), s"expected the min window:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+  }
 }
