@@ -58,10 +58,21 @@ object Dedup {
     * would scan and shuffle the corpus twice (the two scans project
     * different columns, so AQE cannot reuse the exchange). Plan-pinned
     * in PlanAuditSpec. */
-  def softDedup(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
+  def softDedup(docs: DataFrame): DataFrame =
+    softDedupFromHashed(softDedupHashed(docs))
+
+  /** The (doc_id, text_hash, n_tokens) projection [[softDedup]] runs
+    * on — exposed so the streaming twin's per-batch sidecar writes the
+    * SAME keys (FactStream.softDedupStep) and can never drift. */
+  def softDedupHashed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       contentHash(col("text")).as("text_hash"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+
+  /** The weight derivation over an already-hashed relation — the plan
+    * both the batch operator and the streaming serving face run, so
+    * streamed == batch by construction. */
+  def softDedupFromHashed(hashed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("text_hash"))
     hashed.withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_size"),

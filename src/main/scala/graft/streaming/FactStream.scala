@@ -1037,6 +1037,55 @@ object FactStream {
     }
   }
 
+  /** STREAMING soft-dedup (the §2C dedup_soft twin): continuous
+    * ingestion maintains duplication multiplicity as APPEND-ONLY
+    * per-batch sidecar dirs (`docs/batch=N`: doc_id, text_hash,
+    * n_tokens — the projection IS the batch operator's
+    * Dedup.softDedupHashed, so the dedup key can never drift). The
+    * near-dup-sidecar discipline: corpus-sized state lives in the
+    * LAYOUT (disk-resident parquet), never executor memory; the
+    * per-batch write costs one batch, not a corpus rewrite; a replayed
+    * batch id overwrites its own dir (idempotent retries). Compact by
+    * rewriting the dirs into one offline.
+    *
+    * The serving face [[softDedupWeights]] is EXACTLY
+    * Dedup.softDedup of everything ingested, under ANY batch
+    * boundaries (spec-pinned): counts are associative and the weight
+    * is a pure function of the final count — it literally runs the
+    * batch operator's softDedupFromHashed over the union of dirs. A
+    * doc id re-delivered in a DIFFERENT batch (at-least-once sources;
+    * the same-batch replay is caught by the dir guard) is collapsed by
+    * the serve-time dropDuplicates on doc_id, so delivery duplicates
+    * never inflate a cluster. */
+  def ingestSoftDedup(docs: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        softDedupStep(batch, batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One [[ingestSoftDedup]] micro-batch — exposed for specs. */
+  private[graft] def softDedupStep(batch: DataFrame, batchId: Long,
+                                   path: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/docs/batch=$batchId")
+    if (!fs.exists(dir))
+      graft.pipeline.Dedup.softDedupHashed(batch)
+        .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  /** Serving face: per-doc soft-dedup weights over everything
+    * ingested — the batch operator's plan over the sidecar union. */
+  def softDedupWeights(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    graft.pipeline.Dedup.softDedupFromHashed(
+      spark.read.parquet(s"$path/docs").dropDuplicates("doc_id")
+        .select(col("doc_id"), col("text_hash"), col("n_tokens")))
+
   /** STREAMING weighted reservoir (the §2C sample_weighted twin):
     * Efraimidis-Spirakis keys are a DETERMINISTIC function of the id
     * (md5-derived u, key = ln u / w), and top-k is MERGEABLE —

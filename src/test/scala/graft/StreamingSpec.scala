@@ -1000,6 +1000,32 @@ class StreamingSpec extends SparkSpec {
     assert(reservoir() === want, "replayed batch changed the reservoir")
   }
 
+  test("stream_softdedup: served weights equal batch softDedup under any boundaries; replay + redelivery safe") {
+    import graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("softd").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, "ALPHA   beta gamma"), // joins cluster 1
+      (5L, "zeta eta theta iota"), (6L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    // uneven batches; cluster members arrive across batch boundaries
+    FactStream.softDedupStep(docs.filter(col("doc_id") <= 2), 0L, s"$dir/sd")
+    FactStream.softDedupStep(docs.filter(col("doc_id").between(3, 4)), 1L, s"$dir/sd")
+    FactStream.softDedupStep(docs.filter(col("doc_id") >= 5), 2L, s"$dir/sd")
+    def served() = FactStream.softDedupWeights(spark, s"$dir/sd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val want = Dedup.softDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(served() === want, s"streamed weights != batch: ${served()} vs $want")
+    // same-batch replay: dir guard makes the step a no-op
+    FactStream.softDedupStep(docs.filter(col("doc_id") >= 5), 2L, s"$dir/sd")
+    assert(served() === want, "replayed batch changed the weights")
+    // cross-batch REDELIVERY of an already-ingested id (at-least-once
+    // source): collapsed at serve time, clusters never inflate
+    FactStream.softDedupStep(docs.filter(col("doc_id") === 1), 3L, s"$dir/sd")
+    assert(served() === want, "redelivered doc inflated its cluster")
+  }
+
   test("stream_importance: additive bucket sidecar is batch-boundary exact; scoring matches batch DSIR") {
     import graft.pipeline.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
