@@ -540,9 +540,17 @@ object TextAnalysis {
     * groupBy(sh)+rejoin formulation explodes the corpus twice and (at
     * scale, where the distinct-shingle relation cannot broadcast)
     * shuffles it twice more for the SMJ. Plan-pinned. */
-  def noveltyScore(docs: DataFrame, n: Int = 8): DataFrame = {
+  def noveltyScore(docs: DataFrame, n: Int = 8): DataFrame =
+    noveltyFromShingles(shingleHashes(docs, n))
+
+  /** The novelty derivation over an already-exploded per-doc distinct
+    * (doc_id, sh) relation — the plan both the batch operator and the
+    * streaming twin's serving face run (FactStream.noveltyScores), so
+    * streamed == batch by construction. min(doc_id) is associative, so
+    * first-occurrence over a union of batch sidecars equals the batch
+    * corpus answer under any batch boundaries. */
+  def noveltyFromShingles(ds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ds = shingleHashes(docs, n)
     ds.withColumn("first_doc",
         min(col("doc_id")).over(Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))

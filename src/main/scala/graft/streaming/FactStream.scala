@@ -1086,6 +1086,47 @@ object FactStream {
       spark.read.parquet(s"$path/docs").dropDuplicates("doc_id")
         .select(col("doc_id"), col("text_hash"), col("n_tokens")))
 
+  /** STREAMING novelty (the §2C text_novelty twin): the per-doc
+    * distinct (doc_id, sh) shingle stream lands in APPEND-ONLY
+    * per-batch sidecar dirs (`sh/batch=N` — the projection IS the
+    * batch operator's TextAnalysis.shingleHashes, hashes can never
+    * drift); [[noveltyScores]] runs the batch operator's
+    * noveltyFromShingles over the dir union, and because min(doc_id)
+    * is associative the served first-occurrence — hence every novelty
+    * score — is EXACTLY the batch answer over everything ingested,
+    * under ANY batch boundaries (spec-pinned). Same dir-guard replay
+    * idempotency and serve-time redelivery collapse as
+    * [[softDedupStep]]; corpus-sized state lives in the layout,
+    * compacted offline like the near-dup sidecar. */
+  private[graft] def noveltyStep(batch: DataFrame, batchId: Long,
+                                 path: String, n: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/sh/batch=$batchId")
+    if (!fs.exists(dir))
+      graft.pipeline.TextAnalysis.shingleHashes(batch, n)
+        .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  def ingestNovelty(docs: DataFrame, path: String, checkpoint: String,
+                    n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        noveltyStep(batch, batchId, path, n)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Serving face: per-doc novelty over everything ingested — the
+    * batch operator's plan over the sidecar union (redelivered
+    * (doc_id, sh) rows collapse in the distinct). */
+  def noveltyScores(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    graft.pipeline.TextAnalysis.noveltyFromShingles(
+      spark.read.parquet(s"$path/sh").select(col("doc_id"), col("sh"))
+        .dropDuplicates("doc_id", "sh"))
+
   /** STREAMING weighted reservoir (the §2C sample_weighted twin):
     * Efraimidis-Spirakis keys are a DETERMINISTIC function of the id
     * (md5-derived u, key = ln u / w), and top-k is MERGEABLE —

@@ -1026,6 +1026,31 @@ class StreamingSpec extends SparkSpec {
     assert(served() === want, "redelivered doc inflated its cluster")
   }
 
+  test("stream_novelty: served scores equal batch noveltyScore under any boundaries; replay + redelivery safe") {
+    import graft.pipeline.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("novel").toString
+    val orig = (1 to 9).map(i => s"w$i").mkString(" ")
+    val half = (2 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, orig), (2L, orig), (3L, half),
+      (4L, (20 to 29).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    // the copy (doc 2) and the originator (doc 1) arrive in DIFFERENT
+    // batches — first-occurrence must still resolve to doc 1
+    FactStream.noveltyStep(docs.filter(col("doc_id") === 1), 0L, s"$dir/nv")
+    FactStream.noveltyStep(docs.filter(col("doc_id").between(2, 3)), 1L, s"$dir/nv")
+    FactStream.noveltyStep(docs.filter(col("doc_id") === 4), 2L, s"$dir/nv")
+    def served() = FactStream.noveltyScores(spark, s"$dir/nv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val want = TextAnalysis.noveltyScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(served() === want, s"streamed novelty != batch: ${served()} vs $want")
+    // same-batch replay is a no-op via the dir guard
+    FactStream.noveltyStep(docs.filter(col("doc_id") === 4), 2L, s"$dir/nv")
+    assert(served() === want, "replayed batch changed the scores")
+    // cross-batch redelivery collapses in the serve-time distinct
+    FactStream.noveltyStep(docs.filter(col("doc_id") === 2), 3L, s"$dir/nv")
+    assert(served() === want, "redelivered doc changed the scores")
+  }
+
   test("stream_importance: additive bucket sidecar is batch-boundary exact; scoring matches batch DSIR") {
     import graft.pipeline.TextAnalysis
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
