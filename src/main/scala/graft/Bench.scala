@@ -22,7 +22,7 @@ object Bench {
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_entropy", "text_tfidf", "text_collocations",
     "text_heavy_hitters",
-    "text_boilerplate", "text_novelty",
+    "text_boilerplate", "text_novelty", "text_lang_conf", "corpus_ngram_stats",
     "text_bigram_lm", "text_trigram_lm", "text_gopher", "text_zipf",
     "dedup_soft", "sample_importance", "text_bpe_learn", "train_bitext",
     "pipeline_pack", "pipeline_e2e",

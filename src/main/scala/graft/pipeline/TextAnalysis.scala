@@ -108,6 +108,44 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), predLangCol(col("text")).as("pred_lang"))
 
+  /** Language-ID CONFIDENCE — the margin gate every production
+    * langid deployment runs (fastText-style: act on the label only
+    * when the top score clears the runner-up by a margin; low-margin
+    * docs are mixed-language or too short to call): per doc the
+    * predicted language (same [[predLangCol]] heuristic as
+    * text_langid, shared so the label cannot drift), top and
+    * runner-up marker scores, relative margin (s1−s2)/s1 and the
+    * confident verdict. CJK script evidence is decisive → margin 1;
+    * zero evidence ('und') → margin 0. Map-only single pass. */
+  def langIdConfidence(docs: DataFrame,
+                       minMargin: Double = 0.5): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }.toMap
+    val top = greatest(scores.values.toSeq: _*)
+    // the runner-up is the best of the three languages that did NOT
+    // win — resolved off the predicted label, so ties break exactly
+    // as the shared argmax does
+    val runnerUp = LangMarkers.map(_._1).foldLeft(lit(0)) {
+      case (acc, lang) =>
+        val others = scores.collect { case (l, s) if l != lang => s }.toSeq
+        when(col("pred_lang") === lang, greatest(others: _*)).otherwise(acc)
+    }
+    val margin =
+      when(col("pred_lang") === "zh", lit(1.0))
+        .when(col("top_score") === 0, lit(0.0))
+        .otherwise(round((col("top_score") - col("runner_up"))
+          .cast("double") / col("top_score"), 6))
+    docs.select(col("doc_id"), col("text"),
+        predLangCol(col("text")).as("pred_lang"),
+        top.cast("long").as("top_score"))
+      .withColumn("runner_up", runnerUp.cast("long"))
+      .withColumn("margin", margin)
+      .withColumn("confident", col("margin") >= minMargin)
+      .drop("text")
+  }
+
   /** All row-wise gate columns — language id + quality metrics — in a
     * SINGLE projection: at 100 TB the corpus is scanned once for every
     * per-row gate; joins are reserved for the genuinely relational
@@ -560,6 +598,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         round(col("n_novel") / col("n_shingles").cast("double"), 6)
           .as("novelty"))
+  }
+
+  /** Corpus n-gram DATASHEET — the numbers that size a dedup/decontam
+    * deployment before it runs (how many distinct shingles will the
+    * state hold? how heavy is the df tail the maxDf cap will trim?):
+    * distinct n-token shingles, total per-doc-distinct instances,
+    * singleton fraction (shingles seen in exactly one doc — the mass
+    * dedup can never act on), max and mean document frequency. ONE
+    * shingle reduce (map-side combinable) + a one-row fold. */
+  def ngramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val dfRel = shingleHashes(docs, n)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    dfRel.agg(count(lit(1)).as("n_distinct"),
+        sum(col("df")).as("n_instances"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("df")).as("max_df"))
+      .select(col("n_distinct"), col("n_instances"), col("n_singletons"),
+        col("max_df"),
+        round(col("n_singletons") / col("n_distinct").cast("double"), 6)
+          .as("singleton_frac"),
+        round(col("n_instances") / col("n_distinct").cast("double"), 6)
+          .as("mean_df"))
   }
 
   /** BOILERPLATE REPORT — the accounting half of the maxDf discipline

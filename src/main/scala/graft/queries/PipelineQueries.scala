@@ -493,9 +493,17 @@ object PipelineQueries {
     "dedup_stats" -> ((s, dir) => Dedup.dupStats(docs(s, dir))),
 
     // novelty: fraction of a doc's distinct 8-token shingles first
-    // seen (min doc_id) in that doc — the curriculum-ordering signal;
-    // first-occurrence reduce + rejoin share one (doc,sh) exchange
+    // seen (min doc_id) in that doc — the curriculum-ordering signal
     "text_novelty" -> ((s, dir) => TextAnalysis.noveltyScore(docs(s, dir))),
+
+    // language-ID confidence margin (fastText-style act-only-when-
+    // confident gate); same predLang heuristic as text_langid
+    "text_lang_conf" -> ((s, dir) =>
+      TextAnalysis.langIdConfidence(docs(s, dir))),
+
+    // corpus n-gram datasheet: distinct/instances/singleton-frac/df
+    // tail — the numbers that size a dedup deployment's state
+    "corpus_ngram_stats" -> ((s, dir) => TextAnalysis.ngramStats(docs(s, dir))),
 
     // DSIR importance weights (hashed-unigram bucket multinomials,
     // target vs raw): the data-SELECTION step before a training run —
@@ -1623,6 +1631,69 @@ object PipelineQueries {
                       / CAST(count(*) AS DOUBLE), 6) AS novelty
          FROM sp JOIN f USING (sh)
          GROUP BY 1""",
+    // langid confidence margin: same marker scores as langIdSql, the
+    // runner-up resolved off the predicted label so ties break as the
+    // shared argmax does; ratio of small ints is exact in double
+    "text_lang_conf" ->
+      """WITH sc AS (
+           SELECT doc_id, text,
+                  len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+                  len(list_filter(lt, x -> x IN ('the','and','of','to','a','in'))) AS s_en,
+                  len(list_filter(lt, x -> x IN ('el','los','y','que','por','una'))) AS s_es,
+                  len(list_filter(lt, x -> x IN ('le','les','et','une','est','pas'))) AS s_fr
+           FROM (SELECT doc_id, text,
+                        string_split_regex(lower(trim(text)), '\s+') AS lt
+                 FROM documents) x),
+         lab AS (
+           SELECT doc_id, s_de, s_en, s_es, s_fr,
+                  greatest(s_de, s_en, s_es, s_fr) AS m,
+                  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) AND s_de > 0 THEN 'de'
+                       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) AND s_en > 0 THEN 'en'
+                       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+                       ELSE 'und' END AS pred_lang
+           FROM sc),
+         r AS (
+           SELECT doc_id, pred_lang,
+                  CAST(m AS BIGINT) AS top_score,
+                  CAST(CASE pred_lang
+                    WHEN 'de' THEN greatest(s_en, s_es, s_fr)
+                    WHEN 'en' THEN greatest(s_de, s_es, s_fr)
+                    WHEN 'es' THEN greatest(s_de, s_en, s_fr)
+                    WHEN 'fr' THEN greatest(s_de, s_en, s_es)
+                    ELSE 0 END AS BIGINT) AS runner_up,
+                  m
+           FROM lab)
+         SELECT doc_id, pred_lang, top_score, runner_up,
+                CASE WHEN pred_lang = 'zh' THEN CAST(1.0 AS DOUBLE)
+                     WHEN top_score = 0 THEN CAST(0.0 AS DOUBLE)
+                     ELSE round(CAST(top_score - runner_up AS DOUBLE) / top_score, 6)
+                END AS margin,
+                (CASE WHEN pred_lang = 'zh' THEN CAST(1.0 AS DOUBLE)
+                      WHEN top_score = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE round(CAST(top_score - runner_up AS DOUBLE) / top_score, 6)
+                 END) >= 0.5 AS confident
+         FROM r""",
+    // corpus shingle-df datasheet; integer sums BIGINT-cast
+    "corpus_ngram_stats" ->
+      """WITH toks AS (SELECT doc_id,
+                              string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+              sp AS (SELECT DISTINCT doc_id,
+                            md5(array_to_string(t[(i+1):(i+8)], ' ')) AS sh
+                     FROM (SELECT doc_id, t,
+                                  unnest(range(0, len(t) - 8 + 1)) AS i
+                           FROM toks WHERE len(t) >= 8) x),
+              d AS (SELECT sh, count(*) AS df FROM sp GROUP BY 1)
+         SELECT count(*) AS n_distinct,
+                CAST(sum(df) AS BIGINT) AS n_instances,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                CAST(max(df) AS BIGINT) AS max_df,
+                round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      / CAST(count(*) AS DOUBLE), 6) AS singleton_frac,
+                round(CAST(sum(df) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS mean_df
+         FROM d""",
     // soft dedup: weight 1/|exact-hash cluster|, same normalization as
     // dedup_exact
     "dedup_soft" ->

@@ -1461,4 +1461,37 @@ class GroundTruthSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0.5)))
     assert(!out.contains(4L))            // < n tokens: no evidence
   }
+
+  test("langIdConfidence: margins separate pure, mixed, empty-evidence and CJK docs") {
+    val docs = Seq(
+      (1L, "the and of to a in word"),        // pure en: runner-up 0 -> margin 1
+      (2L, "the and el los word"),            // en 2 vs es 2 tie -> en wins, margin 0
+      (3L, "xyzzy quux plugh"),               // no markers: und, margin 0
+      (4L, "\u4e16\u754c the and"),         // CJK override: zh, margin 1
+      (5L, "the and of el word")              // en 3 vs es 1 -> margin 2/3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdConfidence(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Double]("margin"),
+         r.getAs[Boolean]("confident"))).toMap
+    assert(out(1L) === (("en", 1.0, true)))
+    assert(out(2L) === (("en", 0.0, false)))   // tie: label defined, not confident
+    assert(out(3L) === (("und", 0.0, false)))
+    assert(out(4L) === (("zh", 1.0, true)))
+    assert(out(5L)._1 === "en" && math.abs(out(5L)._2 - 0.666667) < 1e-6)
+  }
+
+  test("ngramStats: datasheet counts distinct/singleton/df-tail exactly") {
+    val a = (1 to 9).map(i => s"w$i").mkString(" ")   // shingles s1, s2
+    val b = (2 to 10).map(i => s"w$i").mkString(" ")  // s2 (shared), s3
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    // df: s1 -> 2 (docs 1,2), s2 -> 3 (all), s3 -> 1 (doc 3)
+    val r = TextAnalysis.ngramStats(docs, n = 8).head()
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Long]("n_instances") === 6L)
+    assert(r.getAs[Long]("n_singletons") === 1L)
+    assert(r.getAs[Long]("max_df") === 3L)
+    assert(r.getAs[Double]("singleton_frac") === 0.333333)
+    assert(r.getAs[Double]("mean_df") === 2.0)
+  }
 }

@@ -639,4 +639,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the min window:\n$p")
     assert(!p.contains("Join"), s"expected no join:\n$p")
   }
+
+  test("text_lang_conf: shuffle-free map-only gate") {
+    val p = plan("text_lang_conf")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+  }
+
+  test("corpus_ngram_stats: one shingle explode, map-side-combinable reduces only") {
+    val p = plan("corpus_ngram_stats")
+    assert("Generate explode".r.findAllIn(p).size === 1,
+      s"expected exactly one corpus shingle explode:\n$p")
+    assert(!p.contains("Join"), s"expected no join:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"expected map-side partial aggregation:\n$p")
+  }
 }
