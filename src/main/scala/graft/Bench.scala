@@ -25,6 +25,7 @@ object Bench {
     "text_boilerplate", "text_novelty", "text_lang_conf", "corpus_ngram_stats",
     "text_bigram_lm", "text_trigram_lm", "text_gopher", "text_zipf",
     "dedup_soft", "sample_importance", "text_bpe_learn", "train_bitext",
+    "text_readability", "text_pii_report", "dedup_sweep", "embed_stats",
     "pipeline_pack", "pipeline_e2e",
     "graph_reach", "graph_pagerank", "graph_cc", "graph_scc",
     "graph_kcore", "graph_temporal", "graph_lpa", "graph_jaccard")

@@ -452,6 +452,35 @@ object Dedup {
     identical.unionAll(near)
   }
 
+  /** DEDUP THRESHOLD SWEEP — the datasheet that SIZES a near-dup
+    * deployment before committing to a threshold (pairs with
+    * corpus_ngram_stats' shingle-df sizing): one MinHash+LSH candidate
+    * pass at the LOWEST threshold in `thresholds`, then per threshold
+    * the surviving pair count, distinct removable docs (star-collapse
+    * member side), and distinct surviving representatives. Running the
+    * full dedup once per candidate threshold would pay the
+    * signature/banding shuffle T times; the sweep pays it ONCE —
+    * est_jac is dyadic (agreements/64, FP-exact both engines) so the
+    * per-threshold refilter is free.
+    *
+    * Scale: candidates are the same star-collapsed O(docs×bands) set
+    * as [[minhashLshFromSigs]]; the sweep is a |pairs|×|thresholds|
+    * conditional re-count (posexplode of a constant array) aggregating
+    * to |thresholds| rows. */
+  def minhashSweep(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+                   thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    val pairs = minhashLshFromSigs(sigs, k, bands, estThreshold = thresholds.min)
+    pairs
+      .select(col("a"), col("b"), col("est_jac"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("est_jac") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b")).as("n_removable"),
+        countDistinct(col("a")).as("n_reps"))
+  }
+
   /** LSH band keys over a (doc_id, sig) relation: band b's key is
     * xxhash64 over rows b·(k/bands)..(b+1)·(k/bands) of the signature.
     * ONE definition shared by [[minhashLshFromSigs]] and the streaming

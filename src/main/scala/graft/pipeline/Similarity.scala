@@ -26,6 +26,56 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  /** EMBEDDING-SPACE DATASHEET — per-label centroid norm and spread,
+    * the collapse/coverage report an embedding release ships with
+    * (near-zero centroid norm = the label's vectors cancel out;
+    * near-zero spread = representation collapse). spread is the mean
+    * squared distance to the centroid via the shift identity
+    * E‖v−c‖² = E‖v‖² − ‖c‖², so NO second pass joins the centroid
+    * back against the corpus.
+    *
+    * Determinism discipline: components are QUANTIZED to 1e-6 ints, so
+    * every cross-row sum is exact int64 (component sums, squared-norm
+    * sums) and order-independent; the per-dim centroid-squared terms
+    * are re-quantized (1e-12 grid) from those exact ints before the
+    * per-label sum — the audited double-accumulation divergence class
+    * cannot occur on either reduction.
+    *
+    * Scale: one explode (rows×dim), ONE shuffle to (label, dim) — at
+    * most |labels|·dim groups, map-side combinable — then a free
+    * |labels|-row rollup. */
+  def embedStats(emb: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String): DataFrame = {
+    val q = round(col("x").cast("double") * 1e6, 0).cast("long")
+    val perDim = emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), q.as("q"))
+      .groupBy(col("label"), col("dim"))
+      // q² sums in DECIMAL(38,0): at q ~ 1e6·|component| a long Σq²
+      // wraps silently near 1e12 rows/label — the datasheet must stay
+      // exact at any corpus size (output schema is unaffected; only
+      // the final doubles are published)
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
+    // centroid component c_d = sq/(n·1e6); its squared term re-lands on
+    // an exact 1e-12 integer grid so the 64-term norm² sum is int64
+    val cd = col("sq").cast("double") / col("n").cast("double") / 1e6
+    perDim
+      .select(col("label"), col("n"), col("sqq"),
+        round(cd * cd * 1e12, 0).cast("long").as("c2q"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), sum(col("c2q")).as("c2sum"),
+        sum(col("sqq")).as("sqqsum"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("c2sum").cast("double") / 1e12), 6).as("centroid_norm"),
+        round(col("sqqsum").cast("double") / col("n_vecs").cast("double") / 1e12, 6)
+          .as("mean_sq_norm"),
+        round(col("sqqsum").cast("double") / col("n_vecs").cast("double") / 1e12
+          - col("c2sum").cast("double") / 1e12, 6).as("spread"))
+      .orderBy(col("label"))
+  }
+
   /** Exact brute-force cosine top-k vs one probe vector. */
   def topK(emb: DataFrame, idCol: String, vecCol: String,
            probe: Seq[Double], k: Int, excludeId: Option[Long] = None): DataFrame = {

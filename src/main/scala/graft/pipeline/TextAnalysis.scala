@@ -278,6 +278,37 @@ object TextAnalysis {
       (scrubbed =!= col("text")).as("had_pii"))
   }
 
+  /** PII incidence REPORT — the accounting twin of [[redact]]: per
+    * source, total occurrences and affected-document counts for each
+    * PII shape redact scrubs, plus the any-PII incidence. The release
+    * datasheet ("what did redaction remove, and from where") that
+    * pairs with the scrubbed corpus; the shapes are the SAME shared
+    * [[PiiEmailRe]]/[[PiiSsnRe]]/[[PiiDigitsRe]] constants, so the
+    * report can never describe a different scrubber than the one that
+    * ran.
+    *
+    * Scale: map-only occurrence counting (regexp_extract_all sizes,
+    * one codegen'd projection) + a map-side-combinable groupBy to
+    * |sources| rows — flat at any corpus size. */
+  def piiReport(docs: DataFrame): DataFrame = {
+    def occ(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    val perRow = docs.select(col("source"),
+      occ(PiiEmailRe).as("em"), occ(PiiSsnRe).as("ss"), occ(PiiDigitsRe).as("dg"))
+    perRow.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("em")).as("n_emails"),
+        sum(col("ss")).as("n_ssns"),
+        sum(col("dg")).as("n_digit_runs"),
+        sum((col("em") > 0).cast("long")).as("docs_email"),
+        sum((col("ss") > 0).cast("long")).as("docs_ssn"),
+        sum((col("dg") > 0).cast("long")).as("docs_digit"),
+        sum((col("em") > 0 || col("ss") > 0 || col("dg") > 0).cast("long"))
+          .as("docs_any"))
+      .withColumn("pii_incidence",
+        round(col("docs_any").cast("double") / col("n_docs"), 6))
+  }
+
   /** Overlapping token-window chunking: split each document into
     * `size`-token windows advancing by `step` (overlap = size - step) —
     * the doc→training-sample fan-out. One generate per row, no
@@ -1498,6 +1529,40 @@ object TextAnalysis {
       .withColumn("r_stop", col("stop_hits") >= minStopHits)
       .withColumn("pass", col("r_wordcount") && col("r_wordlen") &&
         col("r_symbol") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** FLESCH reading-ease readability gate (Flesch 1948 — the standard
+    * document-difficulty signal a curriculum/quality pipeline keys on):
+    * per doc, sentence count (runs of sentence terminators, floored at
+    * 1), word count, a syllable PROXY (vowel-group runs — the classic
+    * dictionary-free approximation), and the Flesch score
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word), plus a
+    * pass flag at the `minScore` gate (30 = "college readable").
+    *
+    * Determinism discipline: all three counts are exact integers from
+    * the same regex semantics on both engines; the score is two
+    * divisions and a linear combination of exact ints — identical
+    * doubles, identical round(…,6).
+    *
+    * Scale: map-only, one codegen'd projection, no shuffle — a 100 TB
+    * corpus pays exactly one scan. */
+  def readability(docs: DataFrame, minScore: Double = 30.0): DataFrame = {
+    val norm = lower(trim(col("text")))
+    val nSent = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val nWords = size(split(norm, "\\s+")).cast("long")
+    val nSyll = size(regexp_extract_all(norm, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val wps = nWords.cast("double") / nSent
+    val spw = nSyll.cast("double") / nWords
+    val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    docs.select(col("doc_id"), nSent.as("n_sentences"), nWords.as("n_words"),
+      nSyll.as("n_syllables"),
+      round(wps, 6).as("words_per_sentence"),
+      round(spw, 6).as("syllables_per_word"),
+      round(flesch, 6).as("flesch"),
+      (flesch >= minScore).as("readable"))
   }
 
   /** ZIPF rank–frequency fit over the corpus head — the one-row corpus

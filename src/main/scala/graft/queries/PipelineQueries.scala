@@ -505,6 +505,30 @@ object PipelineQueries {
     // tail — the numbers that size a dedup deployment's state
     "corpus_ngram_stats" -> ((s, dir) => TextAnalysis.ngramStats(docs(s, dir))),
 
+    // Flesch reading-ease gate (dictionary-free syllable proxy):
+    // map-only, one codegen'd projection, exact-integer counts
+    "text_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
+
+    // PII incidence datasheet per source — the accounting twin of
+    // text_redact, sharing its regex constants; map-only + tiny rollup
+    "text_pii_report" -> ((s, dir) => TextAnalysis.piiReport(docs(s, dir))),
+
+    // near-dup THRESHOLD SWEEP: one LSH candidate pass at the lowest
+    // cutoff, per-threshold pair / removable / representative counts —
+    // the datasheet that picks a dedup threshold before the real run
+    "dedup_sweep" -> ((s, dir) => {
+      val (sigs, k) = mhSidecar(s, dir)
+      Dedup.minhashSweep(sigs, k = k, bands = 16)
+    }),
+
+    // embedding-space datasheet: per-label centroid norm + spread via
+    // the shift identity (no centroid re-join); quantized-exact sums
+    "embed_stats" -> ((s, dir) =>
+      Similarity.embedStats(
+        read(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("vec"), col("label")),
+        "vec_id", "vec", "label")),
+
     // DSIR importance weights (hashed-unigram bucket multinomials,
     // target vs raw): the data-SELECTION step before a training run —
     // fixed-size (1024-bucket) distribution tables regardless of corpus
@@ -1694,6 +1718,121 @@ object PipelineQueries {
                       / CAST(count(*) AS DOUBLE), 6) AS singleton_frac,
                 round(CAST(sum(df) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS mean_df
          FROM d""",
+    // Flesch reading-ease: exact-integer counts (sentence-terminator
+    // runs floored at 1, \s+ words, vowel-group syllable proxy), so
+    // both engines compute the identical doubles
+    "text_readability" ->
+      """WITH m AS (SELECT doc_id,
+                           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                           CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+                           CAST(len(regexp_extract_all(lower(trim(text)), '[aeiouy]+')) AS BIGINT) AS n_syllables
+                    FROM documents)
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+                round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS words_per_sentence,
+                round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syllables_per_word,
+                round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+                (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) >= 30.0 AS readable
+         FROM m""",
+    // PII incidence per source — same three shapes text_redact scrubs
+    "text_pii_report" ->
+      """WITH p AS (SELECT source,
+                           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS em,
+                           len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS ss,
+                           len(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS dg
+                    FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(em) AS BIGINT) AS n_emails,
+                CAST(sum(ss) AS BIGINT) AS n_ssns,
+                CAST(sum(dg) AS BIGINT) AS n_digit_runs,
+                CAST(sum(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+                CAST(sum(CASE WHEN ss > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ssn,
+                CAST(sum(CASE WHEN dg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_digit,
+                CAST(sum(CASE WHEN em > 0 OR ss > 0 OR dg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_any,
+                round(CAST(sum(CASE WHEN em > 0 OR ss > 0 OR dg > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS pii_incidence
+         FROM p GROUP BY 1""",
+    // threshold sweep over the SAME MinHash+LSH candidate set as
+    // dedup_minhash (signatures/banding value-for-value, verify at the
+    // lowest cutoff 0.5), re-counted per threshold — est_jac is dyadic
+    // so the boundary comparisons are FP-exact on both engines
+    "dedup_sweep" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+                       FROM documents),
+              hp AS (SELECT doc_id,
+                            ('0x' || substr(md5(tok), 1, 16))::UBIGINT::HUGEINT AS h1,
+                            ('0x' || substr(md5(tok), 17, 16))::UBIGINT::HUGEINT AS h2
+                     FROM tok),
+              hx AS (SELECT doc_id, i,
+                            (h1 + i * h2) % 18446744073709551616::HUGEINT AS w
+                     FROM hp, (SELECT unnest(range(64)) AS i) ii),
+              hs AS (SELECT doc_id, i,
+                            CAST(CASE WHEN w >= 9223372036854775808::HUGEINT
+                                      THEN w - 18446744073709551616::HUGEINT
+                                      ELSE w END AS BIGINT) AS v
+                     FROM hx),
+              sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig
+                       FROM (SELECT doc_id, i, min(v) AS mv FROM hs GROUP BY 1, 2)
+                       GROUP BY 1),
+              grp AS (SELECT sig, min(doc_id) AS rep FROM sigs GROUP BY 1),
+              identical AS (SELECT g.rep AS a, s.doc_id AS b, 1.0 AS est_jac
+                            FROM sigs s JOIN grp g ON s.sig = g.sig
+                            WHERE s.doc_id > g.rep),
+              banded AS (SELECT g.rep AS doc_id, bs.band,
+                                g.sig[bs.band * 4 + 1 : bs.band * 4 + 4] AS key
+                         FROM grp g, (SELECT unnest(range(16)) AS band) bs),
+              bucketrep AS (SELECT band, key, min(doc_id) AS a
+                            FROM banded GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT br.a, bd.doc_id AS b
+                        FROM banded bd JOIN bucketrep br
+                          ON bd.band = br.band AND bd.key = br.key
+                        WHERE bd.doc_id > br.a),
+              near AS (SELECT a, b, est_jac FROM (
+                         SELECT c.a, c.b,
+                                len(list_filter(range(1, 65),
+                                    j -> sa.sig[j] = sb.sig[j])) / 64.0 AS est_jac
+                         FROM cands c JOIN sigs sa ON sa.doc_id = c.a
+                                      JOIN sigs sb ON sb.doc_id = c.b) t
+                       WHERE est_jac >= 0.5),
+              allp AS (SELECT a, b, est_jac FROM identical
+                       UNION ALL SELECT a, b, est_jac FROM near),
+              sw AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold, a, b
+                     FROM allp,
+                          (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) t
+                     WHERE est_jac >= t.threshold)
+         SELECT threshold, count(*) AS n_pairs,
+                count(DISTINCT b) AS n_removable,
+                count(DISTINCT a) AS n_reps
+         FROM sw GROUP BY 1""",
+    // embedding-space datasheet: 1e-6-quantized component sums (exact
+    // int64 under any order), per-dim centroid-squared terms
+    // re-quantized on the 1e-12 grid, shift-identity spread
+    "embed_stats" ->
+      """WITH e AS (SELECT label, embedding,
+                           unnest(range(len(embedding))) AS dim
+                    FROM embeddings),
+              qv AS (SELECT label, dim,
+                            CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1e6) AS BIGINT) AS q
+                     FROM e),
+              pd AS (SELECT label, dim, count(*) AS n,
+                            CAST(sum(q) AS BIGINT) AS sq,
+                            CAST(sum(q * q) AS BIGINT) AS sqq
+                     FROM qv GROUP BY 1, 2),
+              t AS (SELECT label, n, sqq,
+                           CAST(round((CAST(sq AS DOUBLE) / n / 1e6)
+                                      * (CAST(sq AS DOUBLE) / n / 1e6) * 1e12) AS BIGINT) AS c2q
+                    FROM pd),
+              r AS (SELECT label, max(n) AS n_vecs,
+                           CAST(sum(c2q) AS BIGINT) AS c2sum,
+                           CAST(sum(sqq) AS BIGINT) AS sqqsum
+                    FROM t GROUP BY 1)
+         SELECT label, n_vecs,
+                round(sqrt(CAST(c2sum AS DOUBLE) / 1e12), 6) AS centroid_norm,
+                round(CAST(sqqsum AS DOUBLE) / n_vecs / 1e12, 6) AS mean_sq_norm,
+                round(CAST(sqqsum AS DOUBLE) / n_vecs / 1e12
+                      - CAST(c2sum AS DOUBLE) / 1e12, 6) AS spread
+         FROM r""",
     // soft dedup: weight 1/|exact-hash cluster|, same normalization as
     // dedup_exact
     "dedup_soft" ->

@@ -1494,4 +1494,95 @@ class GroundTruthSpec extends SparkSpec {
     assert(r.getAs[Double]("singleton_frac") === 0.333333)
     assert(r.getAs[Double]("mean_df") === 2.0)
   }
+
+  test("readability: hand-counted sentences/words/syllables recover the Flesch score") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      // one endless sentence of polysyllabic words → deeply negative score
+      (2L, (1 to 10).map(_ => "aviation education").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: terminators ". !" → 2 sentences; 6 \s+ tokens; vowel
+    // groups e,a,a,e,o,a → 6 syllables; flesch = 206.835 − 1.015·3 − 84.6·1
+    assert(out(1L).getAs[Long]("n_sentences") === 2L)
+    assert(out(1L).getAs[Long]("n_words") === 6L)
+    assert(out(1L).getAs[Long]("n_syllables") === 6L)
+    assert(out(1L).getAs[Double]("flesch") === 119.19)
+    assert(out(1L).getAs[Boolean]("readable"))
+    // doc 2: no terminator → floored at 1 sentence; 20 words; aviation
+    // a-ia-io = 3 vowel groups, education e-u-a-io = 4 → 70 syllables
+    assert(out(2L).getAs[Long]("n_sentences") === 1L)
+    assert(out(2L).getAs[Long]("n_words") === 20L)
+    assert(out(2L).getAs[Long]("n_syllables") === 70L)
+    assert(!out(2L).getAs[Boolean]("readable"))
+  }
+
+  test("piiReport: planted emails/SSNs/digit runs counted per source; clean source reports zero") {
+    val docs = Seq(
+      (1L, "s1", "contact a@b.com and c@d.org today"),   // 2 emails
+      (2L, "s1", "ssn 123-45-6789 acct 12345678"),       // 1 ssn + 1 digit run
+      (3L, "s2", "nothing sensitive here at all")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.piiReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("n_emails") === 2L)
+    assert(s1.getAs[Long]("n_ssns") === 1L)
+    assert(s1.getAs[Long]("n_digit_runs") === 1L)
+    assert(s1.getAs[Long]("docs_email") === 1L)
+    assert(s1.getAs[Long]("docs_any") === 2L)
+    assert(s1.getAs[Double]("pii_incidence") === 1.0)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("docs_any") === 0L && s2.getAs[Double]("pii_incidence") === 0.0)
+  }
+
+  test("minhashSweep: per-threshold counts equal an independent full dedup run at that threshold") {
+    // identical cluster (est 1.0) + perturbed copies that land between
+    // the sweep cutoffs, so every threshold bucket is exercised
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq((0L, base)) ++ (1 to 3).map(i => (i.toLong, base)) ++
+      (4 to 9).map { i =>
+        val drop = i - 2 // replace a growing suffix → decreasing jaccard
+        (i.toLong, ((1 to (40 - drop)).map(j => s"tok$j") ++
+          (1 to drop).map(j => s"new${i}_$j")).mkString(" "))
+      }).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, k = 64)
+    val sweep = Dedup.minhashSweep(sigs, k = 64, bands = 16,
+        thresholds = Seq(0.5, 0.7, 0.9)).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_removable"))).toMap
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val direct = Dedup.minhashLshFromSigs(sigs, k = 64, bands = 16,
+        estThreshold = t).collect()
+      assert(sweep(t)._1 === direct.length.toLong,
+        s"threshold $t: sweep ${sweep(t)._1} vs direct ${direct.length}")
+      assert(sweep(t)._2 === direct.map(_.getLong(1)).distinct.length.toLong)
+    }
+    // monotone: raising the cutoff can only lose pairs
+    assert(sweep(0.5)._1 >= sweep(0.7)._1 && sweep(0.7)._1 >= sweep(0.9)._1)
+    assert(sweep(0.9)._1 >= 3L, "identical cluster must survive the top cutoff")
+    assert(sweep(0.5)._1 > sweep(0.9)._1,
+      "perturbed copies must add pairs below the top cutoff")
+  }
+
+  test("embedStats: planted two-vector labels recover exact centroid norm and spread") {
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // label 0: centroid (.5,.5)
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.6f, 0.8f), 1),  // label 1: two identical unit vectors
+      (4L, Array(0.6f, 0.8f), 1)
+    ).toDF("vec_id", "vec", "label")
+    val out = Similarity.embedStats(docs, "vec_id", "vec", "label").collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = out(0)
+    assert(l0.getAs[Long]("n_vecs") === 2L)
+    assert(l0.getAs[Double]("centroid_norm") === 0.707107) // sqrt(.5)
+    assert(l0.getAs[Double]("mean_sq_norm") === 1.0)
+    assert(l0.getAs[Double]("spread") === 0.5) // E‖v‖² − ‖c‖²
+    val l1 = out(1)
+    assert(l1.getAs[Double]("centroid_norm") === 1.0)
+    assert(l1.getAs[Double]("spread") === 0.0) // identical vectors: no spread
+  }
 }

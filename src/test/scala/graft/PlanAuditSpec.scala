@@ -653,4 +653,43 @@ class PlanAuditSpec extends SparkSpec {
     assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
       s"expected map-side partial aggregation:\n$p")
   }
+
+  test("text_readability: shuffle-free map-only gate inside codegen") {
+    val p = plan("text_readability")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+  }
+
+  test("text_pii_report: one corpus scan, one source exchange, partial aggs map-side") {
+    val p = plan("text_pii_report")
+    assert("Scan parquet|FileScan parquet".r.findAllIn(p).size === 1,
+      s"expected one corpus scan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly the source-rollup shuffle:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("dedup_sweep: ONE candidate pass — signature sidecar scanned like dedup_minhash, thresholds re-filter only") {
+    // a per-threshold dedup rerun would multiply every scan/exchange by
+    // |thresholds|; the sweep's plan must carry the same single
+    // banding Generate as dedup_minhash plus one threshold explode
+    val p = plan("dedup_sweep")
+    val base = plan("dedup_minhash")
+    val bandGen = "Generate posexplode".r.findAllIn(p).size
+    assert(bandGen === "Generate posexplode".r.findAllIn(base).size,
+      s"sweep must pay exactly dedup_minhash's banding passes, not |thresholds|×:\n$p")
+    assert("Generate explode\\(\\[0\\.5".r.findAllIn(p).size === 1,
+      s"expected one threshold explode over the candidate pairs:\n$p")
+  }
+
+  test("embed_stats: one explode, one (label,dim) exchange, tiny rollup — no centroid re-join") {
+    val p = plan("embed_stats")
+    assert(!p.contains("Join"),
+      s"shift identity must avoid joining the centroid back:\n$p")
+    assert("Generate posexplode".r.findAllIn(p).size === 1,
+      s"expected exactly one vector explode:\n$p")
+    assert("partial_sum".r.findFirstIn(p).isDefined,
+      s"expected map-side partial sums:\n$p")
+  }
 }
