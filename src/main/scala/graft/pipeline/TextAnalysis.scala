@@ -1531,6 +1531,38 @@ object TextAnalysis {
         col("r_symbol") && col("r_alpha") && col("r_stop"))
   }
 
+  /** LEXICAL-DIVERSITY gate: type-token ratio, hapax fraction and
+    * Guiraud index (types/√tokens — the length-robust variant) per
+    * doc. Template spam shows pathologically LOW diversity (few types
+    * repeated); gibberish/ID dumps show pathologically HIGH (every
+    * token unique) — curation gates on both tails.
+    *
+    * Shape: types and hapaxes come from ONE sorted-copy boundary scan
+    * (sort the token array; a token starts a run where it differs from
+    * its predecessor, and is a hapax when it also differs from its
+    * successor) — map-only, NO corpus-sized (doc, tok) shuffle, which
+    * is what the explode+groupBy formulation would pay twice at
+    * 100 TB. The interior lambdas cost codegen of this one projection;
+    * shuffle-freedom wins at scale. Null-safe <=> comparisons make the
+    * array boundaries (s[0], s[n+1] = null) behave as run breaks. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val s = array_sort(split(lower(trim(col("text"))), "\\s+"))
+    val pad = concat(array(lit(null).cast("string")), s)
+    // try_element_at: the successor probe runs off the end at i = n
+    // (null there = run break, exactly the semantics we want)
+    def isNew(i: Column) = !(try_element_at(s, i) <=> try_element_at(pad, i))
+    def isLast(i: Column) = !(try_element_at(s, i) <=> try_element_at(s, i + lit(1)))
+    val idx = sequence(lit(1), size(s))
+    val nTok = size(s).cast("long")
+    val nTypes = size(filter(idx, i => isNew(i))).cast("long")
+    val nHapax = size(filter(idx, i => isNew(i) && isLast(i))).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nTypes.as("n_types"),
+      nHapax.as("n_hapax"),
+      round(nTypes.cast("double") / nTok, 6).as("ttr"),
+      round(nHapax.cast("double") / nTypes, 6).as("hapax_frac"),
+      round(nTypes.cast("double") / sqrt(nTok.cast("double")), 6).as("guiraud"))
+  }
+
   /** FLESCH reading-ease readability gate (Flesch 1948 — the standard
     * document-difficulty signal a curriculum/quality pipeline keys on):
     * per doc, sentence count (runs of sentence terminators, floored at

@@ -186,10 +186,55 @@ object GraphQueries {
       GraphOps.temporalReach(tEdges, Seq(0L), maxHops = 2,
           materializeEdges = false)
         .select(col("node").as("user_id"), col("arrival"))
+    }),
+
+    // PIVOT-SAMPLED betweenness (Brandes forward/backward) over the
+    // symmetrized sssp binary tree, pivots = every nation ⇒ EXACT;
+    // undirected convention halves the both-endpoints double count.
+    // Tree ⇒ σ ≡ 1 ⇒ the δs are exact small integers in double —
+    // hash-safe against the oracle's unique-path enumeration.
+    "graph_betweenness" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val n = TestData.read(s, dir, "nation").select(col("n_nationkey").as("k"))
+      val up = n.filter(col("k") > 0).select(
+        (col("k") + TestData.NationBase).as("src"),
+        (expr("(k - 1) div 2") + TestData.NationBase).as("dst"))
+      val edges = up.unionAll(up.select(col("dst").as("src"), col("src").as("dst")))
+      // pivots = the 25 nation ids — a bounded dimension-table fetch
+      // (the probeVec pattern), never a corpus-sized collect
+      val pivots = n.select(col("k").cast("long")).collect()
+        .map(_.getLong(0) + TestData.NationBase).toSeq
+      GraphOps.betweenness(edges, pivots)
+        .select((col("node") - TestData.NationBase).cast("int").as("n_nationkey"),
+          round(col("betweenness") / 2.0, 6).as("betweenness"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // betweenness on a TREE: the unique simple path per pair IS the
+    // shortest path, so enumerating non-revisiting walks (trivially
+    // bounded — 25 nodes) and counting interior nodes is exact Brandes
+    "graph_betweenness" ->
+      """WITH RECURSIVE
+           nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+           up AS (SELECT k AS src,
+                         CAST(floor((k - 1) / 2.0) AS BIGINT) AS dst
+                  FROM nn WHERE k > 0),
+           e AS (SELECT src, dst FROM up
+                 UNION ALL SELECT dst AS src, src AS dst FROM up),
+           walk(s, node, path) AS (
+             SELECT k, k, [k] FROM nn
+             UNION ALL
+             SELECT w.s, e.dst, list_append(w.path, e.dst)
+             FROM walk w JOIN e ON e.src = w.node
+             WHERE NOT list_contains(w.path, e.dst)
+           ),
+           mids AS (SELECT unnest(path[2:len(path)-1]) AS v
+                    FROM walk WHERE s < node),
+           bc AS (SELECT v, count(*) AS c FROM mids GROUP BY 1)
+         SELECT CAST(k AS INT) AS n_nationkey,
+                round(CAST(coalesce(c, 0) AS DOUBLE), 6) AS betweenness
+         FROM nn LEFT JOIN bc ON bc.v = nn.k""",
     "graph_degree" ->
       """SELECT c_nationkey AS n_nationkey, CAST(0 AS BIGINT) AS out_deg,
                 COUNT(*) AS in_deg

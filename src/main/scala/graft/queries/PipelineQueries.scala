@@ -509,6 +509,10 @@ object PipelineQueries {
     // map-only, one codegen'd projection, exact-integer counts
     "text_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
 
+    // lexical diversity (TTR/hapax/Guiraud) from ONE sorted-copy
+    // boundary scan — map-only, no (doc, tok) corpus shuffle
+    "text_lexdiv" -> ((s, dir) => TextAnalysis.lexicalDiversity(docs(s, dir))),
+
     // PII incidence datasheet per source — the accounting twin of
     // text_redact, sharing its regex constants; map-only + tiny rollup
     "text_pii_report" -> ((s, dir) => TextAnalysis.piiReport(docs(s, dir))),
@@ -1735,6 +1739,25 @@ object PipelineQueries {
                 (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) >= 30.0 AS readable
          FROM m""",
+    // lexical diversity: counts are sort-order-invariant run/boundary
+    // counts over the sorted token list — exact integers both engines
+    "text_lexdiv" ->
+      """WITH m AS (SELECT doc_id,
+                           list_sort(string_split_regex(lower(trim(text)), '\s+')) AS s
+                    FROM documents),
+              c AS (SELECT doc_id,
+                           CAST(len(s) AS BIGINT) AS n_tokens,
+                           CAST(len(list_filter(range(1, len(s) + 1),
+                                i -> i = 1 OR s[i] <> s[i-1])) AS BIGINT) AS n_types,
+                           CAST(len(list_filter(range(1, len(s) + 1),
+                                i -> (i = 1 OR s[i] <> s[i-1])
+                                 AND (i = len(s) OR s[i] <> s[i+1]))) AS BIGINT) AS n_hapax
+                    FROM m)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+                round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac,
+                round(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS guiraud
+         FROM c""",
     // PII incidence per source — same three shapes text_redact scrubs
     "text_pii_report" ->
       """WITH p AS (SELECT source,

@@ -575,6 +575,18 @@ object FactStream {
       .agg(graft.pipeline.TextAnalysis.profileAggCols.head,
         graft.pipeline.TextAnalysis.profileAggCols.tail: _*)
 
+  /** LIVE PII incidence report (the §2C text_pii_report twin): every
+    * aggregate in the report is commutative+associative (occurrence
+    * sums, affected-doc counts) and the incidence ratio derives from
+    * them post-aggregation, so the streamed report IS the batch
+    * operator applied to the unbounded relation — literally the same
+    * function (TextAnalysis.piiReport), no separate map/agg
+    * restatement, zero possibility of the live report drifting from
+    * the published datasheet. Complete-mode output over |sources|
+    * rows; state is |sources| aggregation cells, not corpus-sized. */
+  def piiStream(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.piiReport(docs)
+
   /** LIVE crawl-drift cells (the §2C corpus_drift twin): the
     * per-(source, snapshot) token sums maintained as a streaming
     * aggregation — the sums are exact-decimal and

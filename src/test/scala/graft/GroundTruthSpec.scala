@@ -1567,6 +1567,47 @@ class GroundTruthSpec extends SparkSpec {
       "perturbed copies must add pairs below the top cutoff")
   }
 
+  test("betweenness: diamond graph splits credit across the two shortest paths") {
+    // 1→2→4, 1→3→4: σ(1→4) = 2, so 2 and 3 each carry δ = 1/2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val bc = GraphOps.betweenness(edges, Seq(1L, 2L, 3L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc(2L) === 0.5 && bc(3L) === 0.5)
+    assert(bc.getOrElse(4L, 0.0) === 0.0) // endpoint only, never interior
+    assert(bc.getOrElse(1L, 0.0) === 0.0)
+  }
+
+  test("betweenness: path graph recovers the closed-form interior counts") {
+    // undirected path 1-2-3-4-5 (symmetrized), pivots = all, halved:
+    // bc(3) = |{(1,4),(1,5),(2,4),(2,5)}| = 4; bc(2) = bc(4) = 3
+    val up = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val edges = up.unionAll(up.select(col("dst").as("src"), col("src").as("dst")))
+    val bc = GraphOps.betweenness(edges, Seq(1L, 2L, 3L, 4L, 5L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1) / 2.0).toMap
+    assert(bc(3L) === 4.0 && bc(2L) === 3.0 && bc(4L) === 3.0)
+    assert(bc(1L) === 0.0 && bc(5L) === 0.0)
+  }
+
+  test("lexicalDiversity: sorted-boundary scan counts types and hapaxes exactly") {
+    val docs = Seq(
+      (1L, "a b a c b a"),  // 6 tokens, 3 types (a,b,c), 1 hapax (c)
+      (2L, "x x x x"),      // no hapax
+      (3L, "u v w")         // all hapax
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") === 6L)
+    assert(out(1L).getAs[Long]("n_types") === 3L)
+    assert(out(1L).getAs[Long]("n_hapax") === 1L)
+    assert(out(1L).getAs[Double]("ttr") === 0.5)
+    assert(out(1L).getAs[Double]("hapax_frac") === 0.333333)
+    assert(out(1L).getAs[Double]("guiraud") === 1.224745) // 3/√6
+    assert(out(2L).getAs[Long]("n_types") === 1L &&
+      out(2L).getAs[Double]("hapax_frac") === 0.0)
+    assert(out(3L).getAs[Double]("ttr") === 1.0 &&
+      out(3L).getAs[Double]("hapax_frac") === 1.0)
+  }
+
   test("embedStats: planted two-vector labels recover exact centroid norm and spread") {
     val docs = Seq(
       (1L, Array(1.0f, 0.0f), 0),  // label 0: centroid (.5,.5)

@@ -660,6 +660,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
   }
 
+  test("text_lexdiv: shuffle-free map-only gate — no (doc, tok) explode shuffle") {
+    val p = plan("text_lexdiv")
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n$p")
+    assert(!p.contains("Generate"), s"expected no corpus explode:\n$p")
+  }
+
   test("text_pii_report: one corpus scan, one source exchange, partial aggs map-side") {
     val p = plan("text_pii_report")
     assert("Scan parquet|FileScan parquet".r.findAllIn(p).size === 1,

@@ -711,6 +711,42 @@ class StreamingSpec extends SparkSpec {
     assert(live === batch)
   }
 
+  test("stream_pii: live incidence report equals the batch text_pii_report") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    val q = FactStream.piiStream(docs).writeStream
+      .format("memory").queryName("live_pii")
+      .outputMode("complete").start()
+    val b0 = Seq(
+      (1L, "mail a@b.com and c@d.org now", "s1"),
+      (2L, "ssn 123-45-6789 on file", "s1"),
+      (3L, "perfectly clean text here", "s2"))
+    val b1 = Seq(
+      (4L, "acct 12345678 please", "s2"),
+      (5L, "still nothing sensitive", "s1"))
+    input.addData(b0)
+    q.processAllAvailable()
+    input.addData(b1)
+    q.processAllAvailable()
+    q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "n_docs", "n_emails", "n_ssns", "n_digit_runs",
+        "docs_any", "pii_incidence")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    import spark.implicits._
+    val live = cells(spark.table("live_pii"))
+    // same function on both sides: the streamed state cannot drift
+    // from the published datasheet
+    val batch = cells(graft.pipeline.TextAnalysis.piiReport(
+      (b0 ++ b1).toDF("doc_id", "text", "source")))
+    assert(live === batch)
+    assert(live.exists { case (s, _, em, ss, _, any, inc) =>
+      s == "s1" && em == 2L && ss == 1L && any == 2L && inc > 0.6 })
+  }
+
   test("stream_profile: live datasheet cells equal the batch corpus_profile leaf cells") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
