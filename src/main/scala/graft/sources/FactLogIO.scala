@@ -113,6 +113,88 @@ object FactLogIO {
       versioned = true)
   }
 
+  /** What [[excise]] did: how many physical files were rewritten (vs
+    * left untouched) and how many fact rows ceased to exist. */
+  final case class ExciseReport(filesRewritten: Long, filesTotal: Long,
+                                factsRemoved: Long)
+
+  /** EXCISION — physical removal of every fact VERSION of the given
+    * entities from a written layout (the right-to-be-forgotten /
+    * Datomic-excise operation): unlike a RETRACTION, which is an
+    * ordinary newer fact that hides a value while history keeps it,
+    * excision REWRITES storage so the data provably no longer exists —
+    * historical and as-of reads included.
+    *
+    * Surgical by layout, not by scan: [[write]] spreads `e` across
+    * hash buckets inside each attribute directory with per-row-group
+    * e-min/max stats (sortWithinPartitions), so (1) locating the
+    * victims is one pushdown-pruned scan collecting DISTINCT FILE
+    * PATHS — an entity lives in exactly ONE bucket file per attribute
+    * directory — and (2) only those files are rewritten in place
+    * (read one file → filter → atomic single-file replace); every
+    * other byte of a 100 TB log is untouched. Cost is
+    * O(|attrs(e)| · file), independent of log size.
+    *
+    * Single-writer discipline (the sidecar rule): not safe under
+    * concurrent readers of the same files — run it as the log's
+    * maintenance writer. A snapshot-base segment under `path` (from
+    * [[writeSnapshotBase]]) is excised too when present. */
+  def excise(spark: SparkSession, path: String, ids: Seq[Long]): ExciseReport = {
+    require(ids.nonEmpty, "excise needs at least one entity id")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquetFilesUnder(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) out += f.toString
+        }
+        out.toSeq
+      }
+    }
+    def exciseDir(dir: String): (Long, Long, Long) = {
+      val all = parquetFilesUnder(dir)
+      if (all.isEmpty) return (0L, 0L, 0L)
+      // ONE pushdown-pruned job finds the files that can hold the ids
+      val hits = spark.read.parquet(dir)
+        .filter(col("e").isin(ids: _*))
+        .select(input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      var removed = 0L
+      hits.foreach { f =>
+        val fp = new org.apache.hadoop.fs.Path(f)
+        val fs = fp.getFileSystem(conf)
+        val one = spark.read.parquet(f)
+        val kept = one.filter(!col("e").isin(ids: _*))
+        val before = one.count()
+        val keptN = kept.count()
+        removed += before - keptN
+        if (keptN == 0L) fs.delete(fp, false)
+        else {
+          // write the replacement beside the original, then swap —
+          // the move is the atomic step on a real filesystem
+          val tmp = new org.apache.hadoop.fs.Path(
+            fp.getParent, s".excise_tmp_${fp.getName}")
+          kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"excise: no parquet produced under $tmp"))
+          fs.delete(fp, false)
+          fs.rename(part, fp)
+          fs.delete(tmp, true)
+        }
+      }
+      (hits.size.toLong, all.size.toLong, removed)
+    }
+    val (f1, t1, r1) = exciseDir(s"$path/facts")
+    val (f2, t2, r2) = exciseDir(s"$path/base") // compacted snapshot, if any
+    ExciseReport(f1 + f2, t1 + t2, r1 + r2)
+  }
+
   def read(spark: SparkSession, path: String): FactDb = {
     val meta = spark.read.json(s"$path/meta").head()
     val attrTypes = meta.getAs[String]("attr_types").split(',')

@@ -27,6 +27,50 @@ class SourcesSpec extends SparkSpec {
     assert(a === b && a > 0)
   }
 
+  test("excise: entity physically gone from log+historical+snapshot; other files untouched") {
+    val dir = Files.createTempDirectory("graft-excise").toString
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    FactLogIO.write(db, dir, buckets = 2)
+    val victim = db.log.select(col("e")).head().getLong(0)
+    val before = FactLogIO.read(spark, dir)
+    val victimFacts = before.log.filter(col("e") === victim).count()
+    val othersBefore = before.log.filter(col("e") =!= victim).count()
+    assert(victimFacts > 0)
+
+    val report = FactLogIO.excise(spark, dir, Seq(victim))
+    assert(report.factsRemoved === victimFacts)
+    // surgical: the entity lives in ONE bucket file per attribute dir,
+    // so at most |attrs| of the files are rewritten, never all of them
+    assert(report.filesRewritten <= 4 && report.filesRewritten < report.filesTotal,
+      s"expected a per-attr-bucket surgical rewrite, got $report")
+
+    val after = FactLogIO.read(spark, dir)
+    // provably gone — raw log, historical AND snapshot views
+    assert(after.log.filter(col("e") === victim).isEmpty)
+    assert(after.historical().filter(col("e") === victim).isEmpty)
+    assert(after.snapshot().filter(col("e") === victim).isEmpty)
+    // everyone else's facts are bit-identical (count + value hash)
+    assert(after.log.count() === othersBefore)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("e") =!= victim)
+      .select(xxhash64(col("e"), col("a"), col("vstr"), col("vlong"),
+        col("tx"), col("added")).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    assert(sig(after.log) === sig(before.log))
+  }
+
+  test("excise: a compacted snapshot base under the same path is excised too") {
+    val dir = Files.createTempDirectory("graft-excise-base").toString
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    FactLogIO.write(db, dir, buckets = 2)
+    val watermark = db.log.agg(max(col("tx"))).head().getLong(0)
+    FactLogIO.writeSnapshotBase(db, dir, watermark)
+    val victim = db.log.select(col("e")).head().getLong(0)
+    FactLogIO.excise(spark, dir, Seq(victim))
+    val compacted = FactLogIO.withSnapshotBase(spark, dir, FactLogIO.read(spark, dir))
+    assert(compacted.snapshot().filter(col("e") === victim).isEmpty)
+  }
+
   test("bucketed fact tables join on e with no shuffle exchange") {
     val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
     spark.sql("DROP TABLE IF EXISTS facts_bucketed")
