@@ -77,9 +77,22 @@ object Bench {
     // are built here — the measured samples are then uniform
     // steady-state latencies, and the per-query spread reflects box
     // noise rather than a constant first-run build cost.
+    // localCheckpoint blocks are per-invocation temporaries: left
+    // alone they ACCUMULATE across the headline until execution
+    // memory starves at the 100x probe (UNABLE_TO_ACQUIRE_MEMORY —
+    // the r12 graph_jaccard memory finding, reintroduced in AGGREGATE
+    // once the headline grew past ~60 queries). No session artifact
+    // holds a checkpointed frame (every (session, dir) cache is a
+    // catalog-table read), so dropping all persistent RDDs between
+    // queries is safe, and it gives each measured query the whole
+    // JVM's memory budget instead of whatever its predecessors left.
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     queriesToRun.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
       catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs
+      dropCheckpoints()
     }
     // n runs per query, report the per-query MEDIAN: single runs are
     // ±30% box-noisy and one GC pause misgrades a whole round. Samples
@@ -93,11 +106,14 @@ object Bench {
         val t0 = System.nanoTime()
         // a throwing query must NOT contribute its time-to-exception as
         // a (fast!) timing sample — mark the sample invalid instead
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Double.NaN
-        }
+        val sample =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Double.NaN
+          }
+        dropCheckpoints() // outside the timer
+        sample
       }
     }
     def median(xs: Seq[Double]): Double = {
