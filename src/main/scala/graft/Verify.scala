@@ -39,9 +39,13 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         // per-invocation localCheckpoint blocks must not accumulate
-        // across the 176-query dump (the Bench dropCheckpoints note)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // across the 176-query dump (the Bench dropCheckpoints note);
+        // the datalog fixpoint cache is spared (rebuild-per-query
+        // otherwise)
+        val keep = graft.datalog.Compiler.protectedRddIds(spark)
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keep(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -672,6 +672,21 @@ object Compiler {
           : Boolean = size() > fixpointCacheMax
     }
 
+  /** RDD ids backing LIVE fixpoint-cache entries for this session.
+    * Harnesses that sweep persistent RDDs between queries to stop
+    * per-invocation localCheckpoint accumulation (Bench/Verify) must
+    * SPARE these — unpersisting them is correctness-safe (the
+    * blocksHealthy validation rebuilds) but silently turns every
+    * cached-fixpoint reuse into a rebuild, re-paying the iterative
+    * fixpoint per bench sample. */
+  def protectedRddIds(spark: SparkSession): Set[Int] =
+    fixpointCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      fixpointCache.entrySet().asScala
+        .filter(_.getKey._1 eq spark)
+        .flatMap(_.getValue._2).toSet
+    }
+
   /** Fault tolerance for cache reuse: cached fixpoints are
     * localCheckpoint-backed — lineage is truncated, so blocks lost to
     * an executor failure CANNOT be recomputed, and without this check
