@@ -81,20 +81,28 @@ object Bench {
     // alone they ACCUMULATE across the headline until execution
     // memory starves at the 100x probe (UNABLE_TO_ACQUIRE_MEMORY —
     // the r12 graph_jaccard memory finding, reintroduced in AGGREGATE
-    // once the headline grew past ~60 queries). No session artifact
-    // holds a checkpointed frame (every (session, dir) cache is a
-    // catalog-table read), so dropping all persistent RDDs between
-    // queries is safe, and it gives each measured query the whole
-    // JVM's memory budget instead of whatever its predecessors left.
-    // ... sparing the datalog fixpoint cache: sweeping its blocks is
-    // correctness-safe (blocksHealthy rebuilds) but re-pays the
-    // iterative fixpoint per sample (dl_rule_rec went 0.23 -> 1.9 s
-    // under a blanket sweep).
-    def dropCheckpoints(): Unit = {
-      val keep = graft.datalog.Compiler.protectedRddIds(spark)
+    // once the headline grew past ~60 queries). Dropping persistent
+    // RDDs between queries gives each measured query the whole JVM's
+    // memory budget instead of whatever its predecessors left — but
+    // TWO bounded session artifacts must be SPARED:
+    //  - the datalog fixpoint cache (Compiler.protectedRddIds):
+    //    sweeping its blocks is correctness-safe (blocksHealthy
+    //    rebuilds) but re-pays the iterative fixpoint per sample
+    //    (dl_rule_rec went 0.23 -> 1.9 s under a blanket sweep);
+    //  - the melted fact-log persists (TestData.protectedRddIds): a
+    //    swept `.persist` keeps lineage, so every dl_*/graph sample
+    //    silently re-paid the 40-branch melt INSIDE the timer (the
+    //    r13 regression — dl_asof 2.67×, 44/54 common queries slower).
+    // `blocking` is caller-chosen: the timed sampling loop passes true
+    // so asynchronous block removal can't overlap (and steal execution
+    // memory from) the NEXT measured sample; warm-up keeps the cheap
+    // non-blocking form.
+    def dropCheckpoints(blocking: Boolean = false): Unit = {
+      val keep = graft.datalog.Compiler.protectedRddIds(spark) ++
+        graft.core.TestData.protectedRddIds(spark)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep(id) }
-        .values.foreach(_.unpersist(blocking = false))
+        .values.foreach(_.unpersist(blocking))
     }
     queriesToRun.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
@@ -119,7 +127,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Double.NaN
           }
-        dropCheckpoints() // outside the timer
+        dropCheckpoints(blocking = true) // outside the timer
         sample
       }
     }

@@ -40,9 +40,10 @@ object Verify {
         }
         // per-invocation localCheckpoint blocks must not accumulate
         // across the 176-query dump (the Bench dropCheckpoints note);
-        // the datalog fixpoint cache is spared (rebuild-per-query
-        // otherwise)
-        val keep = graft.datalog.Compiler.protectedRddIds(spark)
+        // the datalog fixpoint cache AND the melted fact-log persists
+        // are spared (rebuild-per-query otherwise — the r13 regression)
+        val keep = graft.datalog.Compiler.protectedRddIds(spark) ++
+          graft.core.TestData.protectedRddIds(spark)
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keep(id) }
           .values.foreach(_.unpersist(blocking = false))

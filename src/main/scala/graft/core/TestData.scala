@@ -72,6 +72,21 @@ object TestData {
   private val dbCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), FactDb]
 
+  /** Columnar-cache RDD ids backing LIVE dbCache entries for this
+    * session. Harnesses that sweep persistent RDDs between queries
+    * (Bench/Verify dropCheckpoints) must SPARE these alongside
+    * Compiler.protectedRddIds: a swept `.persist` keeps its lineage, so
+    * nothing FAILS — every later datalog/graph query silently re-pays the
+    * 40-branch melt + RDD round-trip inside its own (timed) run instead
+    * (the r13 dl_asof 2.67× bench regression). Recomputed per call: a
+    * re-materialized cache (blocks lost, InMemoryRelation rebuilt)
+    * changes the buffer RDD id, and a stale snapshot would protect the
+    * wrong id. */
+  def protectedRddIds(spark: SparkSession): Set[Int] =
+    dbCache.collect { case ((s, _, _), db) if s eq spark =>
+      org.apache.spark.sql.graft.Bridge.cachedRddIds(db.log)
+    }.flatten.toSet
+
   /** Materialize a fact log with a TRUNCATED logical plan: the melted
     * 40-branch union otherwise makes Catalyst hit its 100-iteration
     * cap on every downstream query. Serialized storage (not

@@ -20,4 +20,19 @@ object Bridge {
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }
+
+  /** Ids of the columnar cache RDDs behind a `Dataset.persist`ed frame
+    * (the InMemoryRelation's cached column buffers). These are what
+    * `SparkContext.getPersistentRDDs` registers for a DataFrame-level
+    * persist — NOT the LogicalRDD leaves `checkpointRddIds` sees — so a
+    * harness that sweeps persistent RDDs between queries needs exactly
+    * these ids to spare a session-cached frame. Only LOADED buffers are
+    * reported (touching an unloaded builder would instantiate and
+    * register its RDD as a side effect of the inspection). */
+  def cachedRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if r.cacheBuilder.isCachedColumnBuffersLoaded =>
+        r.cacheBuilder.cachedColumnBuffers.id
+    }
 }
