@@ -25,6 +25,9 @@ object Bench {
     "text_boilerplate", "text_novelty", "text_lang_conf", "corpus_ngram_stats",
     "text_bigram_lm", "text_trigram_lm", "text_gopher", "text_zipf",
     "dedup_soft", "sample_importance", "text_bpe_learn", "train_bitext",
+    // the miner's 100 TB path (SignLsh ring buckets) benched alongside
+    // the exact-oracle path so the headline tracks the deployable design
+    "train_bitext_lsh",
     "text_readability", "text_pii_report", "dedup_sweep", "embed_stats",
     "text_lexdiv",
     "pipeline_pack", "pipeline_e2e",

@@ -874,17 +874,25 @@ object Similarity {
     * cosine then id — so the exact path is DuckDB-replicated
     * value-for-value.
     *
-    * Scale path: `planes` > 0 signs both sides with SignLsh and
-    * restricts candidates to multi-probe ring buckets (the
-    * [[annTopKBatch]] discipline) — Σ|bucket|-bounded, never |X|·|Y|;
+    * Scale path: `planes` > 0 signs both sides with mean-centered
+    * SignLsh and restricts candidates to Hamming ≤ 2 multi-probe ring
+    * buckets, scored with the same imperative kernel as the exact path
+    * ([[bitextScoreBuckets]]) — Σ|bucket|-bounded, never |X|·|Y|;
     * neighborhood averages then run over the candidate set (the
     * standard ANN-margin approximation; CCMatrix does exactly this
-    * over quantized indexes). Zero-norm embeddings (empty docs) are
+    * over quantized indexes). The approximation's error is ONE-SIDED:
+    * restricted neighborhoods deflate avgK, so margins only INFLATE —
+    * the scale path never drops an exact-mined pair whose target
+    * co-buckets (measured 0 missed at sf0.001/0.01, 1 of 100 at
+    * sf0.1) and mines a few extra borderline pairs (≤10%, tunable via
+    * `marginThresh`; GroundTruthSpec + BitextScaleProbe parity mode
+    * pin both directions). Zero-norm embeddings (empty docs) are
     * excluded up front — they have no direction, and both engines
     * would otherwise emit NaN cosines. */
   def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
                  langCol: String, srcLang: String, k: Int = 4,
-                 marginThresh: Double = 1.05, planes: Int = 0): DataFrame = {
+                 marginThresh: Double = 1.05, planes: Int = 0,
+                 ringBits: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dotFn = graft.functions.VectorExpressions.dot _
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -904,10 +912,13 @@ object Similarity {
     //    (the row copies dominate, not the FMAs). Same broadcast
     //    bound as the BNLJ it replaces: the source-language shard
     //    must fit in a broadcast block; past that, use `planes`.
-    //  - bucketed path (`planes` > 0): y indexed by its sign bucket;
-    //    x probes its own bucket plus all 1-bit flips (multi-probe
-    //    ring) — each y lives in ONE bucket and ring entries are
-    //    distinct, so no pair dedup needed.
+    //  - bucketed path (`planes` > 0): [[bitextScoreBuckets]] — y
+    //    indexed by its (mean-centered) sign bucket, x probes its own
+    //    bucket plus all 1-bit flips (multi-probe ring), co-partitioned
+    //    by bucket and scored with the SAME imperative FMA kernel as
+    //    the exact path. Each y lives in ONE bucket and ring entries
+    //    are distinct, so each pair is scored once; forward+backward
+    //    emission can duplicate a pair, hence the dedup.
     // tgt_lang deliberately does NOT ride the pair relation (it is
     // only needed on the |X| rank-1 rows — re-joined from the
     // |Y|-sized side at the end).
@@ -918,21 +929,9 @@ object Similarity {
         // Any pair it omits is beaten by k emitted pairs on (cos, id)
         // in its direction, so rank ≤ k below is top-k-EXACT.
         bitextScoreBlocked(x, y, k).dropDuplicates("src_id", "tgt_id")
-      else {
-        val sig = graft.functions.VectorExpressions.signLsh(col("vec"), planes)
-        val yb = y.withColumn("bucket", sig)
-        val xs = x.withColumn("sig", sig)
-        val ring = array((col("sig") +: (0 until planes).map(b =>
-          col("sig").bitwiseXOR(lit(1L << b)))): _*)
-        xs.withColumn("bucket", explode(array_distinct(ring))).drop("sig")
-          .as("x").join(yb.as("y"), col("x.bucket") === col("y.bucket"))
-          .select(col("x.id").as("src_id"), col("y.id").as("tgt_id"),
-            round(dotFn(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 6)
-              .as("cos"))
-          // one repartition so the backward leg's re-key rides a
-          // ReusedExchange instead of re-running the bucket join
-          .repartition(col("src_id"))
-      }
+      else
+        bitextScoreBuckets(x, y, planes, k, ringBits)
+          .dropDuplicates("src_id", "tgt_id")
     // the rank windows are top-k-exact over BOTH relations: the
     // blocked pass emits per-partition top-k supersets per key, the
     // bucketed path the full candidate set — either way rank ≤ k
@@ -985,6 +984,27 @@ object Similarity {
     * BigDecimal, HALF_UP); both top-k selections order by (cos desc,
     * id asc) — the same total order the rank windows downstream use.
     */
+  /** `round(_, 6)`-exact scalar rounding (toString-canonical BigDecimal,
+    * HALF_UP) — shared by both imperative bitext kernels so their
+    * cosines match the declarative surface bit-for-bit. */
+  private def round6(d: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Best-first parallel-array top-k insert; (cos desc, id asc) total
+    * order — the same order the downstream rank windows use. */
+  private def topkInsert(kk: Int, cosA: Array[Double], idA: Array[Long],
+                         c: Double, id: Long): Unit = {
+    var p = kk
+    while (p > 0 && (c > cosA(p - 1) ||
+      (c == cosA(p - 1) && id < idA(p - 1)))) p -= 1
+    if (p < kk) {
+      var q = kk - 1
+      while (q > p) { cosA(q) = cosA(q - 1); idA(q) = idA(q - 1); q -= 1 }
+      cosA(p) = c; idA(p) = id
+    }
+  }
+
   private def bitextScoreBlocked(x: DataFrame, y: DataFrame, k: Int): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
@@ -1000,21 +1020,8 @@ object Similarity {
       .mapPartitions { it =>
         val (ids, vecs, nrms) = bc.value
         val nx = ids.length
-        def round6(d: Double): Double =
-          new java.math.BigDecimal(java.lang.Double.toString(d))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        // best-first parallel arrays; (cos desc, id asc) total order
         def insert(cosA: Array[Double], idA: Array[Long],
-                   c: Double, id: Long): Unit = {
-          var p = kk
-          while (p > 0 && (c > cosA(p - 1) ||
-            (c == cosA(p - 1) && id < idA(p - 1)))) p -= 1
-          if (p < kk) {
-            var q = kk - 1
-            while (q > p) { cosA(q) = cosA(q - 1); idA(q) = idA(q - 1); q -= 1 }
-            cosA(p) = c; idA(p) = id
-          }
-        }
+                   c: Double, id: Long): Unit = topkInsert(kk, cosA, idA, c, id)
         val fCos = Array.fill(nx)(Array.fill(kk)(Double.NegativeInfinity))
         val fTid = Array.fill(nx)(Array.fill(kk)(Long.MaxValue))
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
@@ -1045,6 +1052,151 @@ object Similarity {
             out += ((ids(j), fTid(j)(b), fCos(j)(b))); b += 1
           }
           j += 1
+        }
+        out.iterator
+      }
+      .toDF("src_id", "tgt_id", "cos")
+  }
+
+  /** The SCALE-path scoring kernel of [[bitextMine]] (`planes` > 0):
+    * ring-bucket candidate generation + the exact path's imperative FMA
+    * scoring, fused. Two design points, both measured at sf0.1:
+    *
+    *  - **Bucketing is mean-CENTERED.** Hashing-trick embeddings share
+    *    a dominant common direction (stopword mass), so raw sign-LSH
+    *    concentrates the corpus: 65% of sf0.1 docs landed in ONE
+    *    bucket (Σ|bucket|² ≈ |Y|²/2 — no pruning left). Subtracting
+    *    the corpus mean before hashing spreads signs; SCORING always
+    *    uses the raw vectors, so emitted cosines are unchanged.
+    *    Near-identical raw vectors stay near-identical after the
+    *    translation, so they still co-bucket (the recall contract);
+    *    only points near the centroid get unstable centered directions
+    *    — exactly the points with no distinctive content to mine.
+    *  - **Scoring is imperative, not a join.** The declarative
+    *    bucket-join + projection pays ~1 µs/pair in row machinery (the
+    *    exact path measured 0.8 µs/pair for its cross join — the row
+    *    copies dominate, not the FMAs); co-partitioning both sides by
+    *    bucket and running the blocked top-k loop per bucket pays
+    *    ~12 ns/pair. Σ|x_ring(b)|·|y(b)| pairs, never |X|·|Y|.
+    *
+    * Emission mirrors [[bitextScoreBlocked]]: per y, top-k over the x
+    * probes of its bucket (all co-partitioned with it → backward top-k
+    * is globally EXACT); per x, top-k accumulated across its ring
+    * buckets within the partition (a superset across partitions — the
+    * downstream rank window finishes it). Per-partition working state:
+    * the partition's bucket contents (Σ|bucket| over its buckets — the
+    * quantity `planes` sizing bounds) + k slots per resident row. */
+  private def bitextScoreBuckets(x: DataFrame, y: DataFrame, planes: Int,
+                                 k: Int, ringBits: Int): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    // corpus mean over both shards: one map-side-combinable aggregation,
+    // |dims| rows collected (a parameter fetch, not a data haul)
+    val meanArr: Array[Double] = x.select(col("vec"))
+      .unionAll(y.select(col("vec")))
+      .select(posexplode(col("vec")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(avg(col("v")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val meanLit = array(meanArr.map(lit): _*)
+    // centered = vec - mean, for BUCKETING only (try_element_at: a
+    // ragged vector centers as raw rather than throwing under ANSI,
+    // and the output length always matches the input vector's)
+    val centered = transform(col("vec"), (v, i) =>
+      v - coalesce(try_element_at(meanLit, i + lit(1)), lit(0.0)))
+    val sig = graft.functions.VectorExpressions.signLsh(centered, planes)
+    // multi-probe ring: all flips of Hamming ≤ ringBits. Probe count is
+    // 1 + planes (+ planes·(planes-1)/2 at ringBits=2, ...) — the ring
+    // depth is the recall/cost knob: each extra bit recovers pairs
+    // whose centered signs drift further (near-centroid vectors) but
+    // multiplies the replicated probe rows through the bucket shuffle.
+    val flips: Seq[Long] = ringBits match {
+      case b if b <= 1 => (0 until planes).map(p => 1L << p)
+      case _ => (0 until planes).map(p => 1L << p) ++
+        (for (a <- 0 until planes; c <- a + 1 until planes)
+          yield (1L << a) | (1L << c))
+    }
+    val ring = array((col("sig") +: flips.map(f =>
+      col("sig").bitwiseXOR(lit(f)))): _*)
+    val xs = x.withColumn("sig", sig)
+      .select(lit(true).as("isx"), col("id"), col("vec"), col("nrm"),
+        explode(array_distinct(ring)).as("bucket"))
+    val ys = y.select(lit(false).as("isx"), col("id"), col("vec"), col("nrm"),
+      sig.as("bucket"))
+    val kk = k
+    xs.unionAll(ys)
+      .repartition(col("bucket"))
+      .as[(Boolean, Long, Array[Double], Double, Long)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val xb = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Double], Double)]]
+        val yb = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Double], Double)]]
+        it.foreach { case (isx, id, vec, nrm, b) =>
+          (if (isx) xb else yb)
+            .getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((id, vec, nrm))
+        }
+        // forward top-k per x id, accumulated ACROSS its ring buckets
+        // resident in this partition (merged per (x, bucket), k rows —
+        // hashmap cost amortized off the per-pair hot loop)
+        val fAcc = mutable.HashMap.empty[Long, (Array[Double], Array[Long])]
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        yb.foreach { case (b, yRows) =>
+          xb.get(b).foreach { xRows =>
+            // bucket contents as primitive parallel arrays: the double
+            // loop below is the hot path (~18 ns/pair incl. inserts,
+            // same as the exact kernel) — no tuple destructure or map
+            // lookup per pair
+            val nx = xRows.length
+            val xIds = new Array[Long](nx)
+            val xVecs = new Array[Array[Double]](nx)
+            val xNrms = new Array[Double](nx)
+            var j = 0
+            while (j < nx) {
+              val t = xRows(j); xIds(j) = t._1; xVecs(j) = t._2; xNrms(j) = t._3
+              j += 1
+            }
+            // per-bucket forward accumulators, positionally indexed
+            val fCos = Array.fill(nx)(Array.fill(kk)(Double.NegativeInfinity))
+            val fTid = Array.fill(nx)(Array.fill(kk)(Long.MaxValue))
+            yRows.foreach { case (tid, yv, ynrm) =>
+              val bCos = Array.fill(kk)(Double.NegativeInfinity)
+              val bSid = Array.fill(kk)(Long.MaxValue)
+              j = 0
+              while (j < nx) {
+                val xv = xVecs(j)
+                val n = math.min(xv.length, yv.length)
+                var acc = 0.0
+                var i = 0
+                while (i < n) { acc += xv(i) * yv(i); i += 1 }
+                val c = round6(acc / (xNrms(j) * ynrm))
+                topkInsert(kk, bCos, bSid, c, xIds(j))
+                topkInsert(kk, fCos(j), fTid(j), c, tid)
+                j += 1
+              }
+              var p = 0
+              while (p < kk && bCos(p) != Double.NegativeInfinity) {
+                out += ((bSid(p), tid, bCos(p))); p += 1
+              }
+            }
+            // merge this bucket's forward top-k into the partition
+            // accumulator (k inserts per x per bucket)
+            j = 0
+            while (j < nx) {
+              val (fc, ft) = fAcc.getOrElseUpdate(xIds(j),
+                (Array.fill(kk)(Double.NegativeInfinity),
+                  Array.fill(kk)(Long.MaxValue)))
+              var p = 0
+              while (p < kk && fCos(j)(p) != Double.NegativeInfinity) {
+                topkInsert(kk, fc, ft, fCos(j)(p), fTid(j)(p)); p += 1
+              }
+              j += 1
+            }
+          }
+        }
+        fAcc.foreach { case (sid, (fc, ft)) =>
+          var j = 0
+          while (j < kk && fc(j) != Double.NegativeInfinity) {
+            out += ((sid, ft(j), fc(j))); j += 1
+          }
         }
         out.iterator
       }

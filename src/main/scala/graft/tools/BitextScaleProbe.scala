@@ -35,15 +35,51 @@ object BitextScaleProbe {
     def embd = TextAnalysis.hashEmbedding(d, dims = 64)
       .join(d.select(col("doc_id"), col("lang")), "doc_id")
     val nY = d.filter(col("lang") =!= "en").count()
-    // volume-sized planes: ~64 vectors per bucket (0 = exact path)
+    // volume-sized planes: ~128 vectors per bucket (0 = exact path),
+    // matching the train_bitext_lsh query's sizing;
+    // BITEXT_PLANES / BITEXT_RING override for the sizing sweeps
     val planes =
       if (mode == "exact") 0
-      else math.max(4, (math.log(nY / 64.0) / math.log(2)).ceil.toInt)
+      else sys.env.get("BITEXT_PLANES").map(_.toInt).getOrElse(
+        math.max(4, (math.log(nY / 128.0) / math.log(2)).ceil.toInt))
+    val ringBits = sys.env.get("BITEXT_RING").map(_.toInt).getOrElse(2)
 
+    if (mode == "buckets") {
+      // diagnostic: the sign-bucket histogram of the target shard —
+      // hashing-trick embeddings can concentrate mass in few buckets
+      // (a dominant direction), which turns Σ|bucket| into corpus²
+      val sig = graft.functions.VectorExpressions.signLsh(col("vec"), planes)
+      val hist = embd.filter(col("lang") =!= "en").withColumn("b", sig)
+        .groupBy("b").count().orderBy(col("count").desc).collect()
+      println(s"[buckets] planes=$planes nBuckets=${hist.length} " +
+        s"top=${hist.take(8).map(r => r.getLong(0) + ":" + r.getLong(1)).mkString(",")}")
+      val sq = hist.map(r => r.getLong(1) * r.getLong(1)).sum
+      println(s"[buckets] sum|b|^2=$sq vs |Y|^2=${nY * nY}")
+      spark.stop(); return
+    }
+    if (mode == "parity") {
+      // mined-set recall/precision of the bucketed path vs the exact
+      // path: exact ⊆ bucketed is the recall contract (restricted
+      // candidate neighborhoods deflate avgK → inflate margins, so the
+      // approximation errs toward MINING MORE, never dropping a pair
+      // whose target co-buckets); the extra-pair ratio is the precision
+      // cost, tunable via marginThresh.
+      def mined(p: Int): Set[(Long, Long)] =
+        Similarity.bitextMine(embd, "doc_id", "vec", "lang", "en",
+          planes = p, ringBits = ringBits)
+          .filter(col("mined")).select(col("src_id"), col("tgt_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = mined(0)
+      val lsh = mined(planes)
+      println(s"""{"probe":"bitext_parity","dir":"$dir","planes":$planes,""" +
+        s""""exact":${exact.size},"lsh":${lsh.size},""" +
+        s""""missed":${(exact -- lsh).size},"extra":${(lsh -- exact).size}}""")
+      spark.stop(); return
+    }
     def run(): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = Similarity.bitextMine(embd, "doc_id", "vec", "lang",
-        srcLang = "en", planes = planes).count()
+        srcLang = "en", planes = planes, ringBits = ringBits).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
     run() // warmup: JIT + codegen

@@ -1208,6 +1208,30 @@ class GroundTruthSpec extends SparkSpec {
     assert(bucketed(1L) === (101L, true))
   }
 
+  test("train_bitext_lsh: recall + bounded margin inflation vs the exact path") {
+    // the correctness pin for the benched scale path. The contract is
+    // DIRECTIONAL, not identity: restricted candidate neighborhoods
+    // deflate avgK, which can only INFLATE margins — so every
+    // exact-mined pair whose target co-buckets is also lsh-mined
+    // (recall), and the approximation's one-sided error shows up as a
+    // few extra borderline pairs (precision, bounded here; tunable via
+    // marginThresh). Cross-SF numbers: 0 missed / ≤2 extra at
+    // sf0.001+sf0.01, 1 missed / 7 extra of 100 at sf0.1
+    // (BitextScaleProbe parity mode re-measures all three).
+    def mined(key: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(key)(spark, "/root/testdata/sf0.001")
+        .filter(col("mined"))
+        .select(col("src_id"), col("tgt_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = mined("train_bitext")
+    val lsh = mined("train_bitext_lsh")
+    assert(exact.nonEmpty, "fixture produced no mined pairs — vacuous parity")
+    assert((exact -- lsh).isEmpty,
+      s"scale path DROPPED exact-mined pairs: ${exact -- lsh}")
+    assert(lsh.size <= math.ceil(exact.size * 1.3),
+      s"margin inflation out of bound: ${lsh.size} vs ${exact.size} exact")
+  }
+
   test("editDedup: typo'd copies pair up; blocking + block cap behave as documented") {
     val base = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
     val typo = base.updated(40, 'X').updated(90, 'Q')   // 2 edits past the prefix
