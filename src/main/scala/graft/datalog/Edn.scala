@@ -61,6 +61,29 @@ object Edn {
     * `#unifydb/id N`). */
   final case class ETagged(tag: String, value: Edn) extends Edn
 
+  /** Canonical EDN text of a form — the rendering graft stores when a
+    * reference VALUE-semantic collection (a non-map vector value in tx
+    * data, e.g. `:job [:computer :wizard]`) becomes ONE string value
+    * (the documented collections mapping, SURVEY §4 /
+    * ReferenceCorpusSpec): value identity, grouping and counting then
+    * behave exactly as the reference's collection-value identity. */
+  def render(e: Edn): String = e match {
+    case ENil => "nil"
+    case EBool(v) => v.toString
+    case ELong(v) => v.toString
+    case EDouble(v) => v.toString
+    case EStr(v) => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case EKw(n) => ":" + n
+    case ESym(n) => n
+    case ELst(items) => items.map(render).mkString("(", " ", ")")
+    case EVec(items) => items.map(render).mkString("[", " ", "]")
+    case EMap(entries) =>
+      entries.map { case (k, v) => render(k) + " " + render(v) }
+        .mkString("{", ", ", "}")
+    case ESet(items) => items.map(render).mkString("#{", " ", "}")
+    case ETagged(tag, value) => s"#$tag ${render(value)}"
+  }
+
   /** Parse ONE edn form (trailing whitespace/comments allowed). */
   def parse(s: String): Edn = {
     val p = new Parser(s)
@@ -489,7 +512,14 @@ object QueryText {
       case EStr(s) if tempIds(s) => sess.EntityRef(s)
       case ETagged("unifydb/id", ELong(n)) => sess.EntityRef(n)
       case m: EMap => mapForm(m)
-      case EVec(items) => items.map(value)
+      // seq-of-maps fans out to per-child refs (expand-map-forms);
+      // a NON-map vector is a reference VALUE-semantic collection
+      // (transact_test.clj "Non-map lists": `:bar [1 2 3]` stays ONE
+      // value) — stored as its canonical EDN rendering, the documented
+      // collections mapping
+      case EVec(items) if items.nonEmpty && items.forall(_.isInstanceOf[EMap]) =>
+        items.map(value)
+      case v: EVec => Edn.render(v)
       case other => constVal(other)
     }
     def mapForm(m: EMap): Transactor.MapForm = {

@@ -100,18 +100,24 @@ object Transactor {
     private var tempCounter = 0L
     private def freshTemp(): String = { tempCounter += 1; s"graft.temp-$tempCounter" }
 
+    /** Map-form → add-forms, the reference's emission order (the
+      * parent→child link BEFORE the child's own facts — transact.clj
+      * map-form->add-forms `conj`s the link onto the front;
+      * transact_test.clj expand-map-forms-test pins the order, run
+      * verbatim by ReferenceTxCorpusSpec). Order matters observably:
+      * it fixes which fresh ids implicit temp ids resolve to. */
     private def expand(stmt: TxStmt): Seq[TxStmt] = stmt match {
       case m: MapForm =>
         val id = m.tempId.getOrElse(freshTemp())
         m.attrs.flatMap {
           case (a, child: MapForm) =>
             val childId = child.tempId.getOrElse(freshTemp())
-            expand(child.copy(tempId = Some(childId))) :+ Add(id, a, EntityRef(childId))
+            Add(id, a, EntityRef(childId)) +: expand(child.copy(tempId = Some(childId)))
           case (a, children: Seq[_]) if children.forall(_.isInstanceOf[MapForm]) =>
             children.flatMap { c0 =>
               val c = c0.asInstanceOf[MapForm]
               val childId = c.tempId.getOrElse(freshTemp())
-              expand(c.copy(tempId = Some(childId))) :+ Add(id, a, EntityRef(childId))
+              Add(id, a, EntityRef(childId)) +: expand(c.copy(tempId = Some(childId)))
             }
           case (a, v) => Seq(Add(id, a, v))
         }
@@ -128,7 +134,11 @@ object Transactor {
       // (reference make-new-tx-facts, transact.clj:17-21)
       val transformed = transforms.foldLeft(txData.flatMap(expand))((d, t) => t(d))
       val expanded = transformed :+
-        Add("graft.tx", "unifydb/txInstant", clock())
+        // the tx-entity temp id is part of the reference's REPORT
+        // contract (transact_test.clj asserts tempids keys include
+        // "unifydb.tx") — keep the reference's name so verbatim users
+        // find it
+        Add("unifydb.tx", "unifydb/txInstant", clock())
       // temp-id resolution
       val temps = scala.collection.mutable.LinkedHashMap.empty[String, Long]
       def resolveE(e: Any): Long = e match {
