@@ -61,11 +61,15 @@ object GraphOps {
       .select(col("s"), col("s").as("node"), lit(1L).as("sigma"))
       .localCheckpoint(true)
     val levels = collection.mutable.ArrayBuffer(frontier)
-    val settledParts = collection.mutable.ArrayBuffer(frontier.select("s", "node"))
+    // ONE maintained checkpointed settled frame, updated per level:
+    // re-reducing the union of ALL levels each iteration grows the
+    // anti-join's plan O(depth²) — fine on shallow fixtures, a real
+    // cost on high-diameter graphs (BetweennessScaleProbe path mode
+    // pins flat per-level cost)
+    var settled = frontier.select("s", "node").localCheckpoint(true)
     var d = 0
     while (!frontier.isEmpty && d < maxIter) {
       d += 1
-      val settled = settledParts.reduce(_ unionAll _)
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(frontier("s"), edges("dst").as("node"), col("sigma"))
         .join(settled, Seq("s", "node"), "left_anti")
@@ -74,7 +78,8 @@ object GraphOps {
       frontier = next
       if (!next.isEmpty) {
         levels += next
-        settledParts += next.select("s", "node")
+        settled = settled.unionAll(next.select("s", "node"))
+          .localCheckpoint(true)
       }
     }
     require(frontier.isEmpty,
@@ -109,10 +114,20 @@ object GraphOps {
       contribs += deltaLvl.select(col("node"), col("delta"))
       deltaAbove = deltaLvl
     }
-    if (contribs.isEmpty)  // edgeless graph: every pivot is isolated
-      levels(0).select(col("node"), lit(0.0).as("betweenness")).distinct()
-    else contribs.reduce(_ unionAll _)
-      .groupBy(col("node")).agg(sum(col("delta")).as("betweenness"))
+    // COMPLETE datasheet: nodes unreachable from every pivot (and
+    // isolated nodes) report 0.0 rather than going missing — callers
+    // on non-connected graphs would otherwise read absence as "not
+    // computed" vs "zero centrality"
+    val allNodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .unionAll(pivots.toDF("node")).distinct()
+    val reached =
+      if (contribs.isEmpty)  // edgeless graph: every pivot is isolated
+        levels(0).select(col("node"), lit(0.0).as("betweenness")).distinct()
+      else contribs.reduce(_ unionAll _)
+        .groupBy(col("node")).agg(sum(col("delta")).as("betweenness"))
+    allNodes.join(reached, Seq("node"), "left")
+      .select(col("node"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
   }
 
   /** Multi-hop BFS: nodes reachable from `sources` in <= maxHops

@@ -52,11 +52,12 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("label"), col("dim"), q.as("q"))
       .groupBy(col("label"), col("dim"))
-      // q² sums in DECIMAL(38,0): at q ~ 1e6·|component| a long Σq²
-      // wraps silently near 1e12 rows/label — the datasheet must stay
-      // exact at any corpus size (output schema is unaffected; only
-      // the final doubles are published)
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+      // BOTH cross-row sums in DECIMAL(38,0): at q ~ 1e6·|component| a
+      // long Σq² wraps silently near 1e12 rows/label, and the plain Σq
+      // overflows (throws under Spark 4 ANSI) around ~9e12 rows/label —
+      // the datasheet must stay exact at any corpus size (output schema
+      // is unaffected; only the final doubles are published)
+      .agg(count(lit(1)).as("n"), sum(col("q").cast("decimal(38,0)")).as("sq"),
         sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"))
     // centroid component c_d = sq/(n·1e6); its squared term re-lands on
     // an exact 1e-12 integer grid so the 64-term norm² sum is int64

@@ -138,7 +138,28 @@ object FactLogIO {
     * Single-writer discipline (the sidecar rule): not safe under
     * concurrent readers of the same files — run it as the log's
     * maintenance writer. A snapshot-base segment under `path` (from
-    * [[writeSnapshotBase]]) is excised too when present. */
+    * [[writeSnapshotBase]]) is excised too when present.
+    *
+    * Crash safety: the replacement file is written to a hidden
+    * `.excise_tmp_*` dir, then swapped in with a single overwriting
+    * rename (`FileContext.rename(..., Options.Rename.OVERWRITE)` —
+    * atomic on POSIX and HDFS; on a filesystem without overwrite
+    * rename the fallback is delete+rename, whose crash window leaves
+    * the bucket file missing — the tmp-dir SWEEP below plus the audit
+    * record make recovery mechanical: rerun excise). Leftover
+    * `.excise_tmp_*` dirs from an earlier crash are removed up front.
+    *
+    * Audit trail: every excision appends a JSON record under
+    * `path/meta_excise/` (ids, wall-clock, per-run report) — the
+    * durable marker that as-of/historical reads changed (the
+    * reference's Datomic-style excision fact, re-expressed as a
+    * sidecar since the excised log must not re-admit the ids).
+    *
+    * CALLER CONTRACT: excise mutates files in place, so any
+    * same-session cached relation built over `path` (persisted frames,
+    * the datalog fixpoint cache) may keep serving the victim's rows —
+    * or hit a missing file — until dropped; drop session caches over
+    * the path after excising. */
   def excise(spark: SparkSession, path: String, ids: Seq[Long]): ExciseReport = {
     require(ids.nonEmpty, "excise needs at least one entity id")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -151,40 +172,76 @@ object FactLogIO {
         val out = collection.mutable.ArrayBuffer.empty[String]
         while (it.hasNext) {
           val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) out += f.toString
+          if (f.getName.endsWith(".parquet") &&
+            !f.toString.contains("/.excise_tmp_")) out += f.toString
         }
         out.toSeq
       }
     }
+    /** Total row count from the parquet FOOTER — driver-side metadata,
+      * no Spark job (the single-pass discipline: the victim count per
+      * file comes from the locate job, kept = footer − victims). */
+    def footerRows(fp: org.apache.hadoop.fs.Path): Long = {
+      val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(fp, conf))
+      try in.getRecordCount finally in.close()
+    }
+    def sweepTmpLeftovers(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val tmps = collection.mutable.Set.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          var q = f
+          while (q != null) {
+            if (q.getName.startsWith(".excise_tmp_")) tmps += q
+            q = q.getParent
+          }
+        }
+        tmps.foreach(fs.delete(_, true))
+      }
+    }
     def exciseDir(dir: String): (Long, Long, Long) = {
+      sweepTmpLeftovers(dir) // crash leftovers from an interrupted run
       val all = parquetFilesUnder(dir)
       if (all.isEmpty) return (0L, 0L, 0L)
-      // ONE pushdown-pruned job finds the files that can hold the ids
+      // ONE pushdown-pruned job locates the victim files AND counts the
+      // victim rows per file
       val hits = spark.read.parquet(dir)
         .filter(col("e").isin(ids: _*))
-        .select(input_file_name().as("f"))
-        .distinct().collect().map(_.getString(0)).toSeq
+        .groupBy(input_file_name().as("f")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       var removed = 0L
-      hits.foreach { f =>
+      hits.foreach { case (f, victims) =>
         val fp = new org.apache.hadoop.fs.Path(f)
         val fs = fp.getFileSystem(conf)
-        val one = spark.read.parquet(f)
-        val kept = one.filter(!col("e").isin(ids: _*))
-        val before = one.count()
-        val keptN = kept.count()
-        removed += before - keptN
+        removed += victims
+        val keptN = footerRows(fp) - victims
         if (keptN == 0L) fs.delete(fp, false)
         else {
-          // write the replacement beside the original, then swap —
-          // the move is the atomic step on a real filesystem
+          // write the replacement beside the original (ONE job per
+          // rewritten file), then swap with an overwriting rename —
+          // a single atomic step where the filesystem supports it
           val tmp = new org.apache.hadoop.fs.Path(
             fp.getParent, s".excise_tmp_${fp.getName}")
-          kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          spark.read.parquet(f).filter(!col("e").isin(ids: _*))
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           val part = fs.listStatus(tmp).map(_.getPath)
             .find(_.getName.endsWith(".parquet"))
             .getOrElse(sys.error(s"excise: no parquet produced under $tmp"))
-          fs.delete(fp, false)
-          fs.rename(part, fp)
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(fp.toUri, conf)
+            fc.rename(part, fp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: UnsupportedOperationException =>
+              // no overwriting rename on this filesystem: the
+              // documented non-atomic fallback (recovery = the sweep +
+              // rerun, guided by the audit record)
+              fs.delete(fp, false)
+              fs.rename(part, fp)
+          }
           fs.delete(tmp, true)
         }
       }
@@ -192,7 +249,18 @@ object FactLogIO {
     }
     val (f1, t1, r1) = exciseDir(s"$path/facts")
     val (f2, t2, r2) = exciseDir(s"$path/base") // compacted snapshot, if any
-    ExciseReport(f1 + f2, t1 + t2, r1 + r2)
+    val report = ExciseReport(f1 + f2, t1 + t2, r1 + r2)
+    // durable audit record — excision provably happened, with what ids
+    val auditDir = new org.apache.hadoop.fs.Path(s"$path/meta_excise")
+    val fs = auditDir.getFileSystem(conf)
+    fs.mkdirs(auditDir)
+    val ts = System.currentTimeMillis()
+    val rec = s"""{"excised_ids":[${ids.mkString(",")}],"at_epoch_ms":$ts,""" +
+      s""""files_rewritten":${report.filesRewritten},""" +
+      s""""facts_removed":${report.factsRemoved}}"""
+    val out = fs.create(new org.apache.hadoop.fs.Path(auditDir, s"excise_$ts.json"), true)
+    try out.write((rec + "\n").getBytes("UTF-8")) finally out.close()
+    report
   }
 
   def read(spark: SparkSession, path: String): FactDb = {

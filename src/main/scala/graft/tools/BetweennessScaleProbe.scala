@@ -33,21 +33,34 @@ object BetweennessScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     implicit val sp: SparkSession = spark
 
+    // "path" mode: a single directed chain 0→1→…→N-1 — diameter = N,
+    // the worst case for per-level plan growth (the settled anti-join
+    // used to re-reduce ALL levels each iteration: O(depth²) plans;
+    // the maintained checkpointed settled frame makes per-level cost
+    // flat, which this mode demonstrates via secs/level)
+    val path = args.contains("path")
     val muls = Seq((2L, 1L), (3L, 7L), (5L, 11L), (7L, 13L))
-    val edges = spark.range(n).toDF("src")
-      .select(col("src"), explode(array(muls.map { case (a, b) =>
-        pmod(col("src") * a + b, lit(n))
-      }: _*)).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val pivots = (0 until nPivots).map(i => i.toLong * (n / nPivots))
+    val edges =
+      if (path) spark.range(n - 1).toDF("src")
+        .select(col("src"), (col("src") + 1).as("dst"))
+      else spark.range(n).toDF("src")
+        .select(col("src"), explode(array(muls.map { case (a, b) =>
+          pmod(col("src") * a + b, lit(n))
+        }: _*)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+    val pivots =
+      if (path) Seq(0L) // one pivot walking the full diameter
+      else (0 until nPivots).map(i => i.toLong * (n / nPivots))
 
     val t0 = System.nanoTime()
-    val bc = GraphOps.betweenness(edges, pivots)
+    val bc = GraphOps.betweenness(edges, pivots,
+      maxIter = if (path) n.toInt + 1 else 50)
     val rows = bc.count()
     val secs = (System.nanoTime() - t0) / 1e9
     val top = bc.orderBy(col("betweenness").desc).limit(3).collect()
       .map(r => f"""[${r.getLong(0)},${r.getDouble(1)}%.1f]""").mkString(",")
-    println(f"""{"probe":"betweenness","n_nodes":$n,"n_edges":${n * 4},"pivots":$nPivots,"secs":$secs%.2f,"rows":$rows,"top3":[$top]}""")
+    val nEdges = if (path) n - 1 else n * 4
+    println(f"""{"probe":"betweenness","mode":"${if (path) "path" else "expander"}","n_nodes":$n,"n_edges":$nEdges,"pivots":${pivots.size},"secs":$secs%.2f,"rows":$rows,"top3":[$top]}""")
     spark.stop()
   }
 }

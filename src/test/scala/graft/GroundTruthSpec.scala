@@ -1601,6 +1601,18 @@ class GroundTruthSpec extends SparkSpec {
     assert(bc.getOrElse(1L, 0.0) === 0.0)
   }
 
+  test("betweenness: disconnected component reports 0.0, not absence") {
+    // pivots live in {1,2,3}; {10,11} is unreachable from every pivot —
+    // the datasheet must still carry its nodes (as zeros), so callers
+    // can tell "zero centrality" from "not computed"
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val bc = GraphOps.betweenness(edges, Seq(1L, 2L, 3L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    assert(bc(2L) === 1.0) // interior of the pivot chain
+    assert(bc(10L) === 0.0 && bc(11L) === 0.0)
+  }
+
   test("betweenness: path graph recovers the closed-form interior counts") {
     // undirected path 1-2-3-4-5 (symmetrized), pivots = all, halved:
     // bc(3) = |{(1,4),(1,5),(2,4),(2,5)}| = 4; bc(2) = bc(4) = 3

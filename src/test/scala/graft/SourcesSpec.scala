@@ -59,6 +59,33 @@ class SourcesSpec extends SparkSpec {
     assert(sig(after.log) === sig(before.log))
   }
 
+  test("excise: audit record written; crash-leftover tmp dirs swept and ignored") {
+    val dir = Files.createTempDirectory("graft-excise-audit").toString
+    val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
+    FactLogIO.write(db, dir, buckets = 2)
+    // plant a crash leftover: a stale .excise_tmp_ dir with a parquet
+    // inside — the sweep must remove it BEFORE the locate job (which
+    // would otherwise double-read or double-count the stale rows)
+    val attrDir = new java.io.File(s"$dir/facts").listFiles()
+      .filter(_.isDirectory).head
+    val stale = new java.io.File(attrDir, ".excise_tmp_stale")
+    db.log.limit(3).write.parquet(stale.toString)
+    val victim = db.log.select(col("e")).head().getLong(0)
+    val victimFacts = FactLogIO.read(spark, dir)
+      .log.filter(col("e") === victim).count()
+    val report = FactLogIO.excise(spark, dir, Seq(victim))
+    assert(!stale.exists(), "stale .excise_tmp_ dir must be swept")
+    assert(report.factsRemoved === victimFacts,
+      "stale tmp rows must not pollute the removed count")
+    // the durable audit marker: ids + report recorded as a sidecar
+    val recs = new java.io.File(s"$dir/meta_excise").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(recs.length === 1)
+    val rec = new String(Files.readAllBytes(recs.head.toPath), "UTF-8")
+    assert(rec.contains(s""""excised_ids":[$victim]"""))
+    assert(rec.contains(s""""facts_removed":$victimFacts"""))
+  }
+
   test("excise: a compacted snapshot base under the same path is excised too") {
     val dir = Files.createTempDirectory("graft-excise-base").toString
     val db = TestData.eventsDb(spark, "/root/testdata/sf0.001")
