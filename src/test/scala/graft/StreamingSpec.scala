@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Append a per-batch wall-time record to STREAM_LATENCY.jsonl at the
+    * repo root — one line per run per suite, so sidecar-publishing
+    * streams get a round-over-round latency trendline (VERDICT r13
+    * item 8; scale_report folds the tail into the round artifacts). */
+  private def recordLatency(suite: String, b0: Double, b1: Double): Unit =
+    try {
+      val line =
+        f"""{"suite":"$suite","b0_sec":$b0%.3f,"b1_sec":$b1%.3f,"utc":"${java.time.Instant.now}"}%n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_LATENCY.jsonl"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   test("streaming fact ingestion: latest-per-user state (card-one, incremental)") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[UserEvent]
@@ -467,14 +481,18 @@ class StreamingSpec extends SparkSpec {
     val q = FactStream.ingestEmbeddingsWithAnnRefresh(emb, dir, s"$dir/ckpt",
       planes = 4, refreshEvery = 2)
     def v(seed: Int) = (0 until 8).map(j => math.sin(seed * 31.0 + j * 7.0))
+    def timed(data: (Long, Seq[Double])*): Double = {
+      val t0 = System.nanoTime()
+      input.addData(data: _*); q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
     // batch 0: a background corpus far from the probe direction
-    input.addData((1L, v(1)), (2L, v(2)), (3L, v(3)))
-    q.processAllAvailable()
     // batch 1 (refresh tick): ingest the probe's true nearest neighbor —
     // a tiny perturbation of v(9), plus more background
     val neighbor = v(9).map(_ + 1e-6)
-    input.addData((42L, neighbor), (4L, v(4)))
-    q.processAllAvailable()
+    val t0s = timed((1L, v(1)), (2L, v(2)), (3L, v(3)))
+    val t1s = timed((42L, neighbor), (4L, v(4)))
+    recordLatency("stream_ann_refresh", t0s, t1s)
     q.stop()
     val index = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
     assert(index.planes === 4)
@@ -804,8 +822,13 @@ class StreamingSpec extends SparkSpec {
       (10L, "z w x y"),        // same set as 1 → dropped cross-batch
       (11L, "fresh new content here"),
       (12L, "s r q p p p"))    // same set as 3 → dropped cross-batch
-    input.addData(b0); q.processAllAvailable()
-    input.addData(b1); q.processAllAvailable()
+    def timed(data: Seq[(Long, String)]): Double = {
+      val t0 = System.nanoTime()
+      input.addData(data); q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (t0s, t1s) = (timed(b0), timed(b1))
+    recordLatency("stream_near_dedup", t0s, t1s)
     q.stop()
     def survivors(batch: Long) = spark.read
       .parquet(s"$dir/survivors/batch=$batch")
@@ -1045,9 +1068,15 @@ class StreamingSpec extends SparkSpec {
       (5L, "zeta eta theta iota"), (6L, "delta epsilon")
     ).toDF("doc_id", "text")
     // uneven batches; cluster members arrive across batch boundaries
-    FactStream.softDedupStep(docs.filter(col("doc_id") <= 2), 0L, s"$dir/sd")
-    FactStream.softDedupStep(docs.filter(col("doc_id").between(3, 4)), 1L, s"$dir/sd")
-    FactStream.softDedupStep(docs.filter(col("doc_id") >= 5), 2L, s"$dir/sd")
+    def timedStep(df: org.apache.spark.sql.DataFrame, b: Long): Double = {
+      val t0 = System.nanoTime()
+      FactStream.softDedupStep(df, b, s"$dir/sd")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t0s = timedStep(docs.filter(col("doc_id") <= 2), 0L)
+    val t1s = timedStep(docs.filter(col("doc_id").between(3, 4)), 1L)
+    timedStep(docs.filter(col("doc_id") >= 5), 2L)
+    recordLatency("stream_softdedup", t0s, t1s)
     def served() = FactStream.softDedupWeights(spark, s"$dir/sd").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     val want = Dedup.softDedup(docs).collect()
