@@ -104,6 +104,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
   }
 
+  test("train_bitext_lsh: imperative bucket kernel — no join in the scoring path") {
+    // the scale path scores co-partitioned buckets inside mapPartitions
+    // (the exact kernel's FMA discipline): the candidate generation
+    // must be ONE bucket repartition — never a CartesianProduct/BNLJ,
+    // and never a declarative bucket equi-join materializing pair rows
+    // (measured ~1 µs/pair vs the kernel's ~18 ns) — and the rank
+    // windows still prune map-side
+    val p = plan("train_bitext_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"scale path must not cross-join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions") ||
+      p.contains("SerializeFromObject"), s"expected the imperative kernel:\n$p")
+  }
+
   test("dl_join: pattern scans prune to attribute dirs over the bucketed static log") {
     val p = SparkEntry.queries("dl_join")(spark, sf)
       .queryExecution.executedPlan.toString
