@@ -48,9 +48,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queriesToRun = only.fold(headline)(f => headline.filter(f))
+    // Shuffle partitions default to the core count (one wave), but the
+    // probe can raise them independently: per-task hash-agg state is
+    // corpus/partitions, so at 100x rows the memory knob is MORE
+    // partitions (exactly the lever a real cluster's AQE coalescing
+    // preserves), not a bigger heap.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

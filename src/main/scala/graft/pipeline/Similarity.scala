@@ -1124,75 +1124,84 @@ object Similarity {
     val ys = y.select(lit(false).as("isx"), col("id"), col("vec"), col("nrm"),
       sig.as("bucket"))
     val kk = k
+    // STREAMING discipline (the 100 TB memory bound): co-partition by
+    // bucket and secondary-sort y-rows (isx=false) ahead of x-probes
+    // within each bucket. The kernel then buffers ONLY the home side —
+    // per-bucket y arrays + k backward slots per y — while the
+    // ring-replicated probe side (|X|·|ring| rows, the big one) STREAMS
+    // through Spark's spillable sort, scored row by row. Buffering both
+    // sides in heap objects OOM'd an 8 GB JVM at 100× rows (the probe
+    // replication is ~80× there); live state is now O(max bucket +
+    // distinct-x-in-partition · k), corpus-independent given the
+    // volume sizing.
     xs.unionAll(ys)
       .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("isx")) // false (y) first
       .as[(Boolean, Long, Array[Double], Double, Long)]
       .mapPartitions { it =>
         import scala.collection.mutable
-        val xb = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Double], Double)]]
-        val yb = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Double], Double)]]
-        it.foreach { case (isx, id, vec, nrm, b) =>
-          (if (isx) xb else yb)
-            .getOrElseUpdate(b, mutable.ArrayBuffer.empty) += ((id, vec, nrm))
-        }
         // forward top-k per x id, accumulated ACROSS its ring buckets
-        // resident in this partition (merged per (x, bucket), k rows —
-        // hashmap cost amortized off the per-pair hot loop)
+        // resident in this partition (k-row merge per (x, bucket) —
+        // hashmap cost stays off the per-pair hot loop)
         val fAcc = mutable.HashMap.empty[Long, (Array[Double], Array[Long])]
+        // current bucket's home side as primitive parallel arrays: the
+        // scoring loop below is the hot path (~18 ns/pair incl.
+        // inserts, same as the exact kernel)
+        var curBucket = Long.MinValue
+        var haveBucket = false
+        val yIds = mutable.ArrayBuffer.empty[Long]
+        val yVecs = mutable.ArrayBuffer.empty[Array[Double]]
+        val yNrms = mutable.ArrayBuffer.empty[Double]
+        val bCos = mutable.ArrayBuffer.empty[Array[Double]] // backward top-k per y
+        val bSid = mutable.ArrayBuffer.empty[Array[Long]]
         val out = mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        yb.foreach { case (b, yRows) =>
-          xb.get(b).foreach { xRows =>
-            // bucket contents as primitive parallel arrays: the double
-            // loop below is the hot path (~18 ns/pair incl. inserts,
-            // same as the exact kernel) — no tuple destructure or map
-            // lookup per pair
-            val nx = xRows.length
-            val xIds = new Array[Long](nx)
-            val xVecs = new Array[Array[Double]](nx)
-            val xNrms = new Array[Double](nx)
+        def flushBucket(): Unit = {
+          var j = 0
+          while (j < yIds.length) {
+            var p = 0
+            while (p < kk && bCos(j)(p) != Double.NegativeInfinity) {
+              out += ((bSid(j)(p), yIds(j), bCos(j)(p))); p += 1
+            }
+            j += 1
+          }
+          yIds.clear(); yVecs.clear(); yNrms.clear(); bCos.clear(); bSid.clear()
+        }
+        it.foreach { case (isx, id, vec, nrm, b) =>
+          if (!haveBucket || b != curBucket) {
+            flushBucket(); curBucket = b; haveBucket = true
+          }
+          if (!isx) {
+            yIds += id; yVecs += vec; yNrms += nrm
+            bCos += Array.fill(kk)(Double.NegativeInfinity)
+            bSid += Array.fill(kk)(Long.MaxValue)
+          } else if (yIds.nonEmpty) {
+            // an x probe: score against the bucket's y side NOW
+            val fc = Array.fill(kk)(Double.NegativeInfinity)
+            val ft = Array.fill(kk)(Long.MaxValue)
             var j = 0
-            while (j < nx) {
-              val t = xRows(j); xIds(j) = t._1; xVecs(j) = t._2; xNrms(j) = t._3
+            while (j < yIds.length) {
+              val yv = yVecs(j)
+              val n = math.min(vec.length, yv.length)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += vec(i) * yv(i); i += 1 }
+              val c = round6(acc / (nrm * yNrms(j)))
+              topkInsert(kk, bCos(j), bSid(j), c, id)
+              topkInsert(kk, fc, ft, c, yIds(j))
               j += 1
             }
-            // per-bucket forward accumulators, positionally indexed
-            val fCos = Array.fill(nx)(Array.fill(kk)(Double.NegativeInfinity))
-            val fTid = Array.fill(nx)(Array.fill(kk)(Long.MaxValue))
-            yRows.foreach { case (tid, yv, ynrm) =>
-              val bCos = Array.fill(kk)(Double.NegativeInfinity)
-              val bSid = Array.fill(kk)(Long.MaxValue)
-              j = 0
-              while (j < nx) {
-                val xv = xVecs(j)
-                val n = math.min(xv.length, yv.length)
-                var acc = 0.0
-                var i = 0
-                while (i < n) { acc += xv(i) * yv(i); i += 1 }
-                val c = round6(acc / (xNrms(j) * ynrm))
-                topkInsert(kk, bCos, bSid, c, xIds(j))
-                topkInsert(kk, fCos(j), fTid(j), c, tid)
-                j += 1
-              }
-              var p = 0
-              while (p < kk && bCos(p) != Double.NegativeInfinity) {
-                out += ((bSid(p), tid, bCos(p))); p += 1
-              }
-            }
-            // merge this bucket's forward top-k into the partition
-            // accumulator (k inserts per x per bucket)
-            j = 0
-            while (j < nx) {
-              val (fc, ft) = fAcc.getOrElseUpdate(xIds(j),
-                (Array.fill(kk)(Double.NegativeInfinity),
-                  Array.fill(kk)(Long.MaxValue)))
-              var p = 0
-              while (p < kk && fCos(j)(p) != Double.NegativeInfinity) {
-                topkInsert(kk, fc, ft, fCos(j)(p), fTid(j)(p)); p += 1
-              }
-              j += 1
+            // merge this (x, bucket) forward top-k into the partition
+            // accumulator (k inserts, off the hot loop)
+            val (afc, aft) = fAcc.getOrElseUpdate(id,
+              (Array.fill(kk)(Double.NegativeInfinity),
+                Array.fill(kk)(Long.MaxValue)))
+            var p = 0
+            while (p < kk && fc(p) != Double.NegativeInfinity) {
+              topkInsert(kk, afc, aft, fc(p), ft(p)); p += 1
             }
           }
         }
+        flushBucket()
         fAcc.foreach { case (sid, (fc, ft)) =>
           var j = 0
           while (j < kk && fc(j) != Double.NegativeInfinity) {
