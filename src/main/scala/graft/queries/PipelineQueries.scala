@@ -215,8 +215,8 @@ object PipelineQueries {
 
     // the SCALE path of the same miner: mean-centered SignLsh ring
     // buckets (Σ|bucket|-bounded, never |X|·|Y|) with volume-sized
-    // planes (~64 vectors/bucket), scored by the exact path's
-    // imperative kernel. This is the 100 TB design and the
+    // planes (~128 vectors/bucket, the measured knee), scored by the
+    // exact path's imperative kernel. This is the 100 TB design and the
     // headline-benched key; the exact path above stays the oracle.
     // rows-only for the driver; recall + bounded margin inflation vs
     // the exact path are parity-pinned (GroundTruthSpec,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * corpus (at copies=100 that is ~10⁴ × the sf0.1 work: ~90 min/pass,
   * which is why the headline 100× probe excludes it) — while the
   * SignLsh ring-bucket path (`planes` > 0, volume-sized here to
-  * ~64 vectors/bucket, the train_pairs discipline) does Σ|bucket|
+  * ~128 vectors/bucket, the measured recall/cost knee) does Σ|bucket|
   * work and is the 100 TB design. Recall parity of the bucketed path
   * is spec-pinned on planted ground truth (GroundTruthSpec
   * "bitextMine"); this probe measures the COST separation at scale.
