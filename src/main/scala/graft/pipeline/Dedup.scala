@@ -607,13 +607,21 @@ object Dedup {
     * `planes <= 0` auto-scales the signature width with corpus size
     * (targeting ~64 vectors per bucket) — the knob a fixed default gets
     * wrong at 1000× the data. Pass `corpusSize` (a known row count —
-    * ingest pipelines have it) to keep this side-effect-free plan
-    * construction; with `planes <= 0` AND `corpusSize <= 0` an EAGER
-    * `emb.count()` job runs here, at plan-build time, to size the
-    * signature. */
+    * ingest pipelines have it) to skip the EAGER `emb.count()` sizing
+    * job that otherwise runs here at plan-build time.
+    *
+    * Bucketing is MEAN-CENTERED (Similarity.corpusMean — one eager
+    * aggregation job at plan build; pass `mean = Some(...)` with a
+    * precomputed/pinned model to skip it, `Some(Nil)` for raw signing).
+    * On real text embeddings raw sign-LSH megabuckets (65% of docs in
+    * one bucket at sf0.1) — here the cost stays O(n) because of the
+    * star collapse, but RECALL dies: one bucket's min-id rep stands in
+    * for 65% of the corpus, so most near-dup pairs straddle reps and
+    * go unseen. Scoring stays on raw vectors. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, planes: Int = 0,
-                       corpusSize: Long = 0L): DataFrame = {
+                       corpusSize: Long = 0L,
+                       mean: Option[Seq[Double]] = None): DataFrame = {
     val nPlanes =
       if (planes > 0) planes
       else {
@@ -621,10 +629,12 @@ object Dedup {
         math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
       }
     val v = col(vecCol)
+    val m = mean.getOrElse(graft.pipeline.Similarity.corpusMean(emb, vecCol))
     // deterministic pseudo-random hyperplanes: component j of plane p is
     // a hash-derived value in [-1, 1] — reproducible on any cluster;
     // computed by the native one-pass SignLshSig expression.
-    val sig = graft.functions.VectorExpressions.signLsh(v, nPlanes)
+    val sig = graft.functions.VectorExpressions.signLsh(
+      graft.pipeline.Similarity.centeredCol(v, m), nPlanes)
     val dotFn = graft.functions.VectorExpressions.dot _
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

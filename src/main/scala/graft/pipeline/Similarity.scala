@@ -26,6 +26,52 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine(a, b)
 
+  /** Per-dimension corpus mean — the CENTERING MODEL every sign-LSH
+    * bucketing in this library subtracts before hashing. Real text
+    * embeddings (hashing-trick, most sentence encoders) share a
+    * dominant common direction (stopword mass), so RAW sign-LSH
+    * concentrates the corpus: 65% of sf0.1 docs landed in ONE bucket
+    * (SCALE_r14 bitext probe) — Σ|bucket|² pruning collapses and a
+    * bucket self-join goes quadratic. Subtracting the mean before
+    * hashing spreads signs; SCORING always uses raw vectors, so
+    * emitted cosines are unchanged, and near-identical raw vectors
+    * stay near-identical after the translation (the recall contract —
+    * only points near the centroid get unstable centered directions,
+    * exactly the points with no distinctive content).
+    *
+    * One map-side-combinable aggregation; |dims| rows collected (a
+    * parameter fetch, not a data haul). Like IVF's centroids, the
+    * returned mean is a pinned MODEL PARAMETER: persisted index metas
+    * carry it, incremental refreshes sign new rows with the pinned
+    * mean, and probes must center with the index's own mean. */
+  def corpusMean(emb: DataFrame, vecCol: String): Seq[Double] =
+    emb.select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(avg(col("v")).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+
+  /** `vec − mean`, for BUCKETING only (never scoring). Nil = identity
+    * (a legacy index signed raw). try_element_at: a ragged vector
+    * centers as raw rather than throwing under ANSI, and the output
+    * length always matches the input vector's. */
+  private[graft] def centeredCol(vec: Column, mean: Seq[Double]): Column =
+    if (mean.isEmpty) vec
+    else {
+      val meanLit = array(mean.map(lit): _*)
+      transform(vec, (v, i) =>
+        v - coalesce(try_element_at(meanLit, i + lit(1)), lit(0.0)))
+    }
+
+  /** Driver-side twin of [[centeredCol]] for constant probe vectors —
+    * the same "missing mean component = 0" semantics, in the same IEEE
+    * doubles, so a probe's signature can never drift from the corpus
+    * signing path. */
+  private[graft] def centeredConst(probe: Seq[Double],
+                                   mean: Seq[Double]): Seq[Double] =
+    if (mean.isEmpty) probe
+    else probe.zipWithIndex.map { case (x, i) =>
+      x - (if (i < mean.length) mean(i) else 0.0)
+    }
+
   /** EMBEDDING-SPACE DATASHEET — per-label centroid norm and spread,
     * the collapse/coverage report an embedding release ships with
     * (near-zero centroid norm = the label's vectors cancel out;
@@ -330,33 +376,51 @@ object Similarity {
 
   /** [[sigOf]] evaluated on the driver for a CONSTANT probe vector —
     * the same Catalyst expression instance the corpus rows were signed
-    * with (one code path, no reimplementation drift). Probe bucket
+    * with (one code path, no reimplementation drift), centered with the
+    * index's pinned `mean` first ([[centeredConst]]). Probe bucket
     * rings then reach the index scan as pushed-down In filters instead
     * of a broadcast join: over the bucket-clustered sidecar layout,
     * file/row-group stats prune candidates before a vector is read. */
-  private def sigOfConst(probe: Seq[Double], planes: Int): Long = {
+  private def sigOfConst(probe: Seq[Double], planes: Int,
+                         mean: Seq[Double]): Long = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     graft.functions.SignLshSig(
-      Literal.create(probe.toArray, ArrayType(DoubleType)), planes)
+      Literal.create(centeredConst(probe, mean).toArray,
+        ArrayType(DoubleType)), planes)
       .eval(null).asInstanceOf[Long]
   }
 
   /** A built ANN index: the (id, vec, bucket) assignment plus the
-    * plane count it was built with — carried IN the artifact (like
-    * IvfIndex's centroids) so the query side cannot probe with a
-    * mismatched signature width. */
-  final case class AnnIndex(assigned: DataFrame, planes: Int)
+    * plane count AND centering mean it was built with — carried IN the
+    * artifact (like IvfIndex's centroids) so the query side cannot
+    * probe with a mismatched signature width or an uncentered
+    * signature (on real text embeddings a raw-signed index megabuckets
+    * — see [[corpusMean]] — and every probe degrades toward a corpus
+    * scan). `mean = Nil` = a legacy raw-signed index. */
+  final case class AnnIndex(assigned: DataFrame, planes: Int,
+                            mean: Seq[Double] = Nil)
 
-  /** The ANN index: (id, vec, bucket) with the sign-LSH signature
-    * computed ONCE over the corpus. At scale this is a persisted
-    * sidecar column (parquet partitioned by bucket, cf. FactLogIO's
-    * layout) written at ingest; queries read it instead of recomputing
-    * signatures per probe. */
+  /** The ANN index: (id, vec, bucket) with the MEAN-CENTERED sign-LSH
+    * signature computed ONCE over the corpus. At scale this is a
+    * persisted sidecar column (parquet partitioned by bucket, cf.
+    * FactLogIO's layout) written at ingest; queries read it instead of
+    * recomputing signatures per probe.
+    *
+    * `mean`: None (default) fits the centering model here — ONE
+    * map-side-combinable aggregation job over `emb` at build time (an
+    * indexing pass already scans the corpus once to sign it; cf.
+    * [[corpusMean]]). Pass `Some(pinnedMean)` to sign against an
+    * EXISTING index's model (the incremental-refresh path — new
+    * segments must bucket identically to the published ones), or
+    * `Some(Nil)` for raw signing (zero-mean corpora, legacy parity). */
   def annIndex(emb: DataFrame, idCol: String, vecCol: String,
-               planes: Int = 8): AnnIndex =
+               planes: Int = 8,
+               mean: Option[Seq[Double]] = None): AnnIndex = {
+    val m = mean.getOrElse(corpusMean(emb, vecCol))
     AnnIndex(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigOf(col(vecCol), planes).as("bucket")), planes)
+      sigOf(centeredCol(col(vecCol), m), planes).as("bucket")), planes, m)
+  }
 
   /** Persist an ANN index as the on-disk sidecar: the (id, vec, bucket)
     * assignment as parquet plus a one-row JSON meta carrying the plane
@@ -386,7 +450,9 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$dir/assigned")
     import spark.implicits._
-    Seq(index.planes).toDF("planes")
+    // mean rides the meta beside planes (Jackson doubles round-trip
+    // exactly, so read-back probes center bit-identically to signing)
+    Seq((index.planes, index.mean)).toDF("planes", "mean")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$dir/meta")
     publishVersion(spark, path, dirName)
@@ -416,17 +482,30 @@ object Similarity {
           val meta = spark.read.json(s"$dir/meta")
           val row = meta.head()
           val planes = row.getAs[Long]("planes").toInt
+          val mean = metaMean(meta.columns, row)
           val assigned =
             if (meta.columns.contains("segments"))
               spark.read.parquet(row.getAs[scala.collection.Seq[String]]("segments")
                 .map(s => s"$path/segments/$s").toSeq: _*)
             else spark.read.parquet(s"$dir/assigned")
-          AnnIndex(assigned, planes)
+          AnnIndex(assigned, planes, mean)
         }
       case None => // pre-versioning flat layout
-        val planes = spark.read.json(s"$path/meta").head().getAs[Long]("planes").toInt
-        AnnIndex(spark.read.parquet(s"$path/assigned"), planes)
+        val meta = spark.read.json(s"$path/meta")
+        val row = meta.head()
+        AnnIndex(spark.read.parquet(s"$path/assigned"),
+          row.getAs[Long]("planes").toInt, metaMean(meta.columns, row))
     }
+
+  /** Centering mean out of a meta row — absent column (a pre-centering
+    * index) and empty array (an explicitly raw-signed index) both read
+    * as Nil, the raw-signing identity. */
+  private def metaMean(columns: Seq[String],
+                       row: org.apache.spark.sql.Row): Seq[Double] =
+    if (!columns.contains("mean")) Nil
+    else Option(row.getAs[scala.collection.Seq[Any]]("mean"))
+      .map(_.map(_.asInstanceOf[Number].doubleValue()).toSeq)
+      .getOrElse(Nil)
 
   /** Per-(session, path) read cache holding ONLY the latest resolved
     * version: a new publish REPLACES the prior entry instead of
@@ -463,7 +542,8 @@ object Similarity {
     * while every version stays a complete immutable index
     * (log-structured index maintenance; the full rebuild resets the
     * chain as the compaction/repair path). */
-  final case class AnnMeta(planes: Int, segments: Seq[String], covered: Long)
+  final case class AnnMeta(planes: Int, segments: Seq[String], covered: Long,
+                           mean: Seq[Double] = Nil)
 
   /** Write one immutable signed segment; returns its name (to be
     * referenced from a published version's meta). */
@@ -481,8 +561,8 @@ object Similarity {
                         meta: AnnMeta, version: Long): Unit = {
     val dirName = freshVersionDir(version)
     import spark.implicits._
-    Seq((meta.planes, meta.segments, meta.covered))
-      .toDF("planes", "segments", "covered")
+    Seq((meta.planes, meta.segments, meta.covered, meta.mean))
+      .toDF("planes", "segments", "covered", "mean")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .json(s"$path/$dirName/meta")
     publishVersion(spark, path, dirName)
@@ -544,7 +624,7 @@ object Similarity {
         val row = meta.head()
         Some(AnnMeta(row.getAs[Long]("planes").toInt,
           row.getAs[scala.collection.Seq[String]]("segments").toSeq,
-          row.getAs[Long]("covered")))
+          row.getAs[Long]("covered"), metaMean(meta.columns, row)))
       }
     }
   }
@@ -747,7 +827,7 @@ object Similarity {
                      excludeId: Option[Long] = None): DataFrame = {
     val planes = index.planes
     val probeCol = array(probe.map(lit): _*)
-    val sig = sigOfConst(probe, planes)
+    val sig = sigOfConst(probe, planes, index.mean)
     val buckets = (sig +: (0 until planes).map(b => sig ^ (1L << b))).distinct
     val cands = index.assigned.filter(col("bucket").isin(buckets: _*))
     val scored = cands.select(col("id"), round(cosine(col("vec"), probeCol), 6).as("cos"))
@@ -793,7 +873,7 @@ object Similarity {
     }
     val maxFlips = flips
     val probeCol = array(probe.map(lit): _*)
-    val sig = sigOfConst(probe, planes)
+    val sig = sigOfConst(probe, planes, index.mean)
     // enumerate masks BY COMBINATION of flipped bit positions — never
     // the 2^planes range (which overflows Int past 30 planes and
     // materializes hundreds of millions of candidates on the driver
@@ -829,7 +909,7 @@ object Similarity {
                    excludeSelf: Boolean = false): DataFrame = {
     val planes = index.planes
     val signed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("sig", sigOf(col("pvec"), planes))
+      .withColumn("sig", sigOf(centeredCol(col("pvec"), index.mean), planes))
     val ring = array((col("sig") +: (0 until planes).map(b =>
       col("sig").bitwiseXOR(lit(1L << b)))): _*)
     val exploded = signed
@@ -1091,31 +1171,20 @@ object Similarity {
                                  k: Int, ringBits: Int): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
-    // corpus mean over both shards: one map-side-combinable aggregation,
-    // |dims| rows collected (a parameter fetch, not a data haul)
-    val meanArr: Array[Double] = x.select(col("vec"))
-      .unionAll(y.select(col("vec")))
-      .select(posexplode(col("vec")).as(Seq("i", "v")))
-      .groupBy(col("i")).agg(avg(col("v")).as("m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-    val meanLit = array(meanArr.map(lit): _*)
-    // centered = vec - mean, for BUCKETING only (try_element_at: a
-    // ragged vector centers as raw rather than throwing under ANSI,
-    // and the output length always matches the input vector's)
-    val centered = transform(col("vec"), (v, i) =>
-      v - coalesce(try_element_at(meanLit, i + lit(1)), lit(0.0)))
-    val sig = graft.functions.VectorExpressions.signLsh(centered, planes)
-    // multi-probe ring: all flips of Hamming ≤ ringBits. Probe count is
-    // 1 + planes (+ planes·(planes-1)/2 at ringBits=2, ...) — the ring
-    // depth is the recall/cost knob: each extra bit recovers pairs
-    // whose centered signs drift further (near-centroid vectors) but
-    // multiplies the replicated probe rows through the bucket shuffle.
-    val flips: Seq[Long] = ringBits match {
-      case b if b <= 1 => (0 until planes).map(p => 1L << p)
-      case _ => (0 until planes).map(p => 1L << p) ++
-        (for (a <- 0 until planes; c <- a + 1 until planes)
-          yield (1L << a) | (1L << c))
-    }
+    // corpus mean over both shards (corpusMean doc: the centering model)
+    val meanArr = corpusMean(x.select(col("vec")).unionAll(y.select(col("vec"))), "vec")
+    val sig = graft.functions.VectorExpressions.signLsh(
+      centeredCol(col("vec"), meanArr), planes)
+    // multi-probe ring: ALL flips of Hamming ≤ ringBits, generated by
+    // combination of flipped plane indices (arbitrary depth — a ring-3
+    // sweep measures ring 3, never a silently-capped ring 2). Probe
+    // count is Σ_{r≤ringBits} C(planes, r) — the ring depth is the
+    // recall/cost knob: each extra bit recovers pairs whose centered
+    // signs drift further (near-centroid vectors) but multiplies the
+    // replicated probe rows through the bucket shuffle.
+    val flips: Seq[Long] = (1 to math.min(math.max(ringBits, 1), planes))
+      .flatMap(r => (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val ring = array((col("sig") +: flips.map(f =>
       col("sig").bitwiseXOR(lit(f)))): _*)
     val xs = x.withColumn("sig", sig)
@@ -1223,13 +1292,18 @@ object Similarity {
     * mining policy. Anchors with no in-band neighbor emit nothing (no
     * positive → no training pair).
     *
-    * Scale shape: candidates come from SignLsh buckets (the
-    * embeddingNearDup / semanticDedup family) — Σ|bucket|² directed
-    * pairs, never corpus² (size `planes` so buckets stay small); both
+    * Scale shape: candidates come from MEAN-CENTERED SignLsh buckets
+    * (the [[corpusMean]] discipline — this op pays Σ|bucket|² directed
+    * pairs, so it is the op a raw-signed megabucket kills hardest: on
+    * hashing-trick embeddings 65% of docs share one raw bucket and the
+    * self-join goes (0.65·n)²; centering spreads the buckets while
+    * SCORING stays on raw vectors, so emitted cosines are unchanged),
+    * never corpus² (size `planes` so buckets stay small); both
     * per-anchor selections are rank ≤ n windows → map-side
     * WindowGroupLimit. LSH recall applies (a cross-bucket neighbor is
     * unseen) — the standard ANN mining trade-off; the planted-cluster
-    * spec pins behavior where signatures agree. */
+    * specs (zero-mean AND mean-shifted) pin behavior where signatures
+    * agree. */
   def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
                        posThresh: Double, nHard: Int = 3,
                        planes: Int = 0, corpusSize: Long = 0L): DataFrame = {
@@ -1245,7 +1319,12 @@ object Similarity {
         math.max(3, math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
       }
     val dotFn = graft.functions.VectorExpressions.dot _
-    val sig = graft.functions.VectorExpressions.signLsh(col(vecCol), nPlanes)
+    // centering-model fetch: one aggregation job at plan build (this is
+    // a mining pass, not a serving path — cf. annIndex's persisted mean
+    // for the serve-many-probes shape)
+    val mean = corpusMean(emb, vecCol)
+    val sig = graft.functions.VectorExpressions.signLsh(
+      centeredCol(col(vecCol), mean), nPlanes)
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

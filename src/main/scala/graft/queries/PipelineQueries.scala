@@ -246,9 +246,11 @@ object PipelineQueries {
       // stage's rep-vector fetch joins the corpus in place.
       // The synthetic embeddings carry no near-dups at the probe SFs
       // (0 pairs → the driver's rows-only gate was vacuous), so the
-      // query input plants two scaled copies of the minimum-id vector:
-      // same direction → same sign-LSH bucket as their source, which
-      // as the bucket's min id is its rep → cosine 1.0 pairs at ANY
+      // query input plants two near-copies of the minimum-id vector
+      // (+1e-9 per component): under the MEAN-CENTERED signing, a
+      // tiny TRANSLATION preserves centered signs (flip needs a plane
+      // dot within ~1e-9 of zero), so they share their source's
+      // bucket, whose min id is its rep → cosine ~1.0 pairs at ANY
       // SF. Planted ids derive from max(vec_id)+1/+2 (NOT constants —
       // a large enough SF would collide real ids with a fixed 10M).
       val corpus = embBucketed(s, dir)
@@ -258,7 +260,7 @@ object PipelineQueries {
         .agg(max(col("vec_id")).as("maxid"),
           min_by(col("vec"), col("vec_id")).as("vec"))
         .select(explode(array(col("maxid") + 1, col("maxid") + 2)).as("vec_id"),
-          transform(col("vec"), x => x * lit(1.0009)).as("vec"))
+          transform(col("vec"), x => x + lit(1e-9)).as("vec"))
       Dedup.embeddingNearDup(corpus.unionByName(planted), "vec_id", "vec",
         threshold = 0.4, planes = 0)
     }),

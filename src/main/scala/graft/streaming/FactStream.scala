@@ -427,12 +427,19 @@ object FactStream {
           .collect { case (id, p) if id > prior.covered => p }
         if (newDirs.nonEmpty) {
           val newRows = spark.read.parquet(newDirs: _*)
+          // plane count AND centering mean are PINNED from the
+          // published meta: new segments must bucket identically to
+          // the ones already served (and signing with the pinned mean
+          // costs no corpus pass — the O(new rows) property). The
+          // model refits at the next compaction/rebuild, like IVF's
+          // centroid retrain at the chain bound.
           val seg = Similarity.writeAnnSegment(
-            Similarity.annIndex(newRows, "id", "vec", prior.planes).assigned,
+            Similarity.annIndex(newRows, "id", "vec", prior.planes,
+              mean = Some(prior.mean)).assigned,
             annPath)
           Similarity.publishAnnVersion(spark, annPath,
             Similarity.AnnMeta(prior.planes, prior.segments :+ seg,
-              covered = batchId),
+              covered = batchId, mean = prior.mean),
             version = batchId)
         }
       case Some(prior) => // chain at bound: compact (keep pinned planes)
@@ -537,10 +544,14 @@ object FactStream {
     if (dirs.isEmpty) return
     val covered = if (coveredThrough >= 0) coveredThrough else dirs.map(_._1).max
     val corpus = spark.read.parquet(dirs.map(_._2): _*)
-    val seg = Similarity.writeAnnSegment(
-      Similarity.annIndex(corpus, "id", "vec", planes).assigned, s"$path/ann")
+    // full pass = centering-model refit (annIndex default fits the
+    // mean over the whole corpus) — the step that lets the bucketing
+    // follow distribution drift, mirroring the IVF retrain
+    val idx = Similarity.annIndex(corpus, "id", "vec", planes)
+    val seg = Similarity.writeAnnSegment(idx.assigned, s"$path/ann")
     Similarity.publishAnnVersion(spark, s"$path/ann",
-      Similarity.AnnMeta(planes, Seq(seg), covered), version = covered)
+      Similarity.AnnMeta(planes, Seq(seg), covered, mean = idx.mean),
+      version = covered)
   }
 
   /** Streaming exact dedup — the streaming counterpart of

@@ -143,6 +143,80 @@ class GroundTruthSpec extends SparkSpec {
     assert(legacy.planes === 4 && legacy.assigned.count() === 50)
   }
 
+  /** Mean-DOMINATED embeddings — the hashing-trick family (shared
+    * stopword-mass direction): a large common offset plus an O(1)
+    * per-doc direction. Raw sign-LSH megabuckets this family (the
+    * measured 65%-in-one-bucket pathology); every test below pins the
+    * centered behavior. */
+  private def shiftedVec(i: Long, dim: Int): Seq[Double] =
+    (0 until dim).map(j => 5.0 + math.sin(i * 13.0 + j * 5.0))
+
+  test("contrastivePairs: mean-shifted corpus — buckets spread, planted positives mined") {
+    val dim = 16
+    val base = (0 until 300).map(i => (i.toLong, shiftedVec(i, dim)))
+    // planted positives: 5 anchors get a near-copy (tiny TRANSLATION —
+    // centered signs are translation-stable, the recall contract)
+    val planted = (0 until 5).map(i =>
+      (1000L + i, base(i)._2.map(_ + 1e-6)))
+    val emb = (base ++ planted).toDF("vec_id", "vec")
+    // cos between distinct docs: offset dominates (~0.97); a near-copy
+    // is ~1.0 — band edge at 0.9999 separates them
+    val out = Similarity.contrastivePairs(emb, "vec_id", "vec",
+        posThresh = 0.9999, nHard = 3, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val pos = out.filter(_._3 == "positive").map(p => p._1 -> p._2).toMap
+    (0 until 5).foreach { i =>
+      assert(pos.get(i.toLong).contains(1000L + i) &&
+        pos.get(1000L + i).contains(i.toLong),
+        s"planted near-copy pair $i <-> ${1000 + i} not mined: $pos")
+    }
+    // occupancy: the centered signing must SPREAD this family. Compare
+    // against raw signing on the same fixture via the index builder
+    // (same expression path contrastivePairs buckets with).
+    def maxShare(mean: Option[Seq[Double]]): Double = {
+      val counts = Similarity.annIndex(emb, "vec_id", "vec", planes = 4,
+          mean = mean).assigned
+        .groupBy("bucket").count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val centered = maxShare(None)
+    val raw = maxShare(Some(Nil))
+    assert(centered <= 0.35,
+      f"centered max-bucket share $centered%.2f — megabucket not dispersed")
+    assert(raw > centered,
+      f"fixture lost its point: raw $raw%.2f should concentrate above centered $centered%.2f")
+  }
+
+  test("ANN sidecar: centering mean round-trips; probes center identically on both layouts") {
+    val dim = 16
+    val emb = (0 until 200).map(i => (i.toLong, shiftedVec(i, dim)))
+      .toDF("id", "vec")
+    val idx = Similarity.annIndex(emb, "id", "vec", planes = 6)
+    assert(idx.mean.nonEmpty && math.abs(idx.mean.head - 5.0) < 1.5,
+      s"fitted mean should sit near the planted offset: ${idx.mean}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-mean").toString
+    Similarity.writeAnnIndex(idx, dir)
+    val back = Similarity.readAnnIndex(spark, dir)
+    assert(back.mean === idx.mean) // Jackson doubles round-trip exactly
+    val probe = shiftedVec(42, dim)
+    def hits(ix: Similarity.AnnIndex) =
+      Similarity.annTopKIndexed(ix, probe, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(back) === hits(idx)) // identical ring, identical candidates
+    // the probe's ring actually prunes: candidate fraction bounded
+    val sigCounts = idx.assigned.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ringCand = hits(idx) // sanity: top-k served
+    assert(ringCand.nonEmpty)
+    assert(sigCounts.values.max.toDouble / 200 <= 0.35,
+      s"mean-shifted corpus megabucketed even centered: $sigCounts")
+    // recall vs exact brute force on the mean-dominated family
+    val exact = Similarity.topK(emb, "id", "vec", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect hits(idx).map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, s"centered ANN recall $recall on shifted corpus")
+  }
+
   test("annTopKIndexed recall vs exact brute-force top-k") {
     val dim = 8
     val emb = (0 until 200).map(i => (i.toLong, clusterVec(i % 24, i / 24, dim)))

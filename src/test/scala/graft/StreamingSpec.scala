@@ -536,10 +536,13 @@ class StreamingSpec extends SparkSpec {
     // a handful of meta rows — a full rebuild would read 505+
     assert(reads.get() < 100,
       s"incremental refresh read ${reads.get()} records — full corpus re-sign?")
-    // the segmented index is EXACTLY a from-scratch rebuild of the corpus
+    // the segmented index is EXACTLY a from-scratch rebuild of the
+    // corpus under the pinned model (plane count + centering mean —
+    // both are published meta, like IVF's pinned centroids)
     val idx = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
     val fresh = graft.pipeline.Similarity.annIndex(
-      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes)
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes,
+      mean = Some(idx.mean))
     def sigs(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val (merged, scratch) = (sigs(idx.assigned), sigs(fresh.assigned))
@@ -571,8 +574,14 @@ class StreamingSpec extends SparkSpec {
     // the compacted index is EXACTLY a from-scratch rebuild of the corpus
     val idx = graft.pipeline.Similarity.readAnnIndex(spark, s"$dir/ann")
     assert(idx.planes === 4) // pinned plane count survives compaction
+    // a centering model is published and PINNED: it was refitted at the
+    // last compaction and the post-compaction incremental segment signed
+    // with it (a fresh full-corpus fit would differ — the model lags
+    // until the next refit, by design, like IVF's pinned centroids)
+    assert(idx.mean.nonEmpty)
     val fresh = graft.pipeline.Similarity.annIndex(
-      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes)
+      spark.read.parquet(s"$dir/corpus"), "id", "vec", idx.planes,
+      mean = Some(idx.mean))
     def sigs(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val (merged, scratch) = (sigs(idx.assigned), sigs(fresh.assigned))
@@ -932,7 +941,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val corpus = spark.read.parquet(s"$dir/corpus")
     assert(buckets(idx.assigned) ===
-      buckets(Similarity.annIndex(corpus, "id", "vec", planes = 4).assigned))
+      buckets(Similarity.annIndex(corpus, "id", "vec", planes = 4,
+        mean = Some(idx.mean)).assigned))
     assert(buckets(idx.assigned).map(_._1) === Set(1L, 4L, 6L))
     // embeddings are the deterministic hashing-trick vectors of the
     // kept text — the batch embed stage reproduces them bit-for-bit
