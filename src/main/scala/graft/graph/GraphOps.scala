@@ -5,6 +5,7 @@ import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Temporal-graph analytics over the fact store (SURVEY.md §2D).
   *
@@ -65,7 +66,12 @@ object GraphOps {
     // re-reducing the union of ALL levels each iteration grows the
     // anti-join's plan O(depth²) — fine on shallow fixtures, a real
     // cost on high-diameter graphs (BetweennessScaleProbe path mode
-    // pins flat per-level cost)
+    // pins flat per-level cost). The SUPERSEDED settled copy is
+    // released once its successor materializes (the new checkpoint is
+    // a full copy): without the release, checkpointed storage grows
+    // O(depth × |settled|) — O(n²) rows on exactly the path graphs
+    // the maintained frame exists for. The final settled is released
+    // after the loop (the backward pass reads only `levels`).
     var settled = frontier.select("s", "node").localCheckpoint(true)
     var d = 0
     while (!frontier.isEmpty && d < maxIter) {
@@ -78,10 +84,13 @@ object GraphOps {
       frontier = next
       if (!next.isEmpty) {
         levels += next
+        val prev = settled
         settled = settled.unionAll(next.select("s", "node"))
           .localCheckpoint(true)
+        Bridge.freeCheckpoint(prev)
       }
     }
+    Bridge.freeCheckpoint(settled)
     require(frontier.isEmpty,
       s"betweenness BFS did not converge in $maxIter levels")
     // backward: δ at the deepest level is 0; walk levels upward. Each
@@ -276,6 +285,10 @@ object GraphOps {
       // iff sizes match and nothing left the old set
       converged = nextCount == prevCount &&
         edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      // superseded round's edge checkpoint released (the convergence
+      // anti-join above was its last reader) — without this, O(log n)
+      // corpus-sized copies pin the block store per cc call
+      Bridge.freeCheckpoint(edges)
       edges = next
       prevCount = nextCount
     }
@@ -325,6 +338,7 @@ object GraphOps {
         .select("u", "v").localCheckpoint(true)
       val n = next.count()
       done = n == prev
+      Bridge.freeCheckpoint(edges) // superseded peel round
       edges = next
       prev = n
     }
@@ -471,14 +485,17 @@ object GraphOps {
           .join(edges.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
           .localCheckpoint(true)
         val trivial = nodes.join(nontrivial, Seq("node"), "left_anti")
-        if (trivial.isEmpty) trimming = false
+        if (trivial.isEmpty) { trimming = false; Bridge.freeCheckpoint(nontrivial) }
         else {
           assigned += trivial.select(col("node"), col("node").as("scc")).localCheckpoint(true)
+          val (pn, pe) = (nodes, edges)
           nodes = nontrivial
           edges = edges
             .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
             .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
             .localCheckpoint(true)
+          // superseded peel round (its successors above are materialized)
+          Bridge.freeCheckpoint(pn); Bridge.freeCheckpoint(pe)
         }
       }
       require(it < maxIter, s"scc trim did not converge in $maxIter peels")
@@ -511,9 +528,11 @@ object GraphOps {
             .filter(col("cand") < col("color"))
             .select(col("node"), col("cand").as("color")).localCheckpoint(true)
           if (!improved.isEmpty) {
+            val prev = colors
             colors = colors.join(improved.withColumnRenamed("color", "c2"), Seq("node"), "left")
               .select(col("node"), coalesce(col("c2"), col("color")).as("color"))
               .localCheckpoint(true)
+            Bridge.freeCheckpoint(prev) // superseded color map
           }
           frontier = improved
         }
@@ -526,6 +545,7 @@ object GraphOps {
           .filter(col("sc") === col("dc"))
           .select(col("src"), col("dst"), col("sc").as("color")).localCheckpoint(true)
         var reach = colors.filter(col("node") === col("color")).localCheckpoint(true)
+        Bridge.freeCheckpoint(colors) // cEdges + root set are materialized
         var bfsFrontier = reach
         it = 0
         while (!bfsFrontier.isEmpty && it < maxIter) {
@@ -534,15 +554,22 @@ object GraphOps {
               bfsFrontier("node") === cEdges("dst") && bfsFrontier("color") === cEdges("color"))
             .select(cEdges("src").as("node"), bfsFrontier("color").as("color")).distinct()
           bfsFrontier = pred.join(reach, Seq("node"), "left_anti").localCheckpoint(true)
-          if (!bfsFrontier.isEmpty) reach = reach.unionAll(bfsFrontier).localCheckpoint(true)
+          if (!bfsFrontier.isEmpty) {
+            val prev = reach
+            reach = reach.unionAll(bfsFrontier).localCheckpoint(true)
+            Bridge.freeCheckpoint(prev) // superseded reached set
+          }
         }
         require(it < maxIter, s"scc collection did not converge in $maxIter hops")
+        Bridge.freeCheckpoint(cEdges) // collect BFS done with it
         assigned += reach.select(col("node"), col("color").as("scc"))
+        val (pn, pe) = (nodes, edges)
         nodes = nodes.join(reach, Seq("node"), "left_anti").localCheckpoint(true)
         edges = edges
           .join(nodes.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .localCheckpoint(true)
+        Bridge.freeCheckpoint(pn); Bridge.freeCheckpoint(pe)
         remaining = nodes.count()
       }
     }

@@ -187,21 +187,21 @@ object FactLogIO {
       try in.getRecordCount finally in.close()
     }
     def sweepTmpLeftovers(dir: String): Unit = {
+      // DIRECTORY walk, not fs.listFiles (file enumeration): an EMPTY
+      // .excise_tmp_ dir — crash between mkdir and the first part-file
+      // write — contains no files, so a file-parent walk never finds
+      // it and it accumulates forever
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) {
-        val it = fs.listFiles(p, true)
-        val tmps = collection.mutable.Set.empty[org.apache.hadoop.fs.Path]
-        while (it.hasNext) {
-          val f = it.next().getPath
-          var q = f
-          while (q != null) {
-            if (q.getName.startsWith(".excise_tmp_")) tmps += q
-            q = q.getParent
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) {
+            if (st.getPath.getName.startsWith(".excise_tmp_"))
+              fs.delete(st.getPath, true): Unit
+            else walk(st.getPath)
           }
         }
-        tmps.foreach(fs.delete(_, true))
-      }
+      if (fs.exists(p)) walk(p)
     }
     def exciseDir(dir: String): (Long, Long, Long) = {
       sweepTmpLeftovers(dir) // crash leftovers from an interrupted run
@@ -235,10 +235,16 @@ object FactLogIO {
             val fc = org.apache.hadoop.fs.FileContext.getFileContext(fp.toUri, conf)
             fc.rename(part, fp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           } catch {
-            case _: UnsupportedOperationException =>
-              // no overwriting rename on this filesystem: the
-              // documented non-atomic fallback (recovery = the sweep +
-              // rerun, guided by the audit record)
+            // UnsupportedOperationException: the filesystem's rename
+            // can't overwrite. UnsupportedFileSystemException (an
+            // IOException, thrown by getFileContext itself): the scheme
+            // has no AbstractFileSystem binding at all — without this
+            // arm the excise aborts MID-RUN with some files rewritten
+            // and others not. Both land on the documented non-atomic
+            // fallback (recovery = the sweep + rerun, guided by the
+            // audit record).
+            case _: UnsupportedOperationException |
+                 _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
               fs.delete(fp, false)
               fs.rename(part, fp)
           }
@@ -258,7 +264,11 @@ object FactLogIO {
     val rec = s"""{"excised_ids":[${ids.mkString(",")}],"at_epoch_ms":$ts,""" +
       s""""files_rewritten":${report.filesRewritten},""" +
       s""""facts_removed":${report.factsRemoved}}"""
-    val out = fs.create(new org.apache.hadoop.fs.Path(auditDir, s"excise_$ts.json"), true)
+    // uniquified name + overwrite=false: two excisions in the same
+    // millisecond must yield two audit records, never silently one
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(auditDir, s"excise_$ts-$nonce.json"), false)
     try out.write((rec + "\n").getBytes("UTF-8")) finally out.close()
     report
   }

@@ -60,7 +60,13 @@ object BetweennessScaleProbe {
     val top = bc.orderBy(col("betweenness").desc).limit(3).collect()
       .map(r => f"""[${r.getLong(0)},${r.getDouble(1)}%.1f]""").mkString(",")
     val nEdges = if (path) n - 1 else n * 4
-    println(f"""{"probe":"betweenness","mode":"${if (path) "path" else "expander"}","n_nodes":$n,"n_edges":$nEdges,"pivots":${pivots.size},"secs":$secs%.2f,"rows":$rows,"top3":[$top]}""")
+    // resident checkpoint storage at the end of the run: with the
+    // superseded-settled release this is the levels+contribs frames
+    // (O(depth) rows total on the path graph); without it the retired
+    // settled copies pile up O(depth²) rows of blocks
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val residentMb = storage.map(_.memSize).sum / 1e6
+    println(f"""{"probe":"betweenness","mode":"${if (path) "path" else "expander"}","n_nodes":$n,"n_edges":$nEdges,"pivots":${pivots.size},"secs":$secs%.2f,"rows":$rows,"resident_rdds":${storage.length},"resident_mb":$residentMb%.1f,"top3":[$top]}""")
     spark.stop()
   }
 }

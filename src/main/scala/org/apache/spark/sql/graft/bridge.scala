@@ -35,4 +35,20 @@ object Bridge {
           if r.cacheBuilder.isCachedColumnBuffersLoaded =>
         r.cacheBuilder.cachedColumnBuffers.id
     }
+
+  /** Release the materialized RDD blocks behind a (local)checkpointed
+    * frame — the storage half of `checkpointRddIds`. Iterative
+    * algorithms that maintain ONE frame across rounds (settled sets,
+    * color maps) supersede a checkpoint per round; without an explicit
+    * release each superseded copy stays pinned in the block store for
+    * the session's lifetime — O(rounds × frame) storage, the quantity
+    * that matters on a 200-level-diameter graph. Only call once the
+    * SUCCESSOR checkpoint has materialized (eager localCheckpoint)
+    * and no other plan references the frame. Non-blocking. */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false): Unit
+      case _ =>
+    }
 }

@@ -70,11 +70,16 @@ class SourcesSpec extends SparkSpec {
       .filter(_.isDirectory).head
     val stale = new java.io.File(attrDir, ".excise_tmp_stale")
     db.log.limit(3).write.parquet(stale.toString)
+    // and an EMPTY leftover (crash between mkdir and the first part
+    // write): contains no files, so a file-parent walk never sees it
+    val staleEmpty = new java.io.File(attrDir, ".excise_tmp_empty")
+    assert(staleEmpty.mkdir())
     val victim = db.log.select(col("e")).head().getLong(0)
     val victimFacts = FactLogIO.read(spark, dir)
       .log.filter(col("e") === victim).count()
     val report = FactLogIO.excise(spark, dir, Seq(victim))
     assert(!stale.exists(), "stale .excise_tmp_ dir must be swept")
+    assert(!staleEmpty.exists(), "EMPTY stale .excise_tmp_ dir must be swept too")
     assert(report.factsRemoved === victimFacts,
       "stale tmp rows must not pollute the removed count")
     // the durable audit marker: ids + report recorded as a sidecar
@@ -84,6 +89,14 @@ class SourcesSpec extends SparkSpec {
     val rec = new String(Files.readAllBytes(recs.head.toPath), "UTF-8")
     assert(rec.contains(s""""excised_ids":[$victim]"""))
     assert(rec.contains(s""""facts_removed":$victimFacts"""))
+    // a second excision — possibly within the same millisecond — must
+    // append a SECOND audit record, never overwrite the first
+    val victim2 = FactLogIO.read(spark, dir).log
+      .filter(col("e") =!= victim).select(col("e")).head().getLong(0)
+    FactLogIO.excise(spark, dir, Seq(victim2))
+    assert(new java.io.File(s"$dir/meta_excise").listFiles()
+      .count(_.getName.endsWith(".json")) === 2,
+      "each excision keeps its own audit record")
   }
 
   test("excise: a compacted snapshot base under the same path is excised too") {
