@@ -18,7 +18,12 @@ object Bench {
     "dl_asof", "dl_asof_bucketed",
     "dedup_exact", "dedup_minhash", "dedup_spans", "dedup_containment",
     "dedup_edit",
-    "sim_topk", "sim_range", "sim_ann", "sim_ann_batch", "sim_hybrid",
+    // sim_ann_text: the same online serving path over HASHING-TRICK
+    // doc embeddings — the mean-dominated family whose raw-sign
+    // megabucket degrades probes to a corpus scan; benched so the
+    // centered index's pruning is a tracked number, not a spec claim
+    "sim_topk", "sim_range", "sim_ann", "sim_ann_text", "sim_ann_batch",
+    "sim_hybrid",
     "sim_hybrid_indexed", "text_bm25_batch", "mm_audio", "mm_audio_dedup",
     "text_quality", "text_entropy", "text_tfidf", "text_collocations",
     "text_heavy_hitters",

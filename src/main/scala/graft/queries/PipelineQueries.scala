@@ -77,6 +77,35 @@ object PipelineQueries {
       s.read.parquet(s"$base/stats"), s.read.parquet(s"$base/vecs"))
   }
 
+  /** ANN sidecar over the HASHING-TRICK doc embeddings — the embedding
+    * family the ingest pipeline actually produces (and the one raw
+    * sign-LSH megabuckets: these vectors share the stopword-mass
+    * direction, which put 65% of sf0.1 docs in ONE bucket before
+    * centering). sim_ann above serves the synthetic near-zero-mean
+    * table where that pathology cannot show; this index is the benched
+    * proof the CENTERED serving path prunes on real-shaped vectors. */
+  private def annTextIdx(s: SparkSession, dir: String): Similarity.AnnIndex = {
+    val path = idxWritten.getOrElseUpdate((s, dir, "ann_text"), {
+      val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/ann_text"
+      Similarity.writeAnnIndex(
+        Similarity.annIndex(
+          TextAnalysis.hashEmbedding(docs(s, dir), dims = 64),
+          "doc_id", "vec", planes = 8), p)
+      p
+    })
+    Similarity.readAnnIndex(s, path)
+  }
+
+  /** Probe for the text-embedding index: the hash embedding of the
+    * min-doc_id document (a parameter fetch — one 1-row embed job). */
+  private val textProbe =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
+  private def textProbeVec(s: SparkSession, dir: String): Seq[Double] =
+    textProbe.getOrElseUpdate((s, dir),
+      TextAnalysis.hashEmbedding(
+          docs(s, dir).orderBy(col("doc_id")).limit(1), dims = 64)
+        .head().getSeq[Double](1))
+
   private def ivfIdx(s: SparkSession, dir: String): Similarity.IvfIndex = {
     val path = idxWritten.getOrElseUpdate((s, dir, "ivf"), {
       val p = s"$idxRoot/${math.abs(dir.hashCode.toLong)}/ivf"
@@ -278,6 +307,17 @@ object PipelineQueries {
     "sim_ann" -> ((s, dir) =>
       Similarity.annTopKIndexed(annIdx(s, dir), probeVec(s, dir), 10,
         excludeId = Some(0L))),
+
+    // ANN serving over the HASHING-TRICK doc embeddings — the
+    // mean-dominated family the curation pipeline feeds the index
+    // (sim_ann's synthetic table is near-zero-mean, exactly where the
+    // raw-sign megabucket pathology hides). Same online path: pointer
+    // resolve → pushed-down In-ring over the bucket-clustered sidecar
+    // (plan-pinned) → exact rescore of the pruned candidates.
+    "sim_ann_text" -> ((s, dir) => {
+      val probe = textProbeVec(s, dir)
+      Similarity.annTopKIndexed(annTextIdx(s, dir), probe, 10)
+    }),
 
     "sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(ivfIdx(s, dir), probeVec(s, dir), 10,

@@ -45,16 +45,24 @@ object BitextScaleProbe {
     val ringBits = sys.env.get("BITEXT_RING").map(_.toInt).getOrElse(2)
 
     if (mode == "buckets") {
-      // diagnostic: the sign-bucket histogram of the target shard —
-      // hashing-trick embeddings can concentrate mass in few buckets
-      // (a dominant direction), which turns Σ|bucket| into corpus²
-      val sig = graft.functions.VectorExpressions.signLsh(col("vec"), planes)
-      val hist = embd.filter(col("lang") =!= "en").withColumn("b", sig)
-        .groupBy("b").count().orderBy(col("count").desc).collect()
-      println(s"[buckets] planes=$planes nBuckets=${hist.length} " +
-        s"top=${hist.take(8).map(r => r.getLong(0) + ":" + r.getLong(1)).mkString(",")}")
-      val sq = hist.map(r => r.getLong(1) * r.getLong(1)).sum
-      println(s"[buckets] sum|b|^2=$sq vs |Y|^2=${nY * nY}")
+      // diagnostic: RAW vs MEAN-CENTERED sign-bucket histograms of the
+      // target shard — hashing-trick embeddings concentrate raw signs
+      // in few buckets (a dominant direction), which turns Σ|bucket|
+      // into corpus²; centering is the library-wide fix and this line
+      // is its occupancy evidence on the real family
+      val tgt = embd.filter(col("lang") =!= "en")
+      val mean = Similarity.corpusMean(tgt, "vec")
+      def hist(label: String, sigCol: org.apache.spark.sql.Column): Unit = {
+        val h = tgt.withColumn("b", sigCol)
+          .groupBy("b").count().orderBy(col("count").desc).collect()
+        val sq = h.map(r => r.getLong(1) * r.getLong(1)).sum
+        val top = h.take(4).map(r => r.getLong(0) + ":" + r.getLong(1)).mkString(",")
+        println(f"""{"probe":"bucket_occupancy","sign":"$label","planes":$planes,"n":$nY,"n_buckets":${h.length},"max_share":${h.head.getLong(1).toDouble / nY}%.3f,"sum_sq":$sq,"n_sq":${nY * nY},"top":"$top"}""")
+      }
+      hist("raw",
+        graft.functions.VectorExpressions.signLsh(col("vec"), planes))
+      hist("centered", graft.functions.VectorExpressions.signLsh(
+        Similarity.centeredCol(col("vec"), mean), planes))
       spark.stop(); return
     }
     if (mode == "parity") {

@@ -187,6 +187,30 @@ class GroundTruthSpec extends SparkSpec {
       f"fixture lost its point: raw $raw%.2f should concentrate above centered $centered%.2f")
   }
 
+  test("hashing-trick doc embeddings: centering disperses the raw-sign megabucket") {
+    // the REAL family (not a synthetic stand-in): hashEmbedding over
+    // the documents table — these vectors share the stopword-mass
+    // direction, and raw sign-LSH concentrated 65% of sf0.1 docs in
+    // ONE bucket (SCALE_r14). This pins both halves: raw signing
+    // really does megabucket this family, and the centered index
+    // disperses it — so the quadratic/scan-degrade class cannot
+    // return silently.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = TextAnalysis.hashEmbedding(docs, dims = 64)
+    def maxShare(mean: Option[Seq[Double]]): Double = {
+      val counts = Similarity.annIndex(emb, "doc_id", "vec", planes = 8,
+          mean = mean).assigned
+        .groupBy("bucket").count().collect().map(_.getLong(1))
+      counts.max.toDouble / counts.sum
+    }
+    val raw = maxShare(Some(Nil))
+    val centered = maxShare(None)
+    assert(centered <= 0.25,
+      f"centered max-bucket share $centered%.3f — the served ring stops pruning")
+    assert(raw >= 2 * centered,
+      f"raw $raw%.3f vs centered $centered%.3f — megabucket fixture assumption broken")
+  }
+
   test("ANN sidecar: centering mean round-trips; probes center identically on both layouts") {
     val dim = 16
     val emb = (0 until 200).map(i => (i.toLong, shiftedVec(i, dim)))

@@ -395,6 +395,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"expected a pure filtered scan, no join:\n$p")
   }
 
+  test("sim_ann_text: centered index over hashing-trick vectors serves a pruned scan") {
+    // same contract as sim_ann, on the embedding family that NEEDS the
+    // mean-centering: without it one bucket holds most of the corpus
+    // and the pushed ring stops pruning (the scan would still "work" —
+    // this pin plus the occupancy ground-truth spec is what keeps the
+    // pathology from returning silently)
+    val p = plan("sim_ann_text")
+    assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
+    assert(p.contains("/ann_text/v0-"), s"expected the published version dir:\n$p")
+    assert(p.contains("In(bucket, ["),
+      s"expected the probe ring pushed to the sidecar scan:\n$p")
+    assert(!p.contains("Join"), s"expected a pure filtered scan, no join:\n$p")
+  }
+
   test("sim_ivf: served from the persisted cell-assignment sidecar") {
     val p = plan("sim_ivf")
     assert(p.contains("Scan parquet"), s"expected persisted sidecar scan:\n$p")
@@ -576,6 +590,22 @@ class PlanAuditSpec extends SparkSpec {
     // ReusedExchange disappears, the corpus is being exploded and
     // shuffled independently per branch.
     assert(p.contains("ReusedExchange"), s"expected tf exchange reuse:\n$p")
+  }
+
+  test("train_pairs: the bucket self-join materializes once across pos/neg/join consumers") {
+    // contrastivePairs' scored pair relation feeds THREE consumers (the
+    // positive window, the hard-negative window, and the negative⋈
+    // positive anchor join). The subtrees are byte-identical, so AQE
+    // must serve them from ONE materialized exchange — if a refactor
+    // breaks subtree identity, the Σ|bucket|² candidate self-join
+    // computes up to three times (reuse is an ADAPTIVE decision, so
+    // inspect the plan after execution — the dedup_sweep discipline).
+    val df = SparkEntry.queries("train_pairs")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"expected the pair subtree's exchange reused across consumers:\n$p")
   }
 
   test("q_merge_cdc: changelog reduces by aggregation, never a per-key window") {

@@ -39,6 +39,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   * scalar winner where the reference wraps all tied modes in a list.
   * Error cases assert [[QueryException]]'s code + field == the
   * reference's error-map `:code` and offending-field entries.
+  *
+  * ONE deliberate exclusion from the reference's public test corpus:
+  * pull_test.clj's `test-make-pull-query` deftest (:12-68). It
+  * asserts the SHAPES of the reference's internally-generated pull
+  * subqueries (its compiler's intermediate representation), not any
+  * observable query behavior — a cross-engine port would mean
+  * asserting graft's compiler emits another engine's internals, which
+  * pins nothing a user can see. The BEHAVIORAL pull deftest
+  * (`test-row-parsing`, pull_test.clj:70-134) runs verbatim below;
+  * every pull semantic the shape test indirectly exercises (wildcard,
+  * nested refs, reverse refs, attr subsets) is covered by the
+  * dl_pull* oracle keys and the row-parsing fixture.
   */
 class ReferenceCorpusSpec extends SparkSpec {
 
