@@ -119,10 +119,28 @@ object Bench {
         .filterNot { case (id, _) => keep(id) }
         .values.foreach(_.unpersist(blocking))
     }
+    // MEMLOG diagnostic mode (SPARK_GRAFT_BENCH_MEMLOG=1): after every
+    // query, force a full GC and print post-GC heap, broadcast-block
+    // residency and RDD storage bytes to stderr — the instrumentation
+    // that names WHICH accumulator climbs across a long single-JVM run
+    // (the 8 GB 100x union-OOM triage). Costs a System.gc() per query:
+    // never on for graded timings.
+    val memlog = sys.env.get("SPARK_GRAFT_BENCH_MEMLOG").exists(_ == "1")
+    def memLine(tag: String): Unit = if (memlog) {
+      System.gc()
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory - rt.freeMemory) / 1e6
+      val (bCount, bBytes) = org.apache.spark.sql.graft.Bridge.broadcastBlockStats()
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val rddMb = storage.map(s => s.memSize + s.diskSize).sum / 1e6
+      System.err.println(
+        f"""[memlog] {"tag":"$tag","heap_mb":$usedMb%.0f,"bcast_n":$bCount,"bcast_mb":${bBytes / 1e6}%.0f,"rdd_n":${storage.length},"rdd_mb":$rddMb%.0f}""")
+    }
     queriesToRun.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count(): Unit
       catch { case scala.util.control.NonFatal(_) => () } // surfaces in timed runs
       dropCheckpoints()
+      memLine(s"warmup:$name")
     }
     // n runs per query, report the per-query MEDIAN: single runs are
     // ±30% box-noisy and one GC pause misgrades a whole round. Samples
@@ -143,6 +161,7 @@ object Bench {
             Double.NaN
           }
         dropCheckpoints(blocking = true) // outside the timer
+        memLine(s"sample:$name")
         sample
       }
     }
@@ -164,6 +183,16 @@ object Bench {
       val (lo, hi) = if (xs.isEmpty) (-1.0, -1.0) else (xs.min, xs.max)
       "\"" + name + f"""\":[$lo%.3f,$hi%.3f]"""
     }.mkString("{", ",", "}")
+    // the full per-pass sample matrix (pass-major): a multi-second
+    // outlier that CO-OCCURS with other queries' outliers in one pass
+    // is a box/GC window (the median absorbs it); the same query
+    // blowing up in EVERY pass is a real stall. Spread alone cannot
+    // distinguish the two — the r14 n=3 outlier triage needed this.
+    val sampleMatrix = samples.zipWithIndex.map { case (pass, pi) =>
+      s""""pass${pi + 1}":""" + queriesToRun.zipWithIndex.map { case (nm, i) =>
+        "\"" + nm + f"""\":${pass(i)}%.3f"""
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // a failed query (-1.0 sentinel) must never make the headline total
     // LOOK faster than a passing run: failures are excluded from the sum
     // and reported by name, and any failure flips the total negative.
@@ -180,7 +209,7 @@ object Bench {
       if (xs.isEmpty) 0.0 else xs.min
     }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir","n":$n}"""
+      f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","queries":$qs,"spread":$spread,"samples":$sampleMatrix,"failed":$failedJson,"sf":"$sfDir","n":$n}"""
     // The detailed record grew past the driver's bounded TAIL capture
     // (BENCH_r11/r12 arrived head-truncated -> "parsed": null), so:
     // (a) persist the full record to a file next to the repo artifacts,

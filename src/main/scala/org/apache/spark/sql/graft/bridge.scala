@@ -36,6 +36,20 @@ object Bridge {
         r.cacheBuilder.cachedColumnBuffers.id
     }
 
+  /** Residency of BROADCAST blocks in this JVM's block manager:
+    * (count, bytes mem+disk). Broadcasts are freed by the
+    * ContextCleaner only after their driver-side handle is GC'd, so a
+    * long single-JVM run can carry hundreds of dead broadcasts between
+    * collections — this counter is how a memory-floor probe tells
+    * broadcast-cleanup lag from a real leak (bench MEMLOG mode). */
+  def broadcastBlockStats(): (Int, Long) = {
+    val bm = org.apache.spark.SparkEnv.get.blockManager
+    val ids = bm.getMatchingBlockIds(_.isBroadcast)
+    val bytes = ids.iterator
+      .flatMap(id => bm.getStatus(id).map(s => s.memSize + s.diskSize)).sum
+    (ids.size, bytes)
+  }
+
   /** Release the materialized RDD blocks behind a (local)checkpointed
     * frame — the storage half of `checkpointRddIds`. Iterative
     * algorithms that maintain ONE frame across rounds (settled sets,

@@ -789,10 +789,16 @@ class StreamingSpec extends SparkSpec {
       (3L, "a quiet morning by the lake is the best", "srcA"),
       (4L, "el rio y los arboles por la manana", "srcB"))
     input.addData(b0)
-    q.processAllAvailable()
+    val t0 = System.nanoTime(); q.processAllAvailable()
+    val t0s = (System.nanoTime() - t0) / 1e9
     input.addData(b1)
-    q.processAllAvailable()
+    val t1 = System.nanoTime(); q.processAllAvailable()
+    val t1s = (System.nanoTime() - t1) / 1e9
     q.stop()
+    // aggregate-state twin in the latency trendline (the other suites
+    // are sidecar-publishing; this one's state is the bounded
+    // (source, lang) cell relation)
+    recordLatency("stream_profile", t0s, t1s)
     def cells(df: org.apache.spark.sql.DataFrame) = df
       .select("source", "pred_lang", "n_docs", "n_tokens", "avg_quality", "pii_frac")
       .collect()
