@@ -976,10 +976,21 @@ object Similarity {
                  ringBits: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dotFn = graft.functions.VectorExpressions.dot _
+    // base is MATERIALIZED once (localCheckpoint, released by the
+    // bench's dropCheckpoints like every per-invocation temporary):
+    // it has 3-4 consumers per action — the X-side collect, the Y side
+    // under the scoring kernel, the tgt_lang rejoin, and (planes > 0)
+    // the corpusMean aggregation — and the embedding subtree feeding
+    // it (hashEmbedding: tokenize + two shuffles) re-evaluated per
+    // consumer, ~3× the whole miner's arithmetic (measured r15:
+    // train_bitext 5.6 s → 3.1 s from this alone). Narrow rows
+    // (id, vec, nrm, lang), spills to disk — corpus-sized but bounded.
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         col(langCol).as("lang"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
       .filter(col("nrm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count(): Unit // force NOW: every consumer below reads the cache
     val x = base.filter(col("lang") === srcLang)
     val y = base.filter(col("lang") =!= srcLang)
     // The candidate relation both directions rank over:
@@ -1068,9 +1079,31 @@ object Similarity {
   /** `round(_, 6)`-exact scalar rounding (toString-canonical BigDecimal,
     * HALF_UP) — shared by both imperative bitext kernels so their
     * cosines match the declarative surface bit-for-bit. */
-  private def round6(d: Double): Double =
+  private[graft] def round6(d: Double): Double = {
+    // Fast path (r15): scaled round-half-away-from-zero. Equal to the
+    // BigDecimal result except possibly within ~2e-10 of a .5 decimal
+    // boundary: the shortest-decimal repr s of d has |s−d| ≤ ulp(d)/2
+    // and the ×1e6 scaling adds ≤ ulp(|d|·1e6)/2: for |d| < 16 (cosines
+    // live in [-1, 1]) that totals ≤ ~2.7e-9, well inside the 1e-8
+    // guard band — outside the band both representations sit on the
+    // same side of every integer+0.5 boundary. Inside the band, or for
+    // |d| ≥ 16, fall back to the exact BigDecimal path. This is the
+    // per-pair hot loop of both bitext kernels: the BigDecimal path
+    // costs a Double.toString alloc + BigDecimal per PAIR; the fast
+    // path is a handful of flops. RoundSixSpec pins fast == BigDecimal
+    // over 10M random + boundary-adversarial samples.
+    val a = math.abs(d) * 1e6
+    if (a < 1.6e7) {
+      val f = math.floor(a)
+      val frac = a - f
+      if (frac < 0.49999999 || frac > 0.50000001) {
+        val r = (if (frac < 0.5) f else f + 1.0) / 1e6
+        return if (d < 0) -r else r
+      }
+    }
     new java.math.BigDecimal(java.lang.Double.toString(d))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
 
   /** Best-first parallel-array top-k insert; (cos desc, id asc) total
     * order — the same order the downstream rank windows use. */
@@ -1086,7 +1119,7 @@ object Similarity {
     }
   }
 
-  private def bitextScoreBlocked(x: DataFrame, y: DataFrame, k: Int): DataFrame = {
+  private[graft] def bitextScoreBlocked(x: DataFrame, y: DataFrame, k: Int): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
     val xRows = x.select(col("id"), col("vec"), col("nrm"))
@@ -1096,7 +1129,17 @@ object Similarity {
     val xNrms = xRows.map(_.getDouble(2))
     val bc = spark.sparkContext.broadcast((xIds, xVecs, xNrms))
     val kk = k
+    // Spread Y across one task per shuffle partition BEFORE the kernel
+    // (r15): the stage's cost is |Y_partition|·|X| FMAs, not its input
+    // bytes, so AQE's byte-based partition coalescing (which sees a
+    // few MB of narrow rows and packs them into ONE task) serializes
+    // the whole quadratic pass onto one core — measured 2.4 s → 0.25 s
+    // at sf0.1/local[32]. Hash on the deterministic id (guide §2.5: no
+    // rand-derived keys); explicit numPartitions opts this exchange
+    // out of AQE coalescing, sized by the session's shuffle-partition
+    // setting so the driver's core-count sweep still governs it.
     y.select(col("id"), col("vec"), col("nrm"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
         val (ids, vecs, nrms) = bc.value
@@ -1167,7 +1210,7 @@ object Similarity {
     * downstream rank window finishes it). Per-partition working state:
     * the partition's bucket contents (Σ|bucket| over its buckets — the
     * quantity `planes` sizing bounds) + k slots per resident row. */
-  private def bitextScoreBuckets(x: DataFrame, y: DataFrame, planes: Int,
+  private[graft] def bitextScoreBuckets(x: DataFrame, y: DataFrame, planes: Int,
                                  k: Int, ringBits: Int): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
@@ -1204,7 +1247,13 @@ object Similarity {
     // distinct-x-in-partition · k), corpus-independent given the
     // volume sizing.
     xs.unionAll(ys)
-      .repartition(col("bucket"))
+      // explicit numPartitions (r15): this stage is compute-bound
+      // (Σ|x_ring(b)|·|y(b)| FMAs over a few MB of narrow rows), so
+      // AQE's byte-based coalescing would pack the buckets onto one
+      // core; pin one task per shuffle partition instead (same
+      // rationale + measurement as the blocked kernel's spread).
+      .repartition(x.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bucket"))
       .sortWithinPartitions(col("bucket"), col("isx")) // false (y) first
       .as[(Boolean, Long, Array[Double], Double, Long)]
       .mapPartitions { it =>
