@@ -12,7 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Spread a corpus scan to the session's shuffle width when the file
+    * layout under-splits it (r15). The local corpora ship as ONE
+    * single-row-group parquet file, so every scan is one task and the
+    * per-row work that fuses into the scan stage — tokenize, shingle,
+    * explode, partial aggregation: the EXPENSIVE half of most text
+    * operators — ran on one core (ProfileQuery: dedup_containment spent
+    * 2×~1 s in 1-task scan stages at local[32]). A deterministic hash
+    * repartition on the key costs one narrow shuffle of the raw corpus
+    * and parallelizes everything downstream. GATED on the layout: with
+    * ≥ width input files (any real at-scale table) it is a no-op, so
+    * this is a small-layout corrective, not a local[32] tuning. */
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val width = s.sessionState.conf.numShufflePartitions
+    if (df.inputFiles.length < width) df.repartition(width, col(key)) else df
+  }
   private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+  /** docs() spread wide — OPT-IN per call site (r15): the extra
+    * exchange pays off only where the scan-fused per-row work is heavy
+    * (shingling, LM position streams, tf reduces: measured 0.42-0.68×)
+    * and hurts map-only / driver-loop queries (dedup_exact 1.5×,
+    * text_bpe_learn 1.3×) — so the default stays the raw scan. */
+  private def docsW(s: SparkSession, dir: String): DataFrame =
+    spread(s, docs(s, dir), "doc_id")
   private def emb(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
@@ -236,7 +258,7 @@ object PipelineQueries {
     // (k=4). Exact path (planes=0) → fully DuckDB-replicated; the
     // SignLsh ring-bucket scale path is spec-pinned against it
     "train_bitext" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsW(s, dir)
       val embd = TextAnalysis.hashEmbedding(d, dims = 64)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
       Similarity.bitextMine(embd, "doc_id", "vec", "lang", srcLang = "en")
@@ -251,7 +273,7 @@ object PipelineQueries {
     // the exact path are parity-pinned (GroundTruthSpec,
     // BitextScaleProbe parity mode).
     "train_bitext_lsh" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsW(s, dir)
       val embd = TextAnalysis.hashEmbedding(d, dims = 64)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
       // plane count is an index-sizing parameter: computed once per
@@ -385,7 +407,7 @@ object PipelineQueries {
 
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
 
-    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir), topK = 3)),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docsW(s, dir), topK = 3)),
 
     "text_hashvec" -> ((s, dir) => TextAnalysis.hashVectors(docs(s, dir), dims = 64)),
 
@@ -486,7 +508,7 @@ object PipelineQueries {
     // benchmark decontamination: source 'src0' plays the eval suite,
     // every other source is the training corpus; n=8 token shingles.
     "text_decontam" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsW(s, dir)
       TextAnalysis.decontaminate(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"), n = 8)
@@ -497,7 +519,7 @@ object PipelineQueries {
     // text_decontam, plan broadcastable even when the eval shingle set
     // is not
     "text_decontam_bloom" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsW(s, dir)
       TextAnalysis.decontaminateBloom(
         d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"), n = 8)
@@ -565,7 +587,7 @@ object PipelineQueries {
 
     // novelty: fraction of a doc's distinct 8-token shingles first
     // seen (min doc_id) in that doc — the curriculum-ordering signal
-    "text_novelty" -> ((s, dir) => TextAnalysis.noveltyScore(docs(s, dir))),
+    "text_novelty" -> ((s, dir) => TextAnalysis.noveltyScore(docsW(s, dir))),
 
     // language-ID confidence margin (fastText-style act-only-when-
     // confident gate); same predLang heuristic as text_langid
@@ -574,7 +596,7 @@ object PipelineQueries {
 
     // corpus n-gram datasheet: distinct/instances/singleton-frac/df
     // tail — the numbers that size a dedup deployment's state
-    "corpus_ngram_stats" -> ((s, dir) => TextAnalysis.ngramStats(docs(s, dir))),
+    "corpus_ngram_stats" -> ((s, dir) => TextAnalysis.ngramStats(docsW(s, dir))),
 
     // Flesch reading-ease gate (dictionary-free syllable proxy):
     // map-only, one codegen'd projection, exact-integer counts
@@ -610,7 +632,7 @@ object PipelineQueries {
     // size, so the log-ratio relation broadcasts at 100 TB; two corpus
     // passes total
     "sample_importance" -> ((s, dir) =>
-      TextAnalysis.importanceWeights(docs(s, dir),
+      TextAnalysis.importanceWeights(docsW(s, dir),
         col("source").isin("src0", "src1"))),
 
     // exact-substring dedup signal (Lee et al. 2022) at 8-token span
@@ -623,7 +645,7 @@ object PipelineQueries {
     // see (a short doc quoted inside a long one); one (doc, sh)
     // self-join over the reduced distinct relation
     "dedup_containment" -> ((s, dir) =>
-      Dedup.shingleContainment(docs(s, dir), n = 8, threshold = 0.5)),
+      Dedup.shingleContainment(docsW(s, dir), n = 8, threshold = 0.5)),
 
     // the REMOVAL step of exact-substring dedup: cut every token
     // covered by a cross-document duplicated 8-token span
@@ -636,14 +658,14 @@ object PipelineQueries {
 
     // corpus-level leakage report: pairwise cross-source shingle
     // overlap + vocabulary Jaccard between subcorpora
-    "text_src_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(docs(s, dir), n = 8)),
+    "text_src_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(docsW(s, dir), n = 8)),
 
     // boilerplate inventory: the top shared 8-gram shingles by doc
     // frequency — the accounting half of the containment/overlap
     // maxDf discipline (what the df bound excludes, reviewed instead
     // of silently dropped)
     "text_boilerplate" -> ((s, dir) =>
-      TextAnalysis.boilerplateReport(docs(s, dir), n = 8, minDf = 2, topK = 100)),
+      TextAnalysis.boilerplateReport(docsW(s, dir), n = 8, minDf = 2, topK = 100)),
 
     // train/val/test freeze: content-independent md5 basis-point
     // bucketing, engine-reproducible, shuffle-free
@@ -699,7 +721,7 @@ object PipelineQueries {
     // survivors. One pass over the corpus, one hash shuffle (the dedup
     // groupBy); the gates are pushed-down scans feeding it.
     "pipeline_e2e" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsW(s, dir)
       // ONE corpus pass for the per-row gates (language + quality
       // fused), one shuffle for the relational step (exact dedup)
       val gated = TextAnalysis.langQuality(d)
@@ -734,7 +756,7 @@ object PipelineQueries {
     // keyword half of hybrid retrieval; one corpus tf shuffle, then
     // query-hit-sized joins only
     "text_bm25" -> ((s, dir) =>
-      TextAnalysis.bm25(docs(s, dir), Seq("spark", "query", "join"))),
+      TextAnalysis.bm25(docsW(s, dir), Seq("spark", "query", "join"))),
 
     // hybrid BM25 + embedding-cosine retrieval fused by reciprocal-rank
     // fusion — both lists are TakeOrderedAndProject scans; everything
@@ -742,13 +764,13 @@ object PipelineQueries {
     // md5/arithmetic-deterministic, so DuckDB replicates the fused
     // ranking value-for-value.
     "sim_hybrid" -> ((s, dir) =>
-      TextAnalysis.hybridRetrieve(docs(s, dir), Seq("spark", "query", "join"))),
+      TextAnalysis.hybridRetrieve(docsW(s, dir), Seq("spark", "query", "join"))),
 
     // BATCH multi-query BM25: two queries scored in ONE tf join with a
     // map-side WindowGroupLimit top-k per query — the sim_ann_batch
     // amortization applied to keyword retrieval
     "text_bm25_batch" -> ((s, dir) =>
-      TextAnalysis.bm25Batch(docs(s, dir), Map(
+      TextAnalysis.bm25Batch(docsW(s, dir), Map(
         "q1" -> Seq("spark", "query", "join"),
         "q2" -> Seq("hash", "scan", "filter")), topK = 10)),
 

@@ -46,9 +46,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"expected no corpus-side SMJ:\n$p")
     // exactly the final per-doc count aggregation may hash-shuffle
-    // (plus the distinct on the tiny eval side feeding the broadcast)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
-      s"expected only the eval-distinct and final-groupBy Exchanges:\n$p")
+    // (plus the distinct on the tiny eval side feeding the broadcast,
+    // plus the r15 gated docsW spread of the under-split local scan —
+    // REPARTITION_BY_NUM, a no-op on at-scale layouts)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"expected only eval-distinct/final-groupBy/docsW Exchanges:\n$p")
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size <= 2,
+      s"expected at most the two docsW spread repartitions (train/eval):\n$p")
   }
 
   test("text_decontam_bloom: codegen'd sketch probe prunes the corpus stream pre-join") {
@@ -679,8 +683,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_novelty")
     assert("Generate explode".r.findAllIn(p).size === 1,
       s"expected exactly one corpus shingle explode:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
-      s"expected only the sh and doc_id exchanges:\n$p")
+    // 2 algorithmic exchanges (sh, doc_id) + the r15 gated docsW
+    // spread of the under-split local scan (REPARTITION_BY_NUM)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3,
+      s"expected only the sh, doc_id and docsW-spread exchanges:\n$p")
     assert(p.contains("Window"), s"expected the min window:\n$p")
     assert(!p.contains("Join"), s"expected no join:\n$p")
   }
