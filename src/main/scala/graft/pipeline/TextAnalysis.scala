@@ -1690,8 +1690,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c2"))
     val uniC = train.select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val tot = train.select(explode(toks).as("tok"))
-      .agg(count(lit(1)).as("nn"))
+    // total train tokens = Σ unigram counts: derived from the reduced
+    // uniC relation instead of a FOURTH corpus explode (r15) —
+    // identical bigint value, one less pass over the train text.
+    val tot = uniC.agg(sum(col("c1")).as("nn"))
     val pos = triPositions(docs)
     // score each DISTINCT trigram once — all joins here are vocab-sized
     val scored = pos.select(col("u"), col("v"), col("w")).distinct()
