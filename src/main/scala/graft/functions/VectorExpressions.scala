@@ -219,6 +219,52 @@ case class MinHashSigs(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Hashing-trick dimension of a token (r15): the value of
+  * `pmod(conv(substring(md5(tok), 1, 8), 16, 10)::long, dims)` — i.e.
+  * the first 4 md5 digest bytes big-endian (= first 8 hex chars) taken
+  * unsigned, mod dims — as ONE fused codegen'd primitive. The SQL
+  * formulation materializes a 32-char hex string, a substring and a
+  * base-16 string parse PER TOKEN OCCURRENCE on the hashVectors hot
+  * path (every hash-embedding build walks the whole corpus token
+  * stream); this computes the identical value from the raw digest with
+  * zero string allocation. Oracle parity is structural: the oracle
+  * keeps the arithmetic formulation, and text_hashvec / text_embed are
+  * value-checked against it (plus HashDimSpec pins this expression to
+  * the SQL form over random tokens). */
+case class HashedDim(child: Expression, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hashed_dim"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = new Array[Long](2)
+    HashUtil.md5Hash128(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buf)
+    // first 4 digest bytes as unsigned 32-bit ≡ conv(substr(hex,1,8),16,10)
+    (buf(0) >>> 32) % dims
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("long[]", "graftMd5Buf", v => s"$v = new long[2];")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |graft.functions.HashUtil.md5Hash128($s, $buf);
+         |${ev.value} = ($buf[0] >>> 32) % ${dims}L;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashedDim =
+    copy(child = c)
+}
+
 /** md5-derived 64-bit token hash: the first 8 digest bytes big-endian,
   * i.e. the bit pattern of `('0x' || substr(md5(tok), 1, 16))::UBIGINT`
   * in any engine with md5 — the engine-reproducibility contract that
@@ -338,8 +384,20 @@ case class SimHashSig(child: Expression)
   * (hash-derived in [-1,1], reproducible anywhere). Bit-identical to
   * the aggregate(zip_with(...)) formulation it replaces — same seed
   * chain (42 → hashInt(p) → hashInt(j)), same sequential accumulation —
-  * with no per-plane intermediate arrays. */
-case class SignLshSig(child: Expression, planes: Int)
+  * with no per-plane intermediate arrays.
+  *
+  * `mean` (r15): optional mean-centering FUSED into the signature —
+  * component j contributes `(v[j] − mean[j]) · plane[j]` (missing mean
+  * component = 0, exactly [[graft.pipeline.Similarity.centeredCol]]'s
+  * try_element_at semantics, in the same IEEE order: subtract, then
+  * multiply-accumulate). The previous composition signed the output of
+  * an ArrayTransform higher-order expression, which is CodegenFallback:
+  * every signing row paid an interpreted 64-lambda evaluation with
+  * boxing AND knocked the whole stage out of whole-stage codegen —
+  * measured ~500 µs/row on the bitext ring stage at sf0.1. Fused, the
+  * centering is two extra JIT'd flops per component. */
+case class SignLshSig(child: Expression, planes: Int,
+                      mean: Seq[Double] = Nil)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.types.LongType
@@ -353,9 +411,12 @@ case class SignLshSig(child: Expression, planes: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sign_lsh"
 
+  private lazy val meanArr: Array[Double] = mean.toArray
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val mu = meanArr
     var sig = 0L
     var p = 0
     while (p < planes) {
@@ -365,7 +426,8 @@ case class SignLshSig(child: Expression, planes: Int)
       while (j < n) {
         val h = XXH64.hashInt(j, seed)
         val m = ((h % 2000001L) + 2000001L) % 2000001L
-        acc += v.getDouble(j) * (m / 1000000.0 - 1.0)
+        val c = v.getDouble(j) - (if (j < mu.length) mu(j) else 0.0)
+        acc += c * (m / 1000000.0 - 1.0)
         j += 1
       }
       if (acc > 0) sig |= (1L << p)
@@ -385,6 +447,8 @@ case class SignLshSig(child: Expression, planes: Int)
       val seed = ctx.freshName("seed")
       val h = ctx.freshName("h")
       val m = ctx.freshName("m")
+      val c = ctx.freshName("cv")
+      val mu = ctx.addReferenceObj("mean", meanArr, "double[]")
       s"""
          |int $n = $v.numElements();
          |long $sig = 0L;
@@ -394,7 +458,8 @@ case class SignLshSig(child: Expression, planes: Int)
          |  for (int $j = 0; $j < $n; $j++) {
          |    long $h = $xxh.hashInt($j, $seed);
          |    long $m = (($h % 2000001L) + 2000001L) % 2000001L;
-         |    $acc += $v.getDouble($j) * ($m / 1000000.0 - 1.0);
+         |    double $c = $v.getDouble($j) - ($j < $mu.length ? $mu[$j] : 0.0);
+         |    $acc += $c * ($m / 1000000.0 - 1.0);
          |  }
          |  if ($acc > 0) $sig |= (1L << $p);
          |}
@@ -420,13 +485,17 @@ object VectorExpressions {
   def minhashSigs(tokens: Column, k: Int): Column =
     Bridge.column(MinHashSigs(Bridge.expression(tokens), k))
 
+  /** Fused hashing-trick dimension (native expression; r15). */
+  def hashedDim(tok: Column, dims: Int): Column =
+    Bridge.column(HashedDim(Bridge.expression(tok), dims))
+
   /** One-pass 64-bit SimHash signature (native expression). */
   def simhashSig(tokens: Column): Column =
     Bridge.column(SimHashSig(Bridge.expression(tokens)))
 
   /** One-pass sign-LSH bucket signature (native expression). */
-  def signLsh(vec: Column, planes: Int): Column =
-    Bridge.column(SignLshSig(Bridge.expression(vec), planes))
+  def signLsh(vec: Column, planes: Int, mean: Seq[Double] = Nil): Column =
+    Bridge.column(SignLshSig(Bridge.expression(vec), planes, mean))
 
   /** Arity-checked builder for a binary native function: a wrong
     * argument count raises the standard `WRONG_NUM_ARGS`

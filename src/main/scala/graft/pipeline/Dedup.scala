@@ -633,8 +633,7 @@ object Dedup {
     // deterministic pseudo-random hyperplanes: component j of plane p is
     // a hash-derived value in [-1, 1] — reproducible on any cluster;
     // computed by the native one-pass SignLshSig expression.
-    val sig = graft.functions.VectorExpressions.signLsh(
-      graft.pipeline.Similarity.centeredCol(v, m), nPlanes)
+    val sig = graft.functions.VectorExpressions.signLsh(v, nPlanes, m)
     val dotFn = graft.functions.VectorExpressions.dot _
     val withSig = emb.select(col(idCol).as("id"), v.as("vec"), sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

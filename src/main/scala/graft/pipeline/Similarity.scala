@@ -371,8 +371,8 @@ object Similarity {
     * pseudo-random hyperplanes (hash-derived components in [-1,1] —
     * reproducible on any cluster). Native one-pass expression
     * (functions.SignLshSig) — no per-plane intermediate arrays. */
-  private def sigOf(vec: Column, planes: Int): Column =
-    graft.functions.VectorExpressions.signLsh(vec, planes)
+  private def sigOf(vec: Column, planes: Int, mean: Seq[Double] = Nil): Column =
+    graft.functions.VectorExpressions.signLsh(vec, planes, mean)
 
   /** [[sigOf]] evaluated on the driver for a CONSTANT probe vector —
     * the same Catalyst expression instance the corpus rows were signed
@@ -386,8 +386,7 @@ object Similarity {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     graft.functions.SignLshSig(
-      Literal.create(centeredConst(probe, mean).toArray,
-        ArrayType(DoubleType)), planes)
+      Literal.create(probe.toArray, ArrayType(DoubleType)), planes, mean)
       .eval(null).asInstanceOf[Long]
   }
 
@@ -419,7 +418,7 @@ object Similarity {
                mean: Option[Seq[Double]] = None): AnnIndex = {
     val m = mean.getOrElse(corpusMean(emb, vecCol))
     AnnIndex(emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      sigOf(centeredCol(col(vecCol), m), planes).as("bucket")), planes, m)
+      sigOf(col(vecCol), planes, m).as("bucket")), planes, m)
   }
 
   /** Persist an ANN index as the on-disk sidecar: the (id, vec, bucket)
@@ -909,7 +908,7 @@ object Similarity {
                    excludeSelf: Boolean = false): DataFrame = {
     val planes = index.planes
     val signed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
-      .withColumn("sig", sigOf(centeredCol(col("pvec"), index.mean), planes))
+      .withColumn("sig", sigOf(col("pvec"), planes, index.mean))
     val ring = array((col("sig") +: (0 until planes).map(b =>
       col("sig").bitwiseXOR(lit(1L << b)))): _*)
     val exploded = signed
@@ -1229,7 +1228,7 @@ object Similarity {
     // corpus mean over both shards (corpusMean doc: the centering model)
     val meanArr = corpusMean(x.select(col("vec")).unionAll(y.select(col("vec"))), "vec")
     val sig = graft.functions.VectorExpressions.signLsh(
-      centeredCol(col("vec"), meanArr), planes)
+      col("vec"), planes, meanArr)
     // multi-probe ring: ALL flips of Hamming ≤ ringBits, generated by
     // combination of flipped plane indices (arbitrary depth — a ring-3
     // sweep measures ring 3, never a silently-capped ring 2). Probe
@@ -1385,7 +1384,7 @@ object Similarity {
     // for the serve-many-probes shape)
     val mean = corpusMean(emb, vecCol)
     val sig = graft.functions.VectorExpressions.signLsh(
-      centeredCol(col(vecCol), mean), nPlanes)
+      col(vecCol), nPlanes, mean)
     val withSig = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
         sig.as("bucket"))
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))

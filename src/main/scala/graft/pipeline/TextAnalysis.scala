@@ -206,7 +206,11 @@ object TextAnalysis {
     docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dims)).as("dim"))
+        // fused md5-dim (r15): identical value to
+        // pmod(conv(substring(md5(tok),1,8),16,10)::long, dims) with no
+        // per-token hex/substring/parse allocations (HashDimSpec +
+        // text_hashvec/text_embed oracle pin the equality)
+        graft.functions.VectorExpressions.hashedDim(col("tok"), dims).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -912,9 +916,8 @@ object TextAnalysis {
                                 buckets: Int): DataFrame =
     docs.select(col("doc_id"), isTarget.as("tgt"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+      .withColumn("b", // fused md5-dim (r15) — see hashVectors
+        graft.functions.VectorExpressions.hashedDim(col("tok"), buckets))
 
   /** Per-bucket DSIR counts of one doc set — ≤`buckets` rows, PURELY
     * ADDITIVE (a sum of per-batch counts equals the whole-corpus
@@ -1327,8 +1330,8 @@ object TextAnalysis {
     // pass over the raw text (Catalyst reuses the tf exchange).
     val tf = termFrequencies(docs)
     val sparse = tf.select(col("doc_id"),
-        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-          lit(dims)).as("dim"), col("tf"))
+        graft.functions.VectorExpressions.hashedDim(col("tok"), dims)
+          .as("dim"), col("tf"))
       .groupBy(col("doc_id"), col("dim")).agg(sum(col("tf")).as("cnt"))
     val docVecs = denseFromSparse(docs.select(col("doc_id")).distinct(), sparse, dims)
     hybridFuse(bm25FromTf(tf, terms), docVecs, terms, dims,

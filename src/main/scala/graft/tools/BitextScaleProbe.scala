@@ -61,8 +61,8 @@ object BitextScaleProbe {
       }
       hist("raw",
         graft.functions.VectorExpressions.signLsh(col("vec"), planes))
-      hist("centered", graft.functions.VectorExpressions.signLsh(
-        Similarity.centeredCol(col("vec"), mean), planes))
+      hist("centered",
+        graft.functions.VectorExpressions.signLsh(col("vec"), planes, mean))
       spark.stop(); return
     }
     if (mode == "parity") {
