@@ -211,12 +211,17 @@ object Bench {
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","queries":$qs,"spread":$spread,"samples":$sampleMatrix,"failed":$failedJson,"sf":"$sfDir","n":$n}"""
     // The detailed record grew past the driver's bounded TAIL capture
-    // (BENCH_r11/r12 arrived head-truncated -> "parsed": null), so:
-    // (a) persist the full record to a file next to the repo artifacts,
+    // (BENCH_r11/r12 arrived head-truncated -> "parsed": null; the r15
+    // driver graded per-query BLIND — PERF_r15 n_common=0), so:
+    // (a) persist the full record (spread + per-pass sample matrix) to
+    //     a file next to the repo artifacts,
     // (b) print the full line for humans, and
-    // (c) print a SHORT final line last — a tail capture of any sane
-    //     size retains the last line, so the driver can always parse
-    //     the headline total even if (b) was cut.
+    // (c) print a SHORT final line LAST that still carries the per-query
+    //     medians map (~1.5 KB for 72 keys) — a tail capture of any sane
+    //     size retains the last line, so the driver can always parse the
+    //     headline total AND the per-query medians even if (b) was cut.
+    //     spread/samples stay in (a) only: they are what outgrew the
+    //     capture.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json"))
@@ -224,7 +229,7 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => () }
     println(fullLine)
-    println(f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","n_queries":${queriesToRun.size},"failed":$failedJson,"sf":"$sfDir","n":$n,"detail":"BENCH_OUT.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"min_total":$minTotal%.3f,"unit":"sec","queries":$qs,"n_queries":${queriesToRun.size},"failed":$failedJson,"sf":"$sfDir","n":$n,"detail":"BENCH_OUT.json"}""")
     spark.stop()
   }
 }

@@ -968,15 +968,49 @@ object Similarity {
     * `marginThresh`; GroundTruthSpec + BitextScaleProbe parity mode
     * pin both directions). Zero-norm embeddings (empty docs) are
     * excluded up front — they have no direction, and both engines
-    * would otherwise emit NaN cosines. */
+    * would otherwise emit NaN cosines.
+    *
+    * CONSTRUCTION IS EAGER (r15/r16): calling this function RUNS the
+    * mining jobs (the materialize-once passes are forced so each runs
+    * exactly once, then released); the returned DataFrame is the
+    * computed datasheet (a per-invocation local checkpoint), not a
+    * lazy plan. */
   def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
                  langCol: String, srcLang: String, k: Int = 4,
                  marginThresh: Double = 1.05, planes: Int = 0,
                  ringBits: Int = 2): DataFrame = {
+    val (sheet, release) = bitextMinePlan(emb, idCol, vecCol, langCol,
+      srcLang, k, marginThresh, planes, ringBits)
+    // Materialize the datasheet (one narrow row per source doc — far
+    // smaller than either cache inside the plan) so BOTH corpus-sized
+    // persists can be released IN-LIBRARY (r16): a non-bench caller —
+    // a long-lived session, a loop — no longer accumulates two cached
+    // corpus relations per invocation (the r15 design relied on the
+    // bench harness's sweep for release). The checkpoint itself is a
+    // per-invocation temporary like the caches were; the harness sweep
+    // still reclaims it between samples.
+    val out = sheet.localCheckpoint(true)
+    release()
+    out
+  }
+
+  /** The LAZY mining plan + a cache-release thunk: the physical plan of
+    * the datasheet [[bitextMine]] executes (its checkpoint action runs
+    * exactly this), exposed for plan audits. Callers who act on the
+    * returned relation must call the thunk afterwards — [[bitextMine]]
+    * is the managed wrapper. */
+  private[graft] def bitextMinePlan(
+      emb: DataFrame, idCol: String, vecCol: String,
+      langCol: String, srcLang: String, k: Int = 4,
+      marginThresh: Double = 1.05, planes: Int = 0,
+      ringBits: Int = 2): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val dotFn = graft.functions.VectorExpressions.dot _
-    // base is MATERIALIZED once (localCheckpoint, released by the
-    // bench's dropCheckpoints like every per-invocation temporary):
+    // NOTE (API contract): construction is EAGER — building this
+    // DataFrame runs the mining jobs (materialize-once passes below);
+    // the returned relation is the already-computed datasheet.
+    // base is MATERIALIZED once (persist, released in-library before
+    // return — see the checkpoint at the end of this function):
     // it has 3-4 consumers per action — the X-side collect, the Y side
     // under the scoring kernel, the tgt_lang rejoin, and (planes > 0)
     // the corpusMean aggregation — and the embedding subtree feeding
@@ -1018,8 +1052,8 @@ object Similarity {
     // whole kernel subtree — the dedup exchange they share is NOT
     // reused at runtime (plan audit: 2 MapPartitions stages executed,
     // 0 ReusedExchange), so without the cache the scoring pass ran
-    // TWICE per action. k-bounded narrow rows; released by the bench's
-    // dropCheckpoints like every per-invocation temporary.
+    // TWICE per action. k-bounded narrow rows; released in-library
+    // before return (see the datasheet checkpoint below).
     val scored = {
       val sc =
         if (planes <= 0)
@@ -1054,7 +1088,7 @@ object Similarity {
     val avgY = scored.withColumn("rb", row_number().over(wb))
       .filter(col("rb") <= k)
       .groupBy(col("tgt_id")).agg(avg(col("cos")).as("avg_y"))
-    fstats.join(avgY, "tgt_id")
+    val sheet = fstats.join(avgY, "tgt_id")
       // plain equi-join (AQE broadcasts it at small SF; at scale both
       // sides are corpus-sized relations keyed the same way)
       .join(y.select(col("id").as("tgt_id"), col("lang").as("tgt_lang")),
@@ -1062,6 +1096,7 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("tgt_lang"), col("cos"),
         round(col("cos") / ((col("avg_x") + col("avg_y")) / 2), 6).as("margin"))
       .withColumn("mined", col("margin") >= marginThresh)
+    (sheet, () => { scored.unpersist(); base.unpersist(); () })
   }
 
   /** The exact-path scoring kernel of [[bitextMine]]: X (the

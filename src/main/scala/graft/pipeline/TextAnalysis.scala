@@ -1696,7 +1696,9 @@ object TextAnalysis {
     // total train tokens = Σ unigram counts: derived from the reduced
     // uniC relation instead of a FOURTH corpus explode (r15) —
     // identical bigint value, one less pass over the train text.
-    val tot = uniC.agg(sum(col("c1")).as("nn"))
+    // coalesce(·, 0): on an EMPTY train split sum() is NULL where the
+    // old count() was 0 — pin the degenerate case to the pre-r15 value.
+    val tot = uniC.agg(coalesce(sum(col("c1")), lit(0L)).as("nn"))
     val pos = triPositions(docs)
     // score each DISTINCT trigram once — all joins here are vocab-sized
     val scored = pos.select(col("u"), col("v"), col("w")).distinct()

@@ -99,12 +99,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("levenshtein"), s"expected levenshtein verify:\n$p")
   }
 
+  // bitextMine is EAGER since r16 (it checkpoints the datasheet so the
+  // two corpus-sized caches can be released in-library), so the
+  // declared queries' executedPlan is just the checkpoint scan; the
+  // pins below audit the LAZY plan that checkpoint action executes
+  // (Similarity.bitextMinePlan — same wiring as the declared queries).
+  private def bitextPlan(planes: Int): String = {
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.TestData.read(spark, sf, "documents")
+    val embd = graft.pipeline.TextAnalysis.hashEmbedding(d, dims = 64)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val (sheet, release) = graft.pipeline.Similarity.bitextMinePlan(
+      embd, "doc_id", "vec", "lang", srcLang = "en", planes = planes)
+    val p = sheet.queryExecution.executedPlan.toString
+    release()
+    p
+  }
+
   test("train_bitext: both rank windows get the map-side WindowGroupLimit") {
     // |X|·|Y| scored rows: the forward/backward top-k must prune
     // map-side (WindowGroupLimit) so only ~k rows per key reach the
     // rank shuffles — the difference between shuffling k·|X| and
     // shuffling the whole scored relation
-    val p = plan("train_bitext")
+    val p = bitextPlan(planes = 0)
     assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
   }
 
@@ -115,7 +132,7 @@ class PlanAuditSpec extends SparkSpec {
     // and never a declarative bucket equi-join materializing pair rows
     // (measured ~1 µs/pair vs the kernel's ~18 ns) — and the rank
     // windows still prune map-side
-    val p = plan("train_bitext_lsh")
+    val p = bitextPlan(planes = 6)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"scale path must not cross-join:\n$p")
     assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
