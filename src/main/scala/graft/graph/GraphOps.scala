@@ -858,11 +858,40 @@ object GraphOps {
     // per-node size relation is itself millions of rows, and joining it
     // onto the (much larger) candidate-pair stream twice is the shape
     // that doesn't survive; first() over the group is free.
+    // kept is MATERIALIZED once (r16): the self-join's two sides are
+    // byte-identical subtrees but runtime exchange reuse did NOT fire
+    // (stage audit: the distinct/ideg/window pipeline executed TWICE,
+    // ~0.5 s each at sf0.1 — the same AQE non-reuse seen on bitext's
+    // dedup exchange), so without this the pruning pipeline runs once
+    // per join side. The NODE-keyed repartition carries an explicit
+    // width for two reasons: (a) hashpartitioning(n) satisfies both
+    // the sz window's distribution AND the (n1,n2) pair aggregation's
+    // (n = n1 on every emitted pair), so the candidate stream — the
+    // Σdeg² term, the expensive part — aggregates COMPLETELY in-stage
+    // with zero pair-stream exchange (an it-keyed layout was measured
+    // here shuffling a 106 MB partially-aggregated pair stream);
+    // (b) the explicit numPartitions opts that compute-bound stage out
+    // of AQE byte-based coalescing, which packed its 6 s of task time
+    // onto 4 tasks at local[32] — the r15 bitext-kernel pathology
+    // (guide §2: compute-bound, not byte-bound). The checkpoint scan
+    // reports UnknownPartitioning, so the planner re-inserts a pair-
+    // stream exchange — but the n-keyed PHYSICAL layout makes the
+    // map-side partial aggregation a COMPLETE per-partition reduction,
+    // so that exchange carries only the ~|pairs| aggregated rows
+    // (8 MB at sf0.1, vs 67 MB measured with an InMemoryRelation whose
+    // accurate stats also flipped the build side out of broadcast and
+    // the candidate stream into a shuffle). localCheckpoint, not
+    // persist, is deliberate here. Narrow (it, n, sz) rows; per-
+    // invocation temporary, swept by the bench/harness like every
+    // localCheckpoint in this module.
+    val width = incidence.sparkSession.sessionState.conf.numShufflePartitions
     val kept = ps.join(
         ps.groupBy(col("it")).agg(count(lit(1)).as("ideg"))
           .filter(col("ideg") <= maxItemDeg).select(col("it")),
         Seq("it"))
+      .repartition(width, col("n"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("n"))))
+      .localCheckpoint(true)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.it") === col("b.it") && col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))
@@ -878,7 +907,11 @@ object GraphOps {
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 6))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("jaccard").desc, col("dst").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+    // explicit width on the rank-window exchange (same rationale as
+    // kept's repartition above: the post-shuffle sort+rank carried 4 s
+    // of task time and AQE coalesced it onto 8 tasks at local[32])
+    scored.repartition(width, col("src"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
       .select(col("src"), col("dst"), col("inter"), col("uni"),
         col("jaccard"), col("rk"))
   }
