@@ -558,7 +558,10 @@ object RelationalQueries {
           struct((col("t1") + 1).as("t"), lit(-1).as("delta")))).as("b"))
         .select(col("b.t").as("t"), col("b.delta").as("delta"))
         .withColumn("day", expr(s"t div $dayUs"))
-        .localCheckpoint(true)
+      // NOT checkpointed (r16): AQE exchange reuse serves both
+      // consumers at runtime (see q_interval_coalesce below — same
+      // boundary sweep, same audit), and the eager checkpoint
+      // serialized the chain into an extra blocking job.
       val wd = Window.partitionBy(col("day"))
         .orderBy(col("t"), col("delta").desc) // RANGE default: peers share
       val local = bounds.withColumn("run", sum(col("delta")).over(wd))
@@ -601,7 +604,14 @@ object RelationalQueries {
         .select(col("b.t").as("t"), col("b.delta").as("delta"),
           col("user_id"), col("sid"))
         .withColumn("day", expr(s"t div $dayUs"))
-        .localCheckpoint(true)
+      // bounds/zb are NOT checkpointed (r16): AQE exchange reuse serves
+      // every multi-consumer subtree here at runtime (stage audit: ONE
+      // parquet scan + ONE user-window exchange executed; only the
+      // cheap post-exchange window passes run per branch), and the two
+      // eager checkpoints serialized the 15-stage chain into extra
+      // blocking jobs — 1.97 -> 1.51 s med at sf0.1/local[32] without
+      // them. The chain stays two-level (per-day windows + day-offset
+      // rollups), never one global-order window.
       val ord = Seq(col("t").asc, col("delta").desc, col("user_id").asc,
         col("sid").asc)
       val wd = Window.partitionBy(col("day")).orderBy(ord: _*)
@@ -615,7 +625,6 @@ object RelationalQueries {
       val zb = bounds.withColumn("runLoc", sum(col("delta")).over(wd))
         .join(broadcast(offsets), Seq("day"))
         .withColumn("z", when(col("runLoc") + col("off") === 0, 1L).otherwise(0L))
-        .localCheckpoint(true) // 2 consumers (z-window, per-day z totals)
       val wd2 = Window.partitionBy(col("day")).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, -1)
       val zoff = zb.groupBy(col("day")).agg(sum(col("z")).as("ztot"))
