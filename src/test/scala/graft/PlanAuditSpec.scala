@@ -45,14 +45,16 @@ class PlanAuditSpec extends SparkSpec {
     // shingle set at 100 TB
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"expected no corpus-side SMJ:\n$p")
-    // exactly the final per-doc count aggregation may hash-shuffle
-    // (plus the distinct on the tiny eval side feeding the broadcast,
-    // plus the r15 gated docsW spread of the under-split local scan —
-    // REPARTITION_BY_NUM, a no-op on at-scale layouts)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
-      s"expected only eval-distinct/final-groupBy/docsW Exchanges:\n$p")
-    assert("REPARTITION_BY_NUM".r.findAllIn(p).size <= 2,
-      s"expected at most the two docsW spread repartitions (train/eval):\n$p")
+    // EXACT pins (r16, ADVICE item 4 — the r15 <=4/<=2 ceilings could
+    // mask a future unintended exchange): the two gated docsW spreads
+    // (train/eval, REPARTITION_BY_NUM — no-ops on at-scale layouts)
+    // are counted separately from the ONE algorithmic exchange (the
+    // eval-side sh distinct); the final per-doc groupBy rides the
+    // doc_id spread's partitioning, no exchange of its own.
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size === 2,
+      s"expected exactly the two docsW spread repartitions (train/eval):\n$p")
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size === 1,
+      s"expected exactly the eval-distinct exchange:\n$p")
   }
 
   test("text_decontam_bloom: codegen'd sketch probe prunes the corpus stream pre-join") {
