@@ -423,9 +423,12 @@ object Dedup {
         lit("minhash signature width "), size(col("sig")).cast("string"),
         lit(s" != k=$k — read the sidecar's own k (readMinHashSidecar)"))))
         .as("sig"))
+    // NOT checkpointed (r16): the two consumers (identical-explode,
+    // reps) share the groupBy(sig) exchange via runtime reuse — the
+    // eager checkpoint was one more blocking job on an already
+    // latency-bound 8-stage chain (cf. q_interval_coalesce).
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-      .localCheckpoint(true)
     val identical = groups.select(col("rep").as("a"),
         explode(col("members")).as("b"), lit(1.0).as("est_jac"))
       .filter(col("a") < col("b"))

@@ -182,25 +182,41 @@ class PlanAuditSpec extends SparkSpec {
           if f.tableIdentifier.exists(_.table.startsWith("graft_minhash_sidecar")) => f }
       val scans = sidecarScans(plan)
       // the candidate-verify stage fetches both pair sides' signatures
-      // from the persisted sidecar (no signature recomputation). The
-      // second fetch may plan as a ReusedExchange of the first's
-      // broadcast — a reuse, not a recomputation — so count both.
+      // from the persisted sidecar (no signature recomputation): 2
+      // verify fetches + 1 grouping fetch. The r16 de-checkpoint of
+      // `groups` leaves its other branch copies (identical-explode,
+      // the two banded consumers) as static ReusedExchange of the one
+      // sig-grouping exchange — reuse, never recomputation.
       val reused = plan.collect {
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
           if sidecarScans(r.child).nonEmpty => r
       }
-      assert(scans.size + reused.size === 2,
-        s"expected 2 sidecar fetches (scans or reused exchanges):\n$plan")
-      assert(scans.nonEmpty, s"expected at least one sidecar scan:\n$plan")
-      // ...and no shuffle Exchange ever sits above a sidecar scan: the
+      assert(scans.size === 3 && reused.size === 2,
+        s"expected 3 sidecar scans + 2 reused group exchanges:\n$plan")
+      // ...and no DOC-KEYED shuffle ever sits above a sidecar scan: the
       // corpus-sized signature relation is joined in place (candidates
       // move to IT), which is the 100 TB verify shape. (At test scale
       // the planner broadcasts the candidates and rightly skips
-      // bucketed reading; the SMJ case below pins the bucketed path.)
-      val reshuffled = plan.collect { case sh: ShuffleExchangeExec => sh }
-        .flatMap(sh => sidecarScans(sh.child))
-      assert(reshuffled.isEmpty, s"sidecar scan under a shuffle:\n$plan")
+      // bucketed reading; the SMJ case below pins the bucketed path.
+      // The sig-keyed grouping exchange — the algorithm's one linear
+      // exact-collapse pass — is exempt: it was always present, hidden
+      // behind the pre-r16 checkpoint.)
+      val reshuffled = plan.collect {
+        case sh: ShuffleExchangeExec
+          if sh.outputPartitioning.toString.contains("doc_id") => sh
+      }.flatMap(sh => sidecarScans(sh.child))
+      assert(reshuffled.isEmpty, s"sidecar scan under a doc-keyed shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // runtime guard for the r16 de-checkpoint: with AQE on, the
+    // grouping branches must share ONE sig exchange (ReusedExchange in
+    // the final adaptive plan) — if subtree identity ever breaks, the
+    // corpus-sized grouping recomputes per branch.
+    val df = PipelineQueries.queries("dedup_minhash")(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(fin.contains("ReusedExchange"),
+      s"expected runtime reuse of the sig-grouping exchange:\n$fin")
   }
 
   test("minhash sidecar: a sort-merge verify join reads the buckets, shuffle-free") {
@@ -559,21 +575,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
-  test("graph_jaccard + dedup_containment: self-join sides reuse the materialized stage") {
-    // the no-checkpoint design (SCALE_r12 memory finding): both
-    // self-join consumers are byte-identical subtrees, so AQE must
-    // reuse the shuffle stage from disk — if a refactor breaks subtree
-    // identity, the corpus-sized relation computes twice AND the 100x
-    // heap relief is silently lost. (r13 kept graph_jaccard's
-    // self-join deliberately: the array-explode alternative benched
-    // 1.8x slower — negative result recorded at GraphOps.jaccardLinks.)
-    for (name <- Seq("graph_jaccard", "dedup_containment")) {
-      val df = SparkEntry.queries(name)(spark, sf)
+  test("graph_jaccard + dedup_containment: self-join sides share one evaluation") {
+    // dedup_containment keeps the no-checkpoint design (SCALE_r12
+    // memory finding): both self-join consumers are byte-identical
+    // subtrees, so AQE must reuse the shuffle stage from disk — if a
+    // refactor breaks subtree identity, the corpus-sized relation
+    // computes twice AND the 100x heap relief is silently lost.
+    // (r13 kept graph_jaccard's self-join deliberately: the
+    // array-explode alternative benched 1.8x slower — negative result
+    // recorded at GraphOps.jaccardLinks.)
+    locally {
+      val df = SparkEntry.queries("dedup_containment")(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       assert(p.contains("ReusedExchange"),
-        s"$name: expected ReusedExchange across the self-join sides:\n$p")
+        s"dedup_containment: expected ReusedExchange across the self-join sides:\n$p")
+    }
+    // graph_jaccard (r16): runtime reuse did NOT fire on its pruning
+    // pipeline (stage audit: it executed twice), so the pruned
+    // incidence is checkpointed once and both self-join sides scan the
+    // SAME RDD — the pruning subtree (parquet scan + degree filter)
+    // must be absent from the query's own plan.
+    locally {
+      val df = SparkEntry.queries("graph_jaccard")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("ExistingRDD"),
+        s"graph_jaccard: expected both sides on the checkpointed incidence:\n$p")
+      assert(!p.contains("Scan parquet"),
+        s"graph_jaccard: pruning pipeline must run once inside the checkpoint:\n$p")
     }
   }
 
