@@ -752,9 +752,17 @@ object Dedup {
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), explode(TextAnalysis.shingleHashCol(col("tk"), n)).as("sh"))
       .distinct()
+    // MATERIALIZED once (r16): sh has three consumers (sizes, both
+    // self-join sides) and runtime exchange reuse did not cover them —
+    // the stage audit showed the tokenize+shingle+distinct pipeline
+    // (the expensive half: ~28 s of task time at sf0.1) executing
+    // TWICE. Narrow (doc_id, sh) rows, pruned by the df filter;
+    // per-invocation temporary, swept by the bench/harness like every
+    // localCheckpoint in this module.
     val sh = sh0
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__df") <= maxDf).drop("__df")
+      .localCheckpoint(true)
     val szs = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))

@@ -576,36 +576,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("graph_jaccard + dedup_containment: self-join sides share one evaluation") {
-    // dedup_containment keeps the no-checkpoint design (SCALE_r12
-    // memory finding): both self-join consumers are byte-identical
-    // subtrees, so AQE must reuse the shuffle stage from disk — if a
-    // refactor breaks subtree identity, the corpus-sized relation
-    // computes twice AND the 100x heap relief is silently lost.
-    // (r13 kept graph_jaccard's self-join deliberately: the
-    // array-explode alternative benched 1.8x slower — negative result
-    // recorded at GraphOps.jaccardLinks.)
-    locally {
-      val df = SparkEntry.queries("dedup_containment")(spark, sf)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      assert(p.contains("ReusedExchange"),
-        s"dedup_containment: expected ReusedExchange across the self-join sides:\n$p")
-    }
-    // graph_jaccard (r16): runtime reuse did NOT fire on its pruning
-    // pipeline (stage audit: it executed twice), so the pruned
-    // incidence is checkpointed once and both self-join sides scan the
-    // SAME RDD — the pruning subtree (parquet scan + degree filter)
-    // must be absent from the query's own plan.
-    locally {
-      val df = SparkEntry.queries("graph_jaccard")(spark, sf)
+    // r16: runtime exchange reuse did NOT cover either query's heavy
+    // prep pipeline (stage audit: jaccard's pruning and containment's
+    // tokenize+shingle+distinct each executed twice), so the prepared
+    // relation is checkpointed once per invocation and both self-join
+    // sides scan the SAME RDD — the prep subtree (parquet scan) must
+    // be absent from the query's own plan. (r13's negative result
+    // stands recorded at GraphOps.jaccardLinks: the array-explode
+    // alternative to the self-join benched 1.8x slower.)
+    for (name <- Seq("graph_jaccard", "dedup_containment")) {
+      val df = SparkEntry.queries(name)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       assert(p.contains("ExistingRDD"),
-        s"graph_jaccard: expected both sides on the checkpointed incidence:\n$p")
+        s"$name: expected both sides on the checkpointed relation:\n$p")
       assert(!p.contains("Scan parquet"),
-        s"graph_jaccard: pruning pipeline must run once inside the checkpoint:\n$p")
+        s"$name: prep pipeline must run once inside the checkpoint:\n$p")
     }
   }
 
