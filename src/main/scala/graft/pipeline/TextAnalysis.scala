@@ -1217,7 +1217,9 @@ object TextAnalysis {
     * independent of partition order (the dsum discipline). */
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25FromTf(termFrequencies(docs), terms, k1, b)
+    // tf materialized once (r16) — same multi-consumer audit as
+    // hybridRetrieve: qtf/dl/stats each re-ran the tokenize pipeline
+    bm25FromTf(termFrequencies(docs).localCheckpoint(true), terms, k1, b)
 
   /** The (doc_id, tok, tf) term-frequency relation — THE corpus-sized
     * shuffle of the text-retrieval family; [[bm25FromTf]] and the
@@ -1284,7 +1286,10 @@ object TextAnalysis {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = termFrequencies(docs)
+    // tf materialized once (r16) — same multi-consumer audit as
+    // hybridRetrieve: dl and the two query-slice consumers each re-ran
+    // the tokenize+explode+partial-agg pipeline without it
+    val tf = termFrequencies(docs).localCheckpoint(true)
     val dl = docLengths(tf)
     val stats = bm25Stats(dl)
     val qrel = queries.toSeq
@@ -1327,8 +1332,14 @@ object TextAnalysis {
     // ONE corpus explode+reduce (tf) feeds BOTH scorers: bm25 derives
     // dl/df from it, and the hash embedding folds it by hashed dim —
     // a (doc, dim) reduce over the already-reduced tf, not a second
-    // pass over the raw text (Catalyst reuses the tf exchange).
-    val tf = termFrequencies(docs)
+    // pass over the raw text. MATERIALIZED once (r16): its four
+    // consumers (query slice, dl, stats, hashed-dim fold) did NOT
+    // share the tf exchange at runtime — the stage audit showed the
+    // tokenize+explode+partial-agg pipeline executing FOUR times
+    // (~37 s of task time at sf0.1). Per-invocation temporary, swept
+    // by the bench/harness; the SERVING path (hybridFromIndex) reads
+    // the same relations as persisted sidecars instead.
+    val tf = termFrequencies(docs).localCheckpoint(true)
     val sparse = tf.select(col("doc_id"),
         graft.functions.VectorExpressions.hashedDim(col("tok"), dims)
           .as("dim"), col("tf"))

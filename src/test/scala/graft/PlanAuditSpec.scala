@@ -620,18 +620,25 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pushed year-range filters:\n$p")
   }
 
-  test("sim_hybrid: AQE reuses the corpus tf exchange across scorer branches") {
-    // reuse is an ADAPTIVE decision — inspect the plan after execution
+  test("sim_hybrid: all scorer branches read the one materialized tf") {
+    // bm25's slice/dl/stats and the hash-embedding branch all derive
+    // from the ONE (doc_id, tok) tf reduce. r15 relied on adaptive
+    // exchange reuse, which the r16 stage audit showed NOT firing —
+    // the tokenize pipeline executed four times — so tf is now
+    // checkpointed once per invocation: the query's own plan must scan
+    // the checkpoint, never re-explode the corpus.
     val df = (RelationalQueries.queries ++ PipelineQueries.queries)(
       "sim_hybrid")(spark, "/root/testdata/sf0.001")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // bm25's dl/stats and the hash-embedding branch all derive from
-    // the ONE (doc_id, tok) tf reduce; the query-term slice is BETTER
-    // than reuse (its filter pushes below the shuffle). If every
-    // ReusedExchange disappears, the corpus is being exploded and
-    // shuffled independently per branch.
-    assert(p.contains("ReusedExchange"), s"expected tf exchange reuse:\n$p")
+      .split("== Initial Plan ==").head
+    assert(p.contains("ExistingRDD"), s"expected the tf checkpoint scan:\n$p")
+    // the only tokenize left in the plan is the ONE-ROW query
+    // embedding (hashEmbedding over the LocalTableScan query doc) —
+    // a second explode(split) would mean a corpus branch is
+    // re-tokenizing instead of reading the checkpoint
+    assert("Generate explode\\(split".r.findAllIn(p).size === 1,
+      s"expected only the one-row query-doc tokenize in the serving plan:\n$p")
   }
 
   test("train_pairs: the bucket self-join materializes once across pos/neg/join consumers") {
