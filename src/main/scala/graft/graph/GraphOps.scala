@@ -160,19 +160,23 @@ object GraphOps {
     // union tree of checkpointed frontiers, never re-materialized
     // (same restructure as the datalog rule fixpoint).
     val edges = if (materializeEdges) edgeDf.localCheckpoint(true) else edgeDf
-    var frontier = sources.toDF("node").withColumn("hops", lit(0)).localCheckpoint(true)
+    // checkpoint+count fused into ONE job per round (r16,
+    // Bridge.localCheckpointCount): the separate count() action doubled
+    // the per-round job count of a latency-bound loop
+    var (frontier, n) = Bridge.localCheckpointCount(
+      sources.toDF("node").withColumn("hops", lit(0)))
     val parts = collection.mutable.ArrayBuffer(frontier)
     var visited = frontier
-    var n = frontier.count()
     var hop = 0
     while (hop < maxHops && n > 0) {
       hop += 1
       val next = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"), lit(hop).as("hops"))
         .distinct()
-      frontier = next.join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      n = frontier.count()
+      val (ck, cnt) = Bridge.localCheckpointCount(
+        next.join(visited.select("node"), Seq("node"), "left_anti"))
+      frontier = ck
+      n = cnt
       if (n > 0) { parts += frontier; visited = parts.reduce(_ unionAll _) }
     }
     visited
@@ -203,10 +207,10 @@ object GraphOps {
     // union tree of frontiers resolved by a final groupBy-min, so the
     // accumulated state is never re-materialized during iteration.
     val edges = if (materializeEdges) tEdges.localCheckpoint(true) else tEdges
-    var frontier = sources.toDF("node").withColumn("arrival", lit(Long.MinValue))
-      .localCheckpoint(true)
+    // one fused checkpoint+count job per round (r16, cf. bfs)
+    var (frontier, n) = Bridge.localCheckpointCount(
+      sources.toDF("node").withColumn("arrival", lit(Long.MinValue)))
     val parts = collection.mutable.ArrayBuffer(frontier)
-    var n = frontier.count()
     var hop = 0
     while (hop < maxHops && n > 0) {
       hop += 1
@@ -216,10 +220,12 @@ object GraphOps {
           edges("t") > frontier("arrival"))
         .groupBy(col("dst").as("node")).agg(min(col("t")).as("arrival"))
       // keep only strict improvements
-      frontier = expanded.join(bestSoFar, Seq("node"), "left")
-        .filter(col("old").isNull || col("arrival") < col("old"))
-        .select("node", "arrival").localCheckpoint(true)
-      n = frontier.count()
+      val (ck, cnt) = Bridge.localCheckpointCount(
+        expanded.join(bestSoFar, Seq("node"), "left")
+          .filter(col("old").isNull || col("arrival") < col("old"))
+          .select("node", "arrival"))
+      frontier = ck
+      n = cnt
       if (n > 0) parts += frontier
     }
     parts.reduce(_ unionAll _)
@@ -261,8 +267,7 @@ object GraphOps {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-    var edges = canon(input).localCheckpoint(true)
-    var prevCount = edges.count()
+    var (edges, prevCount) = Bridge.localCheckpointCount(canon(input))
     var converged = prevCount == 0
     var i = 0
     while (!converged && i < maxIter) {
@@ -279,8 +284,7 @@ object GraphOps {
       val small = sCanon.join(smins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(smins.select(col("u"), col("m").as("v")))
-      val next = canon(small).localCheckpoint(true)
-      val nextCount = next.count()
+      val (next, nextCount) = Bridge.localCheckpointCount(canon(small))
       // star-contraction is monotone: the canonical edge set is stable
       // iff sizes match and nothing left the old set
       converged = nextCount == prevCount &&
@@ -317,13 +321,13 @@ object GraphOps {
   def kCore(edgeDf: DataFrame, k: Int, maxIter: Int = 50)
            (implicit spark: SparkSession): DataFrame = {
     // canonical undirected, self-loops dropped, parallel edges merged
-    var edges = edgeDf.select(col("src").cast("long").as("u"),
-        col("dst").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
-    var prev = edges.count()
+    var (edges, prev) = Bridge.localCheckpointCount(
+      edgeDf.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct())
     var done = prev == 0
     var i = 0
     while (!done && i < maxIter) {
@@ -332,11 +336,10 @@ object GraphOps {
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("node")
-      val next = edges
+      val (next, n) = Bridge.localCheckpointCount(edges
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint(true)
-      val n = next.count()
+        .select("u", "v"))
       done = n == prev
       Bridge.freeCheckpoint(edges) // superseded peel round
       edges = next
@@ -357,18 +360,22 @@ object GraphOps {
     val edges = edgeDf.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     var delta = edges
+    var dn = 1L // edges is non-empty or the loop is a no-op either way
     val parts = collection.mutable.ArrayBuffer(delta)
     def total = parts.reduce(_ unionAll _)
     val e2 = edges.select(col("src").as("mid"), col("dst").as("to"))
     var i = 0
-    while (!delta.isEmpty && i < maxIter) {
+    while (dn > 0 && i < maxIter) {
       i += 1
       val next = delta.join(e2, delta("dst") === e2("mid"))
         .select(delta("src"), e2("to").as("dst")).distinct()
-      delta = next.join(total, Seq("src", "dst"), "left_anti").localCheckpoint(true)
-      if (!delta.isEmpty) parts += delta
+      val (ck, cnt) = Bridge.localCheckpointCount(
+        next.join(total, Seq("src", "dst"), "left_anti"))
+      delta = ck
+      dn = cnt
+      if (dn > 0) parts += delta
     }
-    require(i < maxIter || delta.isEmpty,
+    require(i < maxIter || dn == 0,
       s"transitiveClosure did not converge in $maxIter rounds")
     total.distinct()
   }
@@ -418,18 +425,22 @@ object GraphOps {
     val parts = collection.mutable.ArrayBuffer(c.localCheckpoint(true))
     def total = parts.map(fresh).reduce(_ unionAll _)
     var delta = n0
+    var dn = if (n0.isEmpty) 0L else 1L
     // stitch step reuses the one-new-edge paths; renamed columns keep
     // the round-1 self-join (delta IS n0) unambiguous
     val n0k = n0.select(col("src").as("b_src"), col("dst").as("b_dst"))
     var i = 0
-    while (!delta.isEmpty && i < maxIter) {
+    while (dn > 0 && i < maxIter) {
       i += 1
       parts += delta
       val next = delta.join(n0k, col("dst") === col("b_src"))
         .select(col("src"), col("b_dst").as("dst")).distinct()
-      delta = next.join(total, Seq("src", "dst"), "left_anti").localCheckpoint(true)
+      val (ck, cnt) = Bridge.localCheckpointCount(
+        next.join(total, Seq("src", "dst"), "left_anti"))
+      delta = ck
+      dn = cnt
     }
-    require(delta.isEmpty, s"closureDelta did not converge in $maxIter rounds")
+    require(dn == 0, s"closureDelta did not converge in $maxIter rounds")
     total.distinct()
   }
 
@@ -484,10 +495,13 @@ object GraphOps {
           .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
           .join(edges.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi")
           .localCheckpoint(true)
-        val trivial = nodes.join(nontrivial, Seq("node"), "left_anti")
-        if (trivial.isEmpty) { trimming = false; Bridge.freeCheckpoint(nontrivial) }
+        // fused checkpoint+count (r16): the separate isEmpty probe and
+        // the assigned-frame checkpoint were two more jobs per peel
+        val (trivial, tn) = Bridge.localCheckpointCount(
+          nodes.join(nontrivial, Seq("node"), "left_anti"))
+        if (tn == 0) { trimming = false; Bridge.freeCheckpoint(nontrivial) }
         else {
-          assigned += trivial.select(col("node"), col("node").as("scc")).localCheckpoint(true)
+          assigned += trivial.select(col("node"), col("node").as("scc"))
           val (pn, pe) = (nodes, edges)
           nodes = nontrivial
           edges = edges
@@ -520,14 +534,17 @@ object GraphOps {
         var colors = nodes.select(col("node"), col("node").as("color")).localCheckpoint(true)
         var frontier = colors
         it = 0
-        while (!frontier.isEmpty && it < maxIter) {
+        var fn = 1L // root colors are non-empty when remaining > 0
+        while (fn > 0 && it < maxIter) {
           it += 1
           val cand = frontier.join(edges, frontier("node") === edges("src"))
             .groupBy(col("dst").as("node")).agg(min(col("color")).as("cand"))
-          val improved = cand.join(colors, Seq("node"))
-            .filter(col("cand") < col("color"))
-            .select(col("node"), col("cand").as("color")).localCheckpoint(true)
-          if (!improved.isEmpty) {
+          val (improved, imn) = Bridge.localCheckpointCount(
+            cand.join(colors, Seq("node"))
+              .filter(col("cand") < col("color"))
+              .select(col("node"), col("cand").as("color")))
+          fn = imn
+          if (fn > 0) {
             val prev = colors
             colors = colors.join(improved.withColumnRenamed("color", "c2"), Seq("node"), "left")
               .select(col("node"), coalesce(col("c2"), col("color")).as("color"))
@@ -547,14 +564,18 @@ object GraphOps {
         var reach = colors.filter(col("node") === col("color")).localCheckpoint(true)
         Bridge.freeCheckpoint(colors) // cEdges + root set are materialized
         var bfsFrontier = reach
+        var bn = 1L // the root set is non-empty when remaining > 0
         it = 0
-        while (!bfsFrontier.isEmpty && it < maxIter) {
+        while (bn > 0 && it < maxIter) {
           it += 1
           val pred = bfsFrontier.join(cEdges,
               bfsFrontier("node") === cEdges("dst") && bfsFrontier("color") === cEdges("color"))
             .select(cEdges("src").as("node"), bfsFrontier("color").as("color")).distinct()
-          bfsFrontier = pred.join(reach, Seq("node"), "left_anti").localCheckpoint(true)
-          if (!bfsFrontier.isEmpty) {
+          val (bf, bfc) = Bridge.localCheckpointCount(
+            pred.join(reach, Seq("node"), "left_anti"))
+          bfsFrontier = bf
+          bn = bfc
+          if (bn > 0) {
             val prev = reach
             reach = reach.unionAll(bfsFrontier).localCheckpoint(true)
             Bridge.freeCheckpoint(prev) // superseded reached set

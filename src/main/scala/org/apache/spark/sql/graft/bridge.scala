@@ -50,6 +50,28 @@ object Bridge {
     (ids.size, bytes)
   }
 
+  /** Eager localCheckpoint that RETURNS the materialized row count.
+    * `Dataset.localCheckpoint(true)` already runs one materializing job
+    * (an internal count) and discards the result, so an iterative loop
+    * that needs a per-round emptiness/progress test pays a SECOND job
+    * for it (`count()`/`isEmpty`) — at local job-latency scale that is
+    * the dominant cost of the latency-bound graph loops (r16). This
+    * mirrors the Dataset.checkpoint internals: copy rows (the scan
+    * reuses UnsafeRow buffers), localCheckpoint the RDD, count to
+    * materialize, rebuild a DataFrame over the checkpointed RDD.
+    * Identical storage/release semantics to Dataset.localCheckpoint:
+    * the RDD registers in getPersistentRDDs (harness sweeps see it)
+    * and [[freeCheckpoint]] releases it. */
+  def localCheckpointCount(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val internal = df.queryExecution.toRdd.map(_.copy())
+    internal.localCheckpoint()
+    val n = internal.count()
+    (spark.internalCreateDataFrame(internal, df.schema, isStreaming = false), n)
+  }
+
   /** Release the materialized RDD blocks behind a (local)checkpointed
     * frame — the storage half of `checkpointRddIds`. Iterative
     * algorithms that maintain ONE frame across rounds (settled sets,
