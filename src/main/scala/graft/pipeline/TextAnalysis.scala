@@ -446,6 +446,12 @@ object TextAnalysis {
         val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         val merged = l + r
         rules += ((step, l, r, merged, pc))
+        // LAZY checkpoint (r16): the next round's argmax job
+        // materializes the rewrite as its first action — lineage stays
+        // flat (truncated on materialization) but each merge round now
+        // runs ONE job instead of two, and the final round's rewrite
+        // (which nothing reads) runs zero. The loop is pure driver-job
+        // latency at any SF, so halving the job count halves the query.
         vocab = vocab.withColumn("syms",
             aggregate(
               slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
@@ -453,7 +459,7 @@ object TextAnalysis {
               (acc, s) => when(element_at(acc, lit(-1)) === lit(l) && s === lit(r),
                   concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
                 .otherwise(concat(acc, array(s)))))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         step += 1
       }
     }
