@@ -558,14 +558,14 @@ object PipelineQueries {
     // catches shuffled-token junk unigram scoring cannot; one bigram
     // reduce + one rejoin, context totals derived from the reduced
     // relation (no second corpus pass)
-    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docsW(s, dir))),
+    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLogProb(docs(s, dir))),
 
     // Stupid-Backoff TRIGRAM LM (Brants et al. 2007): counts from a
     // held-out train partition so backoff genuinely fires; each
     // distinct trigram scored once against vocab-sized count
     // relations, ONE corpus-sized position join
     "text_trigram_lm" -> ((s, dir) =>
-      TextAnalysis.trigramStupidBackoff(docsW(s, dir))),
+      TextAnalysis.trigramStupidBackoff(docs(s, dir))),
 
     // Gopher rule gates (Rae et al. 2021): per-doc rule datasheet,
     // map-only single pass
