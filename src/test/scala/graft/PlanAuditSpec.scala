@@ -46,15 +46,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast eval side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"expected no corpus-side SMJ:\n$p")
     // EXACT pins (r16, ADVICE item 4 — the r15 <=4/<=2 ceilings could
-    // mask a future unintended exchange): the two gated docsW spreads
-    // (train/eval, REPARTITION_BY_NUM — no-ops on at-scale layouts)
-    // are counted separately from the ONE algorithmic exchange (the
-    // eval-side sh distinct); the final per-doc groupBy rides the
-    // doc_id spread's partitioning, no exchange of its own.
-    assert("REPARTITION_BY_NUM".r.findAllIn(p).size === 2,
-      s"expected exactly the two docsW spread repartitions (train/eval):\n$p")
-    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size === 1,
-      s"expected exactly the eval-distinct exchange:\n$p")
+    // mask a future unintended exchange). The docsW spread width is
+    // byte-sized since r16, so on this sub-64KB fixture the spread
+    // gates OFF entirely (width 1): zero REPARTITION_BY_NUM, and the
+    // algorithmic exchanges are exactly the eval-side sh distinct plus
+    // the final per-doc groupBy (which rode the spread's partitioning
+    // when the spread fired).
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size === 0,
+      s"expected the byte-gated spread to be a no-op at this SF:\n$p")
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size === 2,
+      s"expected exactly the eval-distinct + final-groupBy exchanges:\n$p")
   }
 
   test("text_decontam_bloom: codegen'd sketch probe prunes the corpus stream pre-join") {
@@ -728,10 +729,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_novelty")
     assert("Generate explode".r.findAllIn(p).size === 1,
       s"expected exactly one corpus shingle explode:\n$p")
-    // 2 algorithmic exchanges (sh, doc_id) + the r15 gated docsW
-    // spread of the under-split local scan (REPARTITION_BY_NUM)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3,
-      s"expected only the sh, doc_id and docsW-spread exchanges:\n$p")
+    // 2 algorithmic exchanges (sh, doc_id); the byte-gated docsW
+    // spread is a no-op on this sub-64KB fixture (r16)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"expected only the sh and doc_id exchanges:\n$p")
     assert(p.contains("Window"), s"expected the min window:\n$p")
     assert(!p.contains("Join"), s"expected no join:\n$p")
   }
